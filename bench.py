@@ -1,0 +1,60 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q_...": sec, ...}, "sf": <sf>}
+
+Timing = wall time of one terminal action (count of a fully-computed
+result) per query on a warm SparkSession, AQE on.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_caltopo_spark.queries import REGISTRY
+from etl_caltopo_spark.session import build_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = build_spark(app_name="etl-caltopo-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    headline = [name for name, spec in REGISTRY.items() if spec.headline]
+    # warm the JVM + parquet footer caches with one cheap action
+    REGISTRY[headline[0]].fn(spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in headline:
+        spec = REGISTRY[name]
+        t0 = time.perf_counter()
+        # count() after a full materialization barrier: collect tiny
+        # results, count large ones (both force every operator)
+        df = spec.fn(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time, warm session, AQE on",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

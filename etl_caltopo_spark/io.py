@@ -1,0 +1,79 @@
+"""Source / sink adapters.
+
+The reference's sources and sinks are an HTTP GET of a CalTopo map
+(/root/reference/task.ts:68-70) and an HTTP POST of the transformed
+FeatureCollection (/root/reference/task.ts:154-159).  Here those
+generalize to Spark's columnar sources, plus the HTTP pair in
+``caltopo.source`` / ``caltopo.sink``.
+
+Scale notes (100 TB posture):
+- parquet scans go through Spark's vectorized reader; filters and
+  column pruning push down automatically when expressed declaratively.
+- ``load_table`` never caches or collects; callers compose lazily.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: the driver-materialized synthetic tables (TESTDATA.md)
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Vectorized parquet scan of one synthetic table.
+
+    events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
+    reader rejects by default; it is read via the nanos-as-long legacy
+    path and floor-converted to microseconds (matching how DuckDB's
+    TIMESTAMP truncates the same column — keeps the oracle aligned).
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        return df
+    return spark.read.parquet(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None, mode: str = "FAILFAST") -> DataFrame:
+    """JSON-lines scan with schema enforcement.
+
+    ``FAILFAST`` mirrors the reference's typed decode, which throws on a
+    schema mismatch (/root/reference/task.ts:71-88); ``PERMISSIVE`` is
+    the lenient mode with a ``_corrupt_record`` column.
+    """
+    reader = spark.read.option("mode", mode)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -> DataFrame:
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

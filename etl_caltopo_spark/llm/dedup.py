@@ -1,0 +1,238 @@
+"""Deduplication operators: exact, MinHash+LSH near-dup, SimHash,
+n-gram Jaccard (SURVEY §2.3 LLM extensions).
+
+Scale design:
+- exact dedup is a hash-groupBy on a 64-hex digest — the shuffle
+  carries (digest, id), never the document text;
+- near-dup is the standard shingle → minhash → band → bucket-join
+  pipeline: candidate generation is an equi-join on (band, band_hash)
+  so the only all-pairs work happens inside a bucket;
+- all hashing is Spark's xxhash64 (deterministic, JVM-side); the one
+  bit-twiddling step Spark SQL can't express cleanly (simhash bit
+  voting) is an Arrow-batched pandas_udf over pre-hashed longs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from etl_caltopo_spark.functions.numeric import fround
+from etl_caltopo_spark.llm.text import tokens
+
+
+def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group exact duplicates by content digest.
+
+    Output: ``text_hash`` (sha256 hex), ``keeper_id`` (min id — the
+    canonical survivor), ``n_copies``.
+    """
+    return (
+        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def dedup_exact(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Plain exact dedup on a column subset (dropDuplicates)."""
+    return df.dropDuplicates(cols)
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (array<string>).
+    Short documents (< n tokens) yield their whole token string as the
+    single shingle."""
+    toks = tokens(col)
+    n_sh = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingle_col: Column, n_hashes: int = 16) -> list[Column]:
+    """n_hashes MinHash components.  Each component is the min over the
+    shingle set of xxhash64 seeded by the component index (seed folded
+    in via prefix concat — xxhash64's seed argument isn't exposed as a
+    per-call literal)."""
+    return [
+        F.array_min(
+            F.transform(
+                shingle_col,
+                lambda s, i=i: F.xxhash64(F.concat(F.lit(f"mh{i}:"), s)),
+            )
+        ).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+
+
+def near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+
+    Pipeline: shingle → minhash signature → band hashes → explode bands
+    → self-equi-join on (band, band_hash) → distinct candidate pairs →
+    exact Jaccard on shingle sets → filter >= threshold.
+
+    Output: ``id_a`` < ``id_b``, ``jaccard`` (4 dp).  LSH recall is
+    probabilistic; this is the scale path, not an oracle query.
+    """
+    rows = n_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        shingles(F.col(text_col), shingle_n).alias("_sh"),
+    ).select("_id", "_sh", *minhash_signature(F.col("_sh"), n_hashes))
+    band_cols = [
+        F.hash(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("_id", "_sh", *band_cols)
+    exploded = banded.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("bh"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "_sh", F.col("bk.band_idx"), F.col("bk.bh"))
+    a = exploded.select(
+        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "band_idx", "bh"
+    )
+    b = exploded.select(
+        F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "band_idx", "bh"
+    )
+    cand = (
+        a.join(b, ["band_idx", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", fround(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    threshold: float = 0.1,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard over a blocking key (all pairs within a
+    block).  Deterministic — SQL-oracle-checkable — and the brute-force
+    complement to :func:`near_duplicates`; the blocking key bounds the
+    quadratic term at scale."""
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(block_col).alias("_blk"),
+        shingles(F.col(text_col), shingle_n).alias("_sh"),
+    )
+    a = base.select(
+        F.col("_id").alias("id_a"), F.col("_blk").alias("_blk"), F.col("_sh").alias("sh_a")
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"), F.col("_blk").alias("_blk2"), F.col("_sh").alias("sh_b")
+    )
+    pairs = a.join(b, (F.col("_blk") == F.col("_blk2")) & (F.col("id_a") < F.col("id_b")))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.withColumn("jaccard", fround(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@F.pandas_udf(LongType())
+def _simhash_from_hashes(hash_arrays: pd.Series) -> pd.Series:
+    """64-bit SimHash from per-token xxhash64 longs via numpy bit
+    voting (Arrow-batched; the only Python in the dedup family)."""
+    import numpy as np
+
+    out = np.zeros(len(hash_arrays), dtype=np.int64)
+    for row_idx, hashes in enumerate(hash_arrays):
+        if hashes is None or len(hashes) == 0:
+            continue
+        h = np.asarray(hashes, dtype=np.uint64)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        sim = np.uint64(0)
+        for j in range(64):
+            if votes[j] >= 0:
+                sim |= np.uint64(1) << np.uint64(j)
+        out[row_idx] = np.int64(sim.astype(np.int64))
+    return pd.Series(out)
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document 64-bit SimHash.  Token hashing stays JVM-side
+    (xxhash64 inside transform); only the bit vote crosses to Python,
+    as an array<long> → long pandas_udf."""
+    token_hashes = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+    return df.select(
+        F.col(id_col),
+        _simhash_from_hashes(token_hashes).alias("simhash"),
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8
+) -> DataFrame:
+    """SimHash near-dup candidates: block on 16-bit chunks (two equal
+    chunks guaranteed when hamming <= 3 per pigeonhole at 4 chunks;
+    wider radii trade recall) then verify exact Hamming distance."""
+    sh = simhash(df, text_col, id_col).select(
+        F.col(id_col).alias("_id"), "simhash"
+    )
+    chunks = [
+        (F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF))).alias(f"c{b}")
+        for b in range(4)
+    ]
+    blocked = sh.select("_id", "simhash", *chunks)
+    exploded = blocked.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("chunk_idx"), F.col(f"c{b}").alias("cv"))
+                    for b in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("_id", "simhash", F.col("ck.chunk_idx"), F.col("ck.cv"))
+    a = exploded.select(F.col("_id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk_idx", "cv")
+    b = exploded.select(F.col("_id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk_idx", "cv")
+    cand = (
+        a.join(b, ["chunk_idx", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

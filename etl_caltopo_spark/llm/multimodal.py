@@ -1,0 +1,97 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns with typed metadata, processed by
+Arrow-batched ``mapInPandas`` so each executor sees columnar batches,
+never row-at-a-time Python.  The actual codec work (image decode,
+resample, frame sampling) is STUBBED — the decode libraries are not in
+this container — but the Spark-side contract (schemas, batch shapes,
+partitioning) is real and tested (tests/test_multimodal.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: schema of a multimodal asset row: payload + typed metadata
+ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("media_type", StringType(), False),  # image|audio|video
+        StructField("payload", BinaryType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+#: schema appended by the (stubbed) feature extractor
+FEATURE_SCHEMA = StructType(
+    ASSET_SCHEMA.fields
+    + [StructField("features", ArrayType(FloatType()), True)]
+)
+
+
+def as_binary_assets(df: DataFrame, id_col: str, payload_col: Column, media_type: str) -> DataFrame:
+    """Wrap any bytes-producing column as a typed asset table."""
+    return df.select(
+        F.col(id_col).cast("long").alias("asset_id"),
+        F.lit(media_type).alias("media_type"),
+        payload_col.alias("payload"),
+        F.octet_length(payload_col).cast("long").alias("n_bytes"),
+    )
+
+
+def decode_image(payload: bytes) -> object:
+    """STUB — image decode requires a codec library not present in
+    this environment.  The mapInPandas plumbing around it is real."""
+    raise NotImplementedError(
+        "image decode stub: install a codec (e.g. Pillow) and decode "
+        "payload bytes here"
+    )
+
+
+def _fake_features(payload: pd.Series, dim: int = 8) -> pd.Series:
+    """Deterministic fake feature extractor standing in for the codec:
+    folds payload bytes into ``dim`` float accumulators.  Keeps the
+    batch shape/latency profile of a real extractor without the
+    dependency."""
+    import numpy as np
+
+    def one(b: bytes | None) -> list[float] | None:
+        if b is None:
+            return None
+        arr = np.frombuffer(b, dtype=np.uint8)
+        if len(arr) == 0:
+            return [0.0] * dim
+        pad = (-len(arr)) % dim
+        arr = np.pad(arr, (0, pad)).reshape(-1, dim)
+        return (arr.mean(axis=0) / 255.0).astype(float).tolist()
+
+    return payload.map(one)
+
+
+def extract_features(assets: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Real contract: Arrow batches in, Arrow batches out, schema declared
+    up front; swap ``_fake_features`` for a real decoder without
+    touching the Spark plan."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["features"] = _fake_features(pdf["payload"])
+            yield pdf
+
+    return assets.mapInPandas(fn, schema=FEATURE_SCHEMA)

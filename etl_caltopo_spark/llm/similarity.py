@@ -1,0 +1,115 @@
+"""Similarity search over embedding columns (SURVEY §2.3 extensions).
+
+- ``cosine`` / ``dot``: pure Column expressions (zip_with + aggregate,
+  double precision) — codegen'd, no Python.
+- ``brute_force_topk``: broadcast the query vector(s), score every row,
+  TakeOrderedAndProject top-k.  O(n·d) per query — the correctness
+  baseline and, broadcast-joined, still shuffle-free at scale.
+- ``lsh_bucket_topk``: random-hyperplane (SimHash-for-vectors) bucket
+  prefilter — the approximate scale path: score only rows whose bucket
+  matches the query's, trading recall for a ~2^planes fan-in cut.
+  Hyperplanes derive from a seeded hash, not RNG state, so plans are
+  reproducible across runs/executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_caltopo_spark.functions.numeric import fround
+
+
+def _as_double(v: Column) -> Column:
+    return v.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order double dot product (matches DuckDB's
+    list_dot_product fold order, so rounded values hash-match)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qv",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k of ``emb`` rows against a 1-row broadcast
+    ``query`` DataFrame.  Output: id_col, ``cos_sim`` (rounded so the
+    ordering is reproducible across engines; ties broken by id)."""
+    scored = emb.crossJoin(F.broadcast(query)).select(
+        F.col(id_col),
+        fround(cosine(F.col(vec_col), F.col(query_vec_col)), round_dp).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def _hyperplane(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes via integer hashing
+    (splitmix64-style scramble) — no RNG state, identical on every
+    executor and run."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            x = (p * 1_000_003 + d * 97 + 0x9E3779B9) & 0xFFFFFFFFFFFFFFFF
+            x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & 0xFFFFFFFFFFFFFFFF
+            x = (x ^ (x >> 27)) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF
+            x ^= x >> 31
+            row.append((x / 2**64) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def bucket_id(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket: one sign bit per plane."""
+    acc = F.lit(0)
+    for i, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(float(v)) for v in plane])
+        bit = F.when(dot(vec, plane_col) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        acc = acc + bit
+    return acc
+
+
+def lsh_bucket_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Approximate top-k: prefilter to the query's hyperplane bucket,
+    then exact cosine within it.  At scale the bucket column is
+    precomputed and the table partitioned by it, turning ANN lookup
+    into partition-pruned scan + local top-k."""
+    planes = _hyperplane(n_planes, dim)
+    bucketed = emb.withColumn("_bucket", bucket_id(F.col(vec_col), planes))
+    q = query.withColumn("_qbucket", bucket_id(F.col(query_vec_col), planes))
+    candidates = bucketed.join(
+        F.broadcast(q), F.col("_bucket") == F.col("_qbucket")
+    )
+    scored = candidates.select(
+        F.col(id_col),
+        fround(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)

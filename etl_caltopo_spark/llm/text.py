@@ -1,0 +1,86 @@
+"""Text-analysis operators: tokenization, quality scoring, language
+ID, fingerprinting (SURVEY §2.3 LLM extensions).
+
+Everything is a Column expression (codegen'd, shuffle-free, scans stay
+columnar) so a 100 TB documents table maps straight through without a
+Python boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from etl_caltopo_spark.functions.numeric import fround
+
+#: tiny embedded stopword list — deterministic, engine-portable
+STOPWORDS: tuple[str, ...] = ("the", "a", "an", "and", "or", "of", "to", "in", "is")
+
+#: (language, marker words) for the n-gram/marker language heuristic.
+#: Checked in order; first language with a marker hit wins, else 'en'.
+LANG_MARKERS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("de", ("der", "die", "und", "nicht")),
+    ("fr", ("le", "la", "et", "les")),
+    ("es", ("el", "los", "las", "por")),
+    ("zh", ("的", "是", "了")),
+)
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of trimmed, lowercased text."""
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def stopword_ratio(col: Column) -> Column:
+    """Fraction of tokens that are stopwords (4 dp)."""
+    toks = tokens(col)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return fround(n_stop / F.size(toks), 4)
+
+
+def avg_token_len(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return fround(total / F.size(toks), 4)
+
+
+def quality_score(col: Column) -> Column:
+    """Composite 0-1 quality heuristic: enough tokens, not stopword
+    soup, enough raw characters.  Deterministic + SQL-portable."""
+    toks = tokens(col)
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return fround(
+        F.least(F.lit(1.0), n_tok / F.lit(50.0)) * 0.5
+        + (1.0 - n_stop / n_tok) * 0.3
+        + F.least(F.lit(1.0), F.length(col) / F.lit(200.0)) * 0.2,
+        4,
+    )
+
+
+def lang_id(col: Column) -> Column:
+    """Marker-word language heuristic: first language whose marker
+    appears as a whole token wins; default 'en'.  (A real model would
+    be a Pandas UDF; this keeps the hot path in codegen and the result
+    oracle-checkable.)"""
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    expr: Column | None = None
+    for lang, markers in reversed(LANG_MARKERS):
+        hit = None
+        for m in markers:
+            c = padded.contains(f" {m} ")
+            hit = c if hit is None else (hit | c)
+        expr = F.when(hit, F.lit(lang)).otherwise(
+            expr if expr is not None else F.lit("en")
+        )
+    return expr
+
+
+def fingerprint(col: Column) -> Column:
+    """Canonical content fingerprint: md5 of lowercased trimmed text
+    (the cheap exact-dup key; rolling/shingle hashes live in dedup)."""
+    return F.md5(F.lower(F.trim(col)))

@@ -1,0 +1,85 @@
+"""Join operators.
+
+- ``broadcast_lookup_join``: the reference's folder lookup
+  (/root/reference/task.ts:90,142-152) — a small dimension joined to a
+  large fact table.  The dim is explicitly broadcast: at 100 TB the
+  fact side never shuffles for this join.
+- ``asof_join``: nearest-earlier-event join ([EXT], SURVEY §2.3).
+  Implemented as union + running ``last(..., ignorenulls)`` window
+  instead of a range join: one shuffle on the partition keys, linear
+  work per partition, no O(n·m) pair blow-up — the formulation that
+  survives a 1000-executor scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def broadcast_lookup_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: Column,
+    how: str = "left",
+) -> DataFrame:
+    """Lookup join with an explicit broadcast hint on the dimension.
+
+    Mirrors the reference semantics (quirk Q5, SURVEY §1.5): unmatched
+    fact rows survive with nulls for dim columns when ``how='left'``.
+    """
+    return facts.join(F.broadcast(dim), on, how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    partition_keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` within the same partition keys (backward
+    as-of join, ties included).
+
+    Plan shape: UNION both sides (map-only) → one shuffle on
+    ``partition_keys`` → per-partition sort + running ``last()`` —
+    no range-join pair explosion regardless of row counts per key.
+    Output: all left columns + ``{prefix}{right_ts}`` +
+    ``{prefix}{col}`` for each right value column (null when no
+    earlier right row exists — left-join semantics).
+    """
+    left_cols = left.columns
+    # _side: right rows sort before left rows at equal timestamps so an
+    # exactly-simultaneous right row is visible (<=, not <).
+    r = right.select(
+        *partition_keys,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.struct(
+            F.col(right_ts).alias(right_ts),
+            *[F.col(c) for c in right_value_cols],
+        ).alias("_r"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{dict(left.dtypes)[c]}" for c in left_cols) + ">"
+        ).alias("_l"),
+    )
+    l = left.select(
+        *partition_keys,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_r"].dataType).alias("_r"),
+        F.struct(*[F.col(c) for c in left_cols]).alias("_l"),
+    )
+    w = (
+        Window.partitionBy(*partition_keys)
+        .orderBy(F.col("_ts"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l.unionByName(r).withColumn("_r_last", F.last("_r", ignorenulls=True).over(w))
+    out_cols = [F.col(f"_l.{c}").alias(c) for c in left_cols]
+    out_cols.append(F.col(f"_r_last.{right_ts}").alias(f"{prefix}{right_ts}"))
+    out_cols += [F.col(f"_r_last.{c}").alias(f"{prefix}{c}") for c in right_value_cols]
+    return merged.filter(F.col("_side") == 1).select(*out_cols)

@@ -1,0 +1,25 @@
+"""Declared query registry (SURVEY.md §2 query ids).
+
+Each query id maps to a ``(spark, sf_dir) -> DataFrame`` callable plus,
+when SQL-expressible, a DuckDB oracle SQL string the driver runs
+side-by-side (row count + schema + order-insensitive value hash).
+
+Import side effects register all queries; ``REGISTRY`` is the single
+source of truth consumed by ``/root/repo/__spark_entry__.py`` and
+``bench.py``.
+"""
+
+from __future__ import annotations
+
+from etl_caltopo_spark.queries.registry import REGISTRY, QuerySpec, query
+
+# register on import (order: cheap scalar ops → joins/aggs → time windows → llm)
+from etl_caltopo_spark.queries import relational  # noqa: F401,E402
+from etl_caltopo_spark.queries import joins  # noqa: F401,E402
+from etl_caltopo_spark.queries import aggregates  # noqa: F401,E402
+from etl_caltopo_spark.queries import windows  # noqa: F401,E402
+from etl_caltopo_spark.queries import setops  # noqa: F401,E402
+from etl_caltopo_spark.queries import stream_windows  # noqa: F401,E402
+from etl_caltopo_spark.queries import llm_pipeline  # noqa: F401,E402
+
+__all__ = ["REGISTRY", "QuerySpec", "query"]

@@ -1,0 +1,256 @@
+"""LLM-data-pipeline queries over documents/embeddings (SURVEY §2.3).
+
+Dedup, similarity search, and text analysis — the driver-mandated
+north-star extensions, each wired to the operator library in
+``etl_caltopo_spark.llm``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_caltopo_spark.io import load_table
+from etl_caltopo_spark.llm import dedup, multimodal, similarity, text
+from etl_caltopo_spark.queries.registry import query
+from etl_caltopo_spark.session import apply_runtime_conf
+
+_STOP_SQL = "['" + "','".join(text.STOPWORDS) + "']"
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS text_hash,
+           CAST(min(doc_id) AS BIGINT) AS keeper_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+    headline=True,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest: group on sha256, keep min id.
+    The shuffle carries (64-hex digest, id) — never document bodies —
+    so this is the same plan at 100 TB."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dup_groups(docs, "text", "doc_id")
+
+
+@query(
+    "q_dedup_near",
+    oracle=None,
+    note="MinHash/LSH banding is hash-family-specific; rows-only check.",
+    headline=True,
+)
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs (shingle → minhash → band →
+    bucket-join → exact-Jaccard verify)."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.near_duplicates(
+        docs, "text", "doc_id", n_hashes=16, bands=4, threshold=0.4
+    )
+
+
+@query(
+    "q_dedup_jaccard",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 2, 1) + 1),
+                   i -> array_to_string(string_split_regex(trim(lower(text)), '\\s+')[i:i+2], ' ')
+               )) AS sh
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 len(list_distinct(list_concat(a.sh, b.sh))) * 10000) / 10000 AS jaccard
+    FROM base a JOIN base b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                len(list_distinct(list_concat(a.sh, b.sh))) * 10000) / 10000 >= 0.1
+    """,
+)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard within a blocking key (source) — the
+    deterministic, oracle-checkable complement to LSH."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_col="source", threshold=0.1
+    )
+
+
+@query(
+    "q_dedup_simhash",
+    oracle=None,
+    note="simhash bit-voting is hash-family-specific; rows-only check.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: 16-bit chunk blocking + Hamming
+    verify; bit vote is the engine's one Arrow pandas_udf."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, "text", "doc_id", max_hamming=16)
+
+
+@query(
+    "q_sim_topk",
+    oracle="""
+    WITH q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id = 0
+    )
+    SELECT e.vec_id,
+           floor(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+                 (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[]))) *
+                  sqrt(list_dot_product(q.qv, q.qv))) * 1000000) / 1000000 AS cos_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+    headline=True,
+)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors of vec_id=0 (broadcast query
+    vector; TakeOrderedAndProject — no global sort)."""
+    apply_runtime_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") != 0), q, k=10
+    )
+
+
+@query(
+    "q_sim_topk_lsh",
+    oracle=None,
+    note="hyperplane-LSH recall is approximate by design; rows-only.",
+)
+def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane bucket prefilter — the
+    ANN scale path."""
+    apply_runtime_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return similarity.lsh_bucket_topk(
+        emb.filter(F.col("vec_id") != 0), q, k=10, n_planes=4, dim=64
+    )
+
+
+@query(
+    "q_text_stats",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t,
+               length(text) AS n_chars_calc
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(t) AS INTEGER) AS n_tokens,
+           CAST(n_chars_calc AS INTEGER) AS n_chars_calc,
+           floor(CAST(len(list_filter(t, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                 / len(t) * 10000) / 10000 AS stop_ratio,
+           floor(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                 / len(t) * 10000) / 10000 AS avg_tok_len
+    FROM toks
+    """,
+    headline=True,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + document stats — all codegen'd expressions."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_calc"),
+        text.stopword_ratio(F.col("text")).alias("stop_ratio"),
+        text.avg_token_len(F.col("text")).alias("avg_tok_len"),
+    )
+
+
+def _lang_markers_sql() -> str:
+    branches = []
+    for lang, markers in text.LANG_MARKERS:
+        cond = " OR ".join(
+            f"(' ' || lower(text) || ' ') LIKE '% {m} %'" for m in markers
+        )
+        branches.append(f"WHEN ({cond}) THEN '{lang}'")
+    return "CASE " + " ".join(branches) + " ELSE 'en' END"
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang, {_lang_markers_sql()} AS pred_lang
+    FROM documents
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic (deterministic formula; a
+    model-based detector would slot in as a pandas_udf)."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", text.lang_id(F.col("text")).alias("pred_lang"))
+
+
+@query(
+    "q_quality_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t,
+               length(text) AS n_chars_calc
+        FROM documents
+    )
+    SELECT doc_id,
+           floor((least(1.0, len(t) / 50.0) * 0.5
+                 + (1.0 - CAST(len(list_filter(t, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE) / len(t)) * 0.3
+                 + least(1.0, n_chars_calc / 200.0) * 0.2) * 10000) / 10000 AS quality
+    FROM toks
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic (length / stopword-soup / char mass)."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.quality_score(F.col("text")).alias("quality"))
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(lower(trim(text))) AS fp
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical md5 content fingerprint."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+
+
+@query(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS asset_id,
+           'image' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal asset plumbing: opaque binary payload + typed
+    metadata (decode itself is stubbed — see llm/multimodal.py)."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.as_binary_assets(
+        docs, "doc_id", F.encode(F.col("text"), "utf-8"), "image"
+    )
+    return assets.select("asset_id", "media_type", "n_bytes")

@@ -1,0 +1,97 @@
+"""LLM-pipeline operator tests: dedup families, similarity, text."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_caltopo_spark.llm import dedup, multimodal, similarity
+from etl_caltopo_spark.llm.text import lang_id, quality_score, token_count
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "s1"),
+        (2, "the quick brown fox jumps over the lazy dog", "s1"),  # exact dup of 1
+        (3, "the quick brown fox jumps over a lazy dog", "s1"),  # near dup
+        (4, "completely different text about spark engines", "s2"),
+        (5, "der hund und die katze", "s2"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_exact_dup_groups(spark):
+    out = dedup.exact_dup_groups(_docs(spark), "text", "doc_id").collect()
+    groups = {r["keeper_id"]: r["n_copies"] for r in out}
+    assert groups[1] == 2  # docs 1+2 collapse, keeper is min id
+    assert groups[3] == 1 and groups[4] == 1
+
+
+def test_minhash_near_duplicates_finds_near_pair(spark):
+    # 16 single-row bands → candidate recall 1-(1-J)^16 ≈ 1 at J=0.4
+    out = dedup.near_duplicates(
+        _docs(spark), "text", "doc_id", n_hashes=16, bands=16, threshold=0.3
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # exact dup always found
+    assert (1, 3) in pairs  # near dup found with single-row bands
+    assert all(j >= 0.3 for j in pairs.values())
+
+
+def test_simhash_near_pairs(spark):
+    out = dedup.simhash_near_pairs(_docs(spark), "text", "doc_id", max_hamming=16)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    assert pairs[(1, 2)] == 0  # identical text → identical simhash
+    assert (1, 3) in pairs  # near dup within hamming radius
+
+
+def test_brute_force_topk_exact_neighbor(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+            (4, [-1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame([([1.0, 0.0, 0.0],)], "qv array<float>")
+    out = similarity.brute_force_topk(emb, q, k=2).collect()
+    assert [r["vec_id"] for r in out] == [1, 2]
+    assert out[0]["cos_sim"] == 1.0
+
+
+def test_lsh_bucket_query_included(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(8)]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame([([1.0] + [0.0] * 7,)], "qv array<float>")
+    out = similarity.lsh_bucket_topk(emb, q, k=3, n_planes=2, dim=8).collect()
+    # vector identical to the query must share its bucket and rank first
+    assert out and out[0]["vec_id"] == 0
+
+
+def test_text_columns(spark):
+    df = _docs(spark).select(
+        "doc_id",
+        token_count(F.col("text")).alias("n"),
+        lang_id(F.col("text")).alias("lang"),
+        quality_score(F.col("text")).alias("q"),
+    )
+    got = {r["doc_id"]: r for r in df.collect()}
+    assert got[1]["n"] == 9
+    assert got[5]["lang"] == "de"  # marker words hit
+    assert got[1]["lang"] == "en"
+    assert 0.0 <= got[1]["q"] <= 1.0
+
+
+def test_multimodal_feature_plumbing(spark):
+    docs = _docs(spark)
+    assets = multimodal.as_binary_assets(
+        docs, "doc_id", F.encode(F.col("text"), "utf-8"), "image"
+    )
+    feats = multimodal.extract_features(assets).collect()
+    assert all(len(r["features"]) == 8 for r in feats)
+    assert all(0.0 <= v <= 1.0 for r in feats for v in r["features"])
+    # n_bytes metadata matches the payload length
+    assert all(r["n_bytes"] == len(r["payload"]) for r in feats)
