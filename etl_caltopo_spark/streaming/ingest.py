@@ -1,0 +1,59 @@
+"""Structured Streaming ingestion helpers ([EXT], SURVEY §2.3).
+
+The reference's incremental model — scheduled re-fetch of a
+``since/-500`` delta window (task.ts:46,68) — maps to Spark's
+``availableNow`` trigger: process everything new since the last
+checkpoint, then stop.  These helpers wire file-source streams with
+watermarks and stream-dedup so the batch operators in
+``streaming.windows`` run unchanged on a stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def stream_from_parquet_dir(
+    spark: SparkSession, path: str, schema: StructType
+) -> DataFrame:
+    """File-source stream (schema must be declared for streams)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    """Late-data bound: rows later than ``delay`` behind the max seen
+    event time are dropped from stateful operators."""
+    return df.withWatermark(ts_col, delay)
+
+
+def stream_dedup(
+    df: DataFrame, keys: list[str], ts_col: str, delay: str = "1 hour"
+) -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon
+    (dropDuplicates + watermark bounds the dedup state)."""
+    return df.withWatermark(ts_col, delay).dropDuplicates([*keys, ts_col])
+
+
+def run_available_now_to_memory(
+    stream_df: DataFrame, query_name: str, checkpoint_dir: str, output_mode: str = "complete"
+) -> None:
+    """Drain everything available through the plan into an in-memory
+    table (test harness for batch/stream equivalence), then stop."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def incremental_high_watermark(df: DataFrame, updated_col: str = "updated") -> int:
+    """Batch-mode incremental state: the max change stamp of this run
+    (persisted via caltopo.source.save_watermark between runs)."""
+    row = df.agg(F.max(updated_col).alias("hw")).collect()[0]
+    return int(row["hw"]) if row["hw"] is not None else 0

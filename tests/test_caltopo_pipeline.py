@@ -1,0 +1,145 @@
+"""Golden end-to-end test of the CalTopo pipeline over the F1-F10
+quirk matrix (FIXTURES.md Family A; reference behaviors cited in
+etl_caltopo_spark/caltopo/*)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from etl_caltopo_spark.caltopo.fixtures import fixture_envelope_df
+from etl_caltopo_spark.caltopo.pipeline import run_from_api, run_pipeline
+from etl_caltopo_spark.caltopo.registry import schema
+from etl_caltopo_spark.caltopo.sink import to_feature_collection
+from etl_caltopo_spark.caltopo.source import map_state_url, validate_env
+from etl_caltopo_spark.caltopo.fixtures import fixture_envelope_json
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    out = run_pipeline(fixture_envelope_df(spark))
+    return {r["id"]: r.asDict() for r in out.collect()}
+
+
+def test_folder_and_null_geometry_rows_consumed(result):
+    # F2 (null geometry) dropped; folder row consumed, not emitted (Q5)
+    assert "F2" not in result
+    assert "folder-1" not in result
+    # everything else survives
+    assert set(result) == {
+        "F1", "F3a", "F3b", "F3c", "F3d", "F4a", "F4b",
+        "F5", "F6", "F7", "F8a", "F8b", "F9", "F10",
+    }
+
+
+def test_f1_plain_point(result):
+    r = result["F1"]
+    assert r["cot_type"] == "u-d-p"  # task.ts:129-130
+    assert r["archived"] is True  # task.ts:128
+    assert r["callsign"] == "plain point"  # task.ts:113
+    assert r["remarks"] == ""  # null description → '' (task.ts:114)
+    assert r["path"] is None
+    assert json.loads(r["geometry_json"]) == [1.5, 2.5]
+
+
+def test_f3_geometry_types_preserved(result):
+    assert json.loads(result["F3b"]["geometry_json"]) == [[0.0, 0.0], [1.0, 1.0]]
+    assert json.loads(result["F3c"]["geometry_json"]) == [
+        [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]]
+    ]
+    assert json.loads(result["F3d"]["geometry_json"]) == [
+        [[0.0, 0.0], [1.0, 1.0]], [[2.0, 2.0], [3.0, 3.0]]
+    ]
+
+
+def test_f4_coordinate_truncation(result):
+    # quirk Q4: positions keep AT MOST 3 elements (task.ts:124-126)
+    assert json.loads(result["F4a"]["geometry_json"]) == [1.0, 2.0, 100.0]
+    assert json.loads(result["F4b"]["geometry_json"]) == [
+        [1.0, 2.0, 3.0], [6.0, 7.0, 8.0]
+    ]
+
+
+def test_f5_f6_folder_paths(result):
+    assert result["F5"]["path"] == "/Team Alpha"  # task.ts:145-148
+    assert result["F6"]["path"] is None  # dangling folderId (Q5)
+
+
+def test_f7_marker_color_handling(result):
+    r = result["F7"]
+    assert r["marker_color"] == "#FF0000"  # '#' prefix (task.ts:133)
+    assert r["marker_opacity"] == 1.0  # injected (task.ts:135)
+    assert "marker-color" not in r["metadata"]  # deleted (task.ts:134)
+    # style copies with casts (task.ts:116-120)
+    assert r["fill"] == "#00FF00" and r["fill_opacity"] == 0.5
+    assert r["stroke"] == "#0000FF" and r["stroke_opacity"] == 0.25
+    assert r["stroke_width"] == 2.0
+
+
+def test_f8_absent_equals_null(result):
+    # quirk Q2/Q3 pin: explicit null and absent behave identically
+    for fid in ("F8a", "F8b"):
+        assert result[fid]["fill"] is None
+        assert result[fid]["fill_opacity"] is None
+        assert "fill" not in result[fid]["metadata"]
+
+
+def test_f9_non_point_marker_color(result):
+    r = result["F9"]
+    assert r["marker_color"] is None  # Point-only branch (task.ts:129-137)
+    assert r["marker_opacity"] is None
+    assert r["metadata"]["marker-color"] == "00FF00"  # survives in metadata
+
+
+def test_f10_empty_description(result):
+    assert result["F10"]["remarks"] == ""
+
+
+def test_metadata_passthrough(result):
+    m = result["F1"]["metadata"]
+    assert m["title"] == "plain point"
+    assert m["class"] == "Marker"
+    assert m["creator"] == "tester"
+    assert m["updated"] == "1700000000000"
+
+
+def test_sink_feature_collection(spark):
+    out = run_pipeline(fixture_envelope_df(spark))
+    fc = to_feature_collection(out)
+    assert fc["type"] == "FeatureCollection"
+    by_id = {f["id"]: f for f in fc["features"]}
+    f7 = by_id["F7"]
+    assert f7["properties"]["marker-color"] == "#FF0000"
+    assert f7["properties"]["type"] == "u-d-p"
+    assert f7["geometry"]["coordinates"] == [7.0, 7.0]
+    assert by_id["F5"]["properties"]["path"] == "/Team Alpha"
+
+
+def test_run_from_api_with_fake_fetcher(spark):
+    urls = []
+
+    def fake_fetcher(url: str) -> str:
+        urls.append(url)
+        return fixture_envelope_json()
+
+    out = run_from_api(spark, {"ShareId": "ABC123"}, fetcher=fake_fetcher)
+    assert out.count() == 14
+    assert urls == ["https://caltopo.com/api/v1/map/ABC123/since/-500"]
+
+
+def test_env_validation():
+    assert validate_env({"ShareId": "X"})["DEBUG"] is False
+    with pytest.raises(ValueError):
+        validate_env({})
+    with pytest.raises(ValueError):
+        validate_env({"ShareId": ""})
+    with pytest.raises(ValueError):
+        validate_env({"ShareId": "X", "DEBUG": "yes"})
+
+
+def test_schema_introspection():
+    assert map_state_url("S", -500).endswith("/map/S/since/-500")
+    assert schema("input").fieldNames() == ["ShareId", "DEBUG"]
+    assert "marker-color" in schema("output").fieldNames()
+    assert schema("unknown").fieldNames() == []
