@@ -88,6 +88,56 @@ def bucket_id(vec: Column, planes: list[list[float]]) -> Column:
     return acc
 
 
+def embedding_near_pairs(
+    emb: DataFrame,
+    block_col: str,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking key
+    (exact, deterministic — oracle-checkable).  The blocking key
+    bounds the quadratic pair count; at scale the natural key is an
+    LSH bucket (see :func:`embedding_near_pairs_lsh`)."""
+    base = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(block_col).alias("_blk"),
+        _as_double(F.col(vec_col)).alias("_v"),
+    )
+    a = base.select(
+        F.col("_id").alias("id_a"), F.col("_blk").alias("_blk"), F.col("_v").alias("v_a")
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"), F.col("_blk").alias("_blk2"), F.col("_v").alias("v_b")
+    )
+    pairs = a.join(b, (F.col("_blk") == F.col("_blk2")) & (F.col("id_a") < F.col("id_b")))
+    cos = fround(cosine(F.col("v_a"), F.col("v_b")), 6)
+    return (
+        pairs.withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def embedding_near_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The scale path: block on the random-hyperplane bucket (vectors
+    with high cosine share all sign bits with high probability), then
+    verify exact cosine within buckets.  Probabilistic recall —
+    rows-only, not an oracle query."""
+    planes = _hyperplane(n_planes, dim)
+    bucketed = emb.withColumn("_bucket", bucket_id(F.col(vec_col), planes))
+    return embedding_near_pairs(
+        bucketed, "_bucket", threshold, id_col=id_col, vec_col=vec_col
+    )
+
+
 def lsh_bucket_topk(
     emb: DataFrame,
     query: DataFrame,

@@ -144,6 +144,47 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_embed",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           floor(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) *
+                  sqrt(list_dot_product(b.v, b.v))) * 1000000) / 1000000 AS cos_sim
+    FROM base a JOIN base b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE floor(list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) *
+                 sqrt(list_dot_product(b.v, b.v))) * 1000000) / 1000000 >= 0.3
+    """,
+)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked on the cluster
+    label (exact within blocks — deterministic, oracle-checked).  The
+    synthetic clusters are loose (same-label cosine p99 ~ 0.3), so the
+    threshold is set where real pairs exist."""
+    apply_runtime_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_pairs(emb, "label", threshold=0.3)
+
+
+@query(
+    "q_dedup_embed_lsh",
+    oracle=None,
+    note="hyperplane-bucket blocking is probabilistic; rows-only check.",
+)
+def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at scale: hyperplane-LSH bucket blocking +
+    exact cosine verify inside buckets."""
+    apply_runtime_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_pairs_lsh(emb, threshold=0.3, n_planes=4, dim=64)
+
+
+@query(
     "q_text_stats",
     oracle=f"""
     WITH toks AS (
