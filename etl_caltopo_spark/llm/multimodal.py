@@ -81,6 +81,43 @@ def _fake_features(payload: pd.Series, dim: int = 8) -> pd.Series:
     return payload.map(one)
 
 
+def sample_frames(
+    assets: DataFrame, every_n_bytes: int = 4096, max_frames: int = 8
+) -> DataFrame:
+    """Frame sampling plumbing for video payloads: emit one row per
+    sampled 'frame' (byte-offset slice standing in for a decoded
+    frame).  The explode happens JVM-side (sequence + transform on the
+    binary column); a real codec would replace the slicing inside the
+    same plan shape."""
+    n_frames = F.least(
+        F.lit(max_frames),
+        F.greatest((F.octet_length("payload") / every_n_bytes).cast("int"), F.lit(1)),
+    )
+    frames = F.transform(
+        F.sequence(F.lit(0), n_frames - 1),
+        lambda i: F.struct(
+            i.alias("frame_idx"),
+            (i * every_n_bytes).alias("byte_offset"),
+        ),
+    )
+    return assets.select(
+        "asset_id",
+        "media_type",
+        F.explode(frames).alias("frame"),
+    ).select("asset_id", "media_type", "frame.frame_idx", "frame.byte_offset")
+
+
+def resize_stub(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize contract: same schema out, plus target dims in typed
+    metadata.  The pixel work is a codec concern (stubbed); the Spark
+    side — schema evolution, no shuffle, columnar pass-through — is
+    the part that matters for the plan."""
+    return assets.withColumn(
+        "resize_to",
+        F.struct(F.lit(width).alias("width"), F.lit(height).alias("height")),
+    )
+
+
 def extract_features(assets: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 

@@ -482,6 +482,39 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_array_funcs",
+    oracle="""
+    WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
+    SELECT p_partkey,
+           CAST(len(words) AS INTEGER) AS n_words,
+           array_to_string(list_sort(words), '|') AS sorted_words,
+           CASE WHEN list_contains(words, 'spark') THEN TRUE ELSE FALSE END AS has_spark,
+           CAST(list_position(words, 'data') AS INTEGER) AS data_pos,
+           list_sort(words)[1] AS first_word,
+           array_to_string(list_reverse(list_sort(words)), '|') AS rev_words
+    FROM w
+    """,
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function family: size/sort/contains/position/element_at/
+    reverse ([EXT] completion of the reference's array handling,
+    task.ts:124-126)."""
+    apply_runtime_conf(spark)
+    part = load_table(spark, sf_dir, "part")
+    words = F.split("p_name", " ")
+    srt = F.array_sort(words)
+    return part.select(
+        "p_partkey",
+        F.size(words).alias("n_words"),
+        F.array_join(srt, "|").alias("sorted_words"),
+        F.array_contains(words, "spark").alias("has_spark"),
+        F.array_position(words, "data").cast("int").alias("data_pos"),
+        F.element_at(srt, 1).alias("first_word"),
+        F.array_join(F.reverse(srt), "|").alias("rev_words"),
+    )
+
+
+@query(
     "q_csv_roundtrip",
     oracle=None,
     note="CSV scan smoke (writes + re-reads a derived CSV; no oracle table).",

@@ -85,6 +85,32 @@ def test_text_columns(spark):
     assert 0.0 <= got[1]["q"] <= 1.0
 
 
+def test_multimodal_frame_sampling(spark):
+    docs = _docs(spark)
+    assets = multimodal.as_binary_assets(
+        docs, "doc_id", F.encode(F.col("text"), "utf-8"), "video"
+    )
+    frames = multimodal.sample_frames(assets, every_n_bytes=16, max_frames=3).collect()
+    by_asset = {}
+    for r in frames:
+        by_asset.setdefault(r["asset_id"], []).append((r["frame_idx"], r["byte_offset"]))
+    # every asset yields 1..3 frames at the declared byte stride
+    for frames_list in by_asset.values():
+        assert 1 <= len(frames_list) <= 3
+        assert all(off == idx * 16 for idx, off in frames_list)
+
+
+def test_multimodal_resize_contract(spark):
+    docs = _docs(spark)
+    assets = multimodal.as_binary_assets(
+        docs, "doc_id", F.encode(F.col("text"), "utf-8"), "image"
+    )
+    out = multimodal.resize_stub(assets, 224, 224)
+    r = out.first()
+    assert r["resize_to"]["width"] == 224 and r["resize_to"]["height"] == 224
+    assert multimodal.decode_image.__doc__.startswith("STUB")
+
+
 def test_multimodal_feature_plumbing(spark):
     docs = _docs(spark)
     assets = multimodal.as_binary_assets(
