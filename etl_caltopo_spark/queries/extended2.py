@@ -1,0 +1,339 @@
+"""Second extended wave: the remaining standard-SQL surface — outer/
+cross joins, INTERSECT ALL / UNION DISTINCT, first/last/nth window
+values, string/bitwise/math families, HAVING, explicit GROUPING SETS.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_caltopo_spark.functions.numeric import fround
+from etl_caltopo_spark.io import load_table
+from etl_caltopo_spark.queries.registry import query
+from etl_caltopo_spark.session import apply_runtime_conf
+
+
+@query(
+    "q_join_outer",
+    oracle="""
+    SELECT coalesce(c.c_custkey, -1) AS custkey,
+           c.c_name,
+           agg.n_orders
+    FROM customer c
+    FULL OUTER JOIN (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders WHERE o_totalprice > 90000 GROUP BY o_custkey
+    ) agg ON c.c_custkey = agg.o_custkey
+    """,
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: customers without big orders keep null counts,
+    (hypothetical) orphan order groups keep null names."""
+    apply_runtime_conf(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 90000)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    joined = cust.join(agg, cust["c_custkey"] == agg["o_custkey"], "full_outer")
+    return joined.select(
+        F.coalesce(F.col("c_custkey"), F.lit(-1)).alias("custkey"),
+        "c_name",
+        "n_orders",
+    )
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+    SELECT a.r_name AS from_region, b.r_name AS to_region
+    FROM region a CROSS JOIN region b
+    WHERE a.r_regionkey <> b.r_regionkey
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of a dimension with itself (route matrix)."""
+    apply_runtime_conf(spark)
+    region = load_table(spark, sf_dir, "region")
+    a = region.select(F.col("r_regionkey").alias("ka"), F.col("r_name").alias("from_region"))
+    b = region.select(F.col("r_regionkey").alias("kb"), F.col("r_name").alias("to_region"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("ka") != F.col("kb"))
+        .select("from_region", "to_region")
+    )
+
+
+_RICH_SQL = "SELECT c_custkey FROM customer WHERE c_acctbal > 5000"
+_BUILDING_SQL = "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+
+
+@query("q_set_intersect_all", oracle=f"{_RICH_SQL} INTERSECT ALL {_BUILDING_SQL}")
+def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset intersection)."""
+    apply_runtime_conf(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    bld = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return rich.intersectAll(bld)
+
+
+@query("q_set_union_distinct", oracle=f"{_RICH_SQL} UNION {_BUILDING_SQL}")
+def q_set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) — union + dropDuplicates collapse."""
+    apply_runtime_conf(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    bld = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return rich.unionByName(bld).distinct()
+
+
+@query(
+    "q_distinct_rows",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def q_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT over a column pair."""
+    apply_runtime_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "q_window_firstlast",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_order,
+           nth_value(o_orderkey, 2) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value/nth_value over per-customer timelines
+    (full-partition frames so last/nth are well-defined)."""
+    apply_runtime_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_order"),
+    )
+
+
+@query(
+    "q_string_pad",
+    oracle="""
+    SELECT c_custkey,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+           rpad(c_mktsegment, 12, '.') AS padded_seg,
+           replace(c_name, 'Customer', 'Cust') AS replaced,
+           reverse(c_mktsegment) AS rev_seg,
+           repeat('-', 5) AS dashes
+    FROM customer
+    """,
+)
+def q_string_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lpad/rpad/replace/reverse/repeat."""
+    apply_runtime_conf(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.rpad("c_mktsegment", 12, ".").alias("padded_seg"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("replaced"),
+        F.reverse("c_mktsegment").alias("rev_seg"),
+        F.repeat(F.lit("-"), 5).alias("dashes"),
+    )
+
+
+@query(
+    "q_bitwise",
+    oracle="""
+    SELECT event_id,
+           user_id & 255 AS low_byte,
+           user_id | 4096 AS with_flag,
+           xor(user_id, event_id) AS mixed,
+           user_id << 2 AS shifted_l,
+           user_id >> 1 AS shifted_r
+    FROM events
+    """,
+)
+def q_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR/shifts."""
+    apply_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("user_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("user_id").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.col("user_id").bitwiseXOR(F.col("event_id")).alias("mixed"),
+        F.shiftleft("user_id", 2).alias("shifted_l"),
+        F.shiftright("user_id", 1).alias("shifted_r"),
+    )
+
+
+@query(
+    "q_math_advanced",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor(exp(l_discount) * 10000) / 10000 AS e_disc,
+           floor(log10(l_extendedprice) * 10000) / 10000 AS log10_price,
+           floor(pow(l_quantity, 2) * 100) / 100 AS qty_sq,
+           CAST(sign(l_discount - 0.05) AS INTEGER) AS disc_sign,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod
+    FROM lineitem
+    """,
+)
+def q_math_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exp/log10/pow/sign/mod (transcendentals floor-scaled — libm
+    results can differ by ulps across engines)."""
+    apply_runtime_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        fround(F.exp("l_discount"), 4).alias("e_disc"),
+        fround(F.log10("l_extendedprice"), 4).alias("log10_price"),
+        fround(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@query(
+    "q_greatest_least",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           greatest(l_quantity, l_discount * 100, 5.0) AS hi,
+           least(l_quantity, l_tax * 100, 50.0) AS lo
+    FROM lineitem
+    """,
+)
+def q_greatest_least(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-ary greatest/least (IEEE-exact comparisons of shared inputs)."""
+    apply_runtime_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.greatest(F.col("l_quantity"), F.col("l_discount") * 100, F.lit(5.0)).alias("hi"),
+        F.least(F.col("l_quantity"), F.col("l_tax") * 100, F.lit(50.0)).alias("lo"),
+    )
+
+
+@query(
+    "q_having",
+    oracle="""
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 15 AND sum(o_totalprice) > 100000
+    """,
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation predicate (HAVING)."""
+    apply_runtime_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+        .filter((F.col("n_orders") >= 15) & (F.col("total_spend") > 100000))
+    )
+
+
+@query(
+    "q_udaf_geomean",
+    oracle="""
+    SELECT l_returnflag,
+           floor(exp(avg(ln(l_extendedprice))) * 100) / 100 AS geo_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF surface: Arrow GROUPED_AGG pandas UDF (geometric mean),
+    oracle-checked against the exp(avg(ln)) identity.  2-dp floor
+    absorbs the sub-1e-10 summation-order difference."""
+    from etl_caltopo_spark.functions.udfs import geomean
+
+    apply_runtime_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        fround(geomean("l_extendedprice"), 2).alias("geo_price")
+    )
+
+
+@query(
+    "q_grouped_map_rank",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+    FROM orders
+    """,
+)
+def q_grouped_map_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map surface: applyInPandas per-group ranking validated
+    against the row_number window oracle (integer-exact)."""
+    from etl_caltopo_spark.functions.udfs import rank_group_pandas
+
+    apply_runtime_conf(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    ranked = rank_group_pandas(
+        orders,
+        group_col="o_custkey",
+        order_col="o_totalprice",
+        tiebreak_col="o_orderkey",
+        out_schema="o_orderkey long, o_custkey long, o_totalprice double, rn long",
+    )
+    return ranked.select("o_orderkey", "o_custkey", "rn")
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() markers disambiguating
+    subtotal nulls from data nulls."""
+    apply_runtime_conf(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
