@@ -1,0 +1,125 @@
+"""ETL-lifecycle queries: CDC merge/upsert, data-quality report,
+error-safe (try_*) expressions.
+
+These are the batch-maintenance operators an ETL engine needs around
+the reference's fetch-transform-submit loop: applying keyed deltas,
+validating content, and surviving dirty values without job failure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_caltopo_spark.io import load_table
+from etl_caltopo_spark.operators.merge import merge_upsert
+from etl_caltopo_spark.operators.quality import quality_report
+from etl_caltopo_spark.queries.registry import query
+from etl_caltopo_spark.session import apply_runtime_conf
+
+
+@query(
+    "q_cdc_merge",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status
+        FROM orders
+    ), changes AS (
+        SELECT k, CASE WHEN k % 7 = 3 THEN 'D' ELSE 'U' END AS op,
+               price + 1000 AS price, status
+        FROM base WHERE k % 7 = 3 OR k % 10 = 0
+        UNION ALL
+        SELECT k + 10000000 AS k, 'U' AS op, 1.0 AS price, 'N' AS status
+        FROM base WHERE k % 13 = 5
+    ), merged AS (
+        SELECT coalesce(b.k, c.k) AS k,
+               CASE WHEN c.op = 'U' THEN c.price ELSE b.price END AS price,
+               CASE WHEN c.op = 'U' THEN c.status ELSE b.status END AS status,
+               c.op AS op
+        FROM base b FULL OUTER JOIN changes c ON b.k = c.k
+    )
+    SELECT k AS o_orderkey, price AS o_totalprice, status AS o_orderstatus
+    FROM merged WHERE op IS NULL OR op <> 'D'
+    """,
+)
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed CDC merge: updates (+1000 on every 10th key), deletes
+    (every 7th≡3 key) and inserts (new keys derived from every
+    13th≡5), applied in one full-outer-join pass."""
+    apply_runtime_conf(spark)
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), F.col("o_totalprice"), F.col("o_orderstatus")
+    )
+    k = F.col("o_orderkey")
+    mutations = base.filter((k % 7 == 3) | (k % 10 == 0)).select(
+        k.alias("o_orderkey"),
+        F.when(k % 7 == 3, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+        F.col("o_orderstatus"),
+    )
+    inserts = base.filter(k % 13 == 5).select(
+        (k + 10000000).alias("o_orderkey"),
+        F.lit("U").alias("op"),
+        F.lit(1.0).alias("o_totalprice"),
+        F.lit("N").alias("o_orderstatus"),
+    )
+    changes = mutations.unionByName(inserts)
+    return merge_upsert(base, changes, key="o_orderkey", op_col="op")
+
+
+@query(
+    "q_dq_report",
+    oracle="""
+    SELECT 'o_custkey' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (o_orderstatus IS NULL) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (o_totalprice IS NULL) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT)
+    FROM orders
+    """,
+)
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality report (null + distinct counts per
+    column) — content-level validation beyond the reference's schema
+    gate."""
+    apply_runtime_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return quality_report(orders, ["o_custkey", "o_orderstatus", "o_totalprice"])
+
+
+@query(
+    "q_try_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN (l_quantity - l_quantity) = 0 THEN NULL
+                ELSE l_extendedprice / (l_quantity - l_quantity) END AS div_zero,
+           l_extendedprice / 2.0 AS half_price,
+           TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+           TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS qty_roundtrip
+    FROM lineitem
+    """,
+)
+def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expressions: try_divide / try_cast return null
+    instead of failing under ANSI mode — dirty input survives the
+    batch."""
+    apply_runtime_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice"), F.col("l_quantity") - F.col("l_quantity")
+        ).alias("div_zero"),
+        F.try_divide(F.col("l_extendedprice"), F.lit(2.0)).alias("half_price"),
+        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+        F.col("l_quantity").cast("string").try_cast("double").alias("qty_roundtrip"),
+    )
