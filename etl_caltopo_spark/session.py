@@ -57,6 +57,12 @@ def build_spark(
     builder = SparkSession.builder.appName(app_name).master(master or default_master())
     for k, v in BUILD_CONF.items():
         builder = builder.config(k, v)
+    # local mode: driver == executor, and Spark's 1g default is far too
+    # small for broadcast builds + cached signatures on a large box.
+    # Only effective at first JVM start; harmless afterwards.
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    )
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))

@@ -1,0 +1,111 @@
+"""Scaling probe: replicate the sf0.1 tables ~Nx with shifted keys
+(≈ sf1 at N=10), then time the headline queries at both scales.
+
+Usage:  python tools/scale_probe.py [N]
+
+Writes the scaled dataset under /tmp/spark_graft_scale_<N>x (reused if
+present) and prints a per-query table: sf0.1 time, Nx time, ratio.
+A ratio ≈ N means linear scaling (no super-linear shuffle/skew
+surprises); TakeOrderedAndProject/broadcast plans often scale
+sub-linearly.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from etl_caltopo_spark.io import TABLES, load_table
+from etl_caltopo_spark.queries import REGISTRY
+from etl_caltopo_spark.session import build_spark
+
+BASE = "/root/testdata/sf0.1"
+
+#: per-table key-shift expressions for copy i (None → copy unchanged)
+SHIFTS = {
+    "lineitem": lambda df, i: df.withColumn("l_orderkey", F.col("l_orderkey") + i * 100_000_000)
+    .withColumn("l_partkey", F.col("l_partkey") + i * 10_000_000)
+    .withColumn("l_suppkey", F.col("l_suppkey") + i * 1_000_000),
+    "orders": lambda df, i: df.withColumn("o_orderkey", F.col("o_orderkey") + i * 100_000_000)
+    .withColumn("o_custkey", F.col("o_custkey") + i * 10_000_000),
+    "customer": lambda df, i: df.withColumn("c_custkey", F.col("c_custkey") + i * 10_000_000),
+    "supplier": lambda df, i: df.withColumn("s_suppkey", F.col("s_suppkey") + i * 1_000_000),
+    "part": lambda df, i: df.withColumn("p_partkey", F.col("p_partkey") + i * 10_000_000),
+    "events": lambda df, i: df.withColumn("event_id", F.col("event_id") + i * 100_000_000)
+    .withColumn("user_id", F.col("user_id") + i * 1_000_000),
+    "documents": lambda df, i: df.withColumn("doc_id", F.col("doc_id") + i * 10_000_000)
+    .withColumn("text", F.concat(F.col("text"), F.lit(f" variant{i}"))),
+    "embeddings": lambda df, i: df.withColumn("vec_id", F.col("vec_id") + i * 10_000_000),
+    "nation": None,
+    "region": None,
+}
+
+# orders join requires shifted custkeys to keep matching: customer copies
+# shift identically, so referential integrity holds per copy.
+
+PROBE_QUERIES = [
+    "q_agg_group",
+    "q_join_multiway",
+    "q_sql_tpch_q3",
+    "q_sql_tpch_q5",
+    "q_sql_tpch_q6",
+    "q_window_running",
+    "q_join_asof",
+    "q_stream_tumbling",
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_sim_topk",
+    "q_text_stats",
+    "q_cdc_merge",
+]
+
+
+def build_scaled(spark, n_copies: int, out_dir: str) -> None:
+    for t in TABLES:
+        path = f"{out_dir}/{t}.parquet"
+        if os.path.exists(path):
+            continue
+        base = load_table(spark, BASE, t)
+        shift = SHIFTS.get(t)
+        if shift is None:
+            base.write.mode("overwrite").parquet(path)
+            continue
+        parts = [shift(base, i) for i in range(n_copies)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(path)
+
+
+def time_query(spark, name: str, sf_dir: str) -> float:
+    spec = REGISTRY[name]
+    spec.fn(spark, sf_dir).count()  # warm (codegen compile)
+    t0 = time.perf_counter()
+    spec.fn(spark, sf_dir).count()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_dir = f"/tmp/spark_graft_scale_{n}x"
+    os.makedirs(out_dir, exist_ok=True)
+    spark = build_spark(app_name="scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_scaled(spark, n, out_dir)
+
+    print(f"| query | sf0.1 (s) | {n}x (s) | ratio |")
+    print("|---|---|---|---|")
+    for name in PROBE_QUERIES:
+        t_base = time_query(spark, name, BASE)
+        t_big = time_query(spark, name, out_dir)
+        ratio = t_big / t_base if t_base > 0 else float("nan")
+        print(f"| {name} | {t_base:.2f} | {t_big:.2f} | {ratio:.1f}x |")
+
+
+if __name__ == "__main__":
+    main()
