@@ -264,6 +264,57 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INTEGER)
+               AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'))
+               AS INTEGER) AS bpe_ish_tokens,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]')) AS INTEGER)
+               AS punct_tokens
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish
+    word/punctuation regex (the pre-tokenizer shape BPE vocabularies
+    split on).  ASCII classes only — the regex subset Java and RE2
+    agree on."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]")).alias(
+            "bpe_ish_tokens"
+        ),
+        F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9_\s]")).alias("punct_tokens"),
+    )
+
+
+@query(
+    "q_doc_rolling_hash",
+    oracle=None,
+    note="rolling hash uses xxhash64 token hashes (Spark-specific); rows-only.",
+)
+def q_doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: polynomial rolling hash
+    folded over token hashes (aggregate stays in codegen; arithmetic
+    kept under 2^62 so ANSI mode can't overflow).  Distinguishes
+    reordered documents that a bag-of-words digest would collapse."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    token_hashes = F.transform(text.tokens(F.col("text")), lambda t: F.xxhash64(t))
+    rolling = F.aggregate(
+        token_hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 31 + F.pmod(h, F.lit(1_000_000_007))) % F.lit(2_147_483_647),
+    )
+    return docs.select("doc_id", rolling.alias("rolling_fp"))
+
+
+@query(
     "q_doc_fingerprint",
     oracle="""
     SELECT doc_id, md5(lower(trim(text))) AS fp
