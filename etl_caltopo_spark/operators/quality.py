@@ -36,6 +36,18 @@ def quality_report(df: DataFrame, columns: list[str]) -> DataFrame:
     return row.select(F.explode(per_col).alias("m")).select("m.*")
 
 
+def observe_metrics(df: DataFrame, observation, columns: list[str]) -> DataFrame:
+    """Attach zero-cost pipeline observability: metrics (row count +
+    per-column null counts) computed DURING the next action on ``df``
+    — no extra pass over the data.  ``observation`` is a
+    ``pyspark.sql.Observation`` (read back via ``.get``) or a string
+    name (read back via a QueryExecutionListener)."""
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        metrics.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"nulls_{c}"))
+    return df.observe(observation, *metrics)
+
+
 def expect_no_nulls(df: DataFrame, columns: list[str]) -> None:
     """Hard expectation: raise if any inspected column has nulls."""
     report = {r["column"]: r["n_nulls"] for r in quality_report(df, columns).collect()}

@@ -49,6 +49,18 @@ def test_expect_no_nulls_raises(spark):
         expect_no_nulls(df, ["tag"])
 
 
+def test_observe_metrics_collected_during_action(spark):
+    from pyspark.sql import Observation
+
+    from etl_caltopo_spark.operators.quality import observe_metrics
+
+    df = spark.createDataFrame([(1, "x"), (2, None), (3, "y")], "id long, tag string")
+    obs = Observation("dq")
+    observe_metrics(df, obs, ["tag"]).collect()
+    assert obs.get["n_rows"] == 3
+    assert obs.get["nulls_tag"] == 1
+
+
 def test_union_by_name_schema_evolution(spark):
     """Schema evolution across batches: a newer batch adds a column;
     unionByName(allowMissingColumns) back-fills nulls for the old
