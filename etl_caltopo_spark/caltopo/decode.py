@@ -61,12 +61,17 @@ def decode_envelope(
     else:
         parsed = parsed.filter(F.col("_env.result.state.features").isNotNull())
     ts_col = F.col("_env.result.timestamp")
+    # carry the envelope identity (map/share id) so multi-map batches
+    # keep per-map scope downstream — the folder lookup is per map
+    carry = [c for c in ("share_id",) if c in envelopes.columns]
     feats = parsed.select(
+        *carry,
         ts_col.alias("state_timestamp"),
         F.explode("_env.result.state.features").alias("f"),
     )
     p = "f.properties"
     return feats.select(
+        *carry,
         F.col("f.id").alias("id"),
         F.col(f"{p}.class").alias("class"),
         F.col(f"{p}.title").alias("title"),

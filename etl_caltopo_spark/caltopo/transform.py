@@ -41,9 +41,18 @@ _METADATA_FIELDS = {
 def split_folders(features: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Partition-by-predicate (R5, task.ts:90,93-96): Folder rows
     become the dimension; all others continue.  Folder rows are
-    CONSUMED — never emitted (quirk Q5)."""
+    CONSUMED — never emitted (quirk Q5).
+
+    When the batch spans multiple maps (a ``share_id`` column is
+    present), the folder dimension keeps the map scope: the reference
+    runs one map per invocation (CHANGELOG.md:63), so folder ids are
+    only meaningful within their own map.
+    """
+    scope = [c for c in ("share_id",) if c in features.columns]
     folders = features.filter(F.col("class") == "Folder").select(
-        F.col("id").alias("folder_key"), F.col("title").alias("folder_title")
+        *scope,
+        F.col("id").alias("folder_key"),
+        F.col("title").alias("folder_title"),
     )
     rest = features.filter(F.col("class") != "Folder")
     return folders, rest
@@ -85,7 +94,9 @@ def to_input_features(features: DataFrame) -> DataFrame:
         has_marker, F.map_filter(metadata, lambda k, v: k != F.lit("marker-color"))
     ).otherwise(metadata)
 
+    scope = [c for c in ("share_id",) if c in truncated.columns]
     return truncated.select(
+        *scope,
         "id",
         F.lit("Feature").alias("type"),
         F.col("title").cast("string").alias("callsign"),
@@ -120,13 +131,19 @@ def to_input_features(features: DataFrame) -> DataFrame:
 def attach_folder_paths(features: DataFrame, folders: DataFrame) -> DataFrame:
     """R15 (task.ts:142-152): broadcast left lookup join to the folder
     dimension; matched rows get path='/'+folder.title, dangling or
-    null folder ids keep a null path (quirk Q5)."""
-    joined = broadcast_lookup_join(
-        features,
-        folders,
-        features["folder_id"] == folders["folder_key"],
-        "left",
-    )
+    null folder ids keep a null path (quirk Q5).  In multi-map batches
+    the join key includes the map scope (share_id) so folder ids never
+    leak across maps."""
+    cond = features["folder_id"] == folders["folder_key"]
+    drop_cols = ["folder_key", "folder_title"]
+    if "share_id" in features.columns and "share_id" in folders.columns:
+        scoped = folders.withColumnRenamed("share_id", "_folder_share")
+        cond = (features["folder_id"] == scoped["folder_key"]) & (
+            features["share_id"] == scoped["_folder_share"]
+        )
+        folders = scoped
+        drop_cols.append("_folder_share")
+    joined = broadcast_lookup_join(features, folders, cond, "left")
     return joined.withColumn(
         "path", F.concat(F.lit("/"), F.col("folder_title"))
-    ).drop("folder_key", "folder_title")
+    ).drop(*drop_cols)

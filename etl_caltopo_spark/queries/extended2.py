@@ -261,6 +261,43 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_percentile_approx",
+    oracle=None,
+    note="t-digest/KLL sketch quantiles are engine-specific; rows-only.",
+)
+def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles (approx_percentile) — the scale path
+    that replaces exact percentile sorting at 100 TB (pairs with
+    q_agg_approx's HLL)."""
+    apply_runtime_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("median_price_approx"),
+        F.percentile_approx("l_extendedprice", 0.99, 1000).alias("p99_price_approx"),
+    )
+
+
+@query(
+    "q_agg_corr",
+    oracle="""
+    SELECT l_returnflag,
+           floor(corr(l_quantity, l_extendedprice) * 10000) / 10000 AS qty_price_corr,
+           floor(covar_samp(l_quantity, l_extendedprice) * 100) / 100 AS qty_price_cov
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics (Pearson correlation, sample covariance)."""
+    apply_runtime_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        fround(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        fround(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_cov"),
+    )
+
+
+@query(
     "q_udaf_geomean",
     oracle="""
     SELECT l_returnflag,

@@ -1,0 +1,46 @@
+"""Property-based checks for the as-of join (hypothesis): against a
+brute-force per-row reference over arbitrary event sets."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_caltopo_spark.operators.joins import asof_join
+
+BASE = datetime(2024, 1, 1)
+
+# (user_id, minute-offset) pairs; small key space to force collisions
+left_events = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 100)), min_size=1, max_size=8
+)
+right_events = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 100)), min_size=0, max_size=8
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(left_events, right_events)
+def test_asof_matches_bruteforce(spark, lefts, rights):
+    left = spark.createDataFrame(
+        [(i, u, BASE + timedelta(minutes=m)) for i, (u, m) in enumerate(lefts)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(u, BASE + timedelta(minutes=m)) for u, m in rights],
+        "user_id long, ts timestamp",
+    ) if rights else spark.createDataFrame([], "user_id long, ts timestamp")
+
+    out = asof_join(left, right, ["user_id"], "ts", "ts", [], prefix="last_")
+    got = {r["event_id"]: r["last_ts"] for r in out.collect()}
+
+    # brute force: latest right ts <= left ts for the same user
+    for i, (u, m) in enumerate(lefts):
+        lt = BASE + timedelta(minutes=m)
+        cands = [BASE + timedelta(minutes=rm) for ru, rm in rights
+                 if ru == u and BASE + timedelta(minutes=rm) <= lt]
+        expected = max(cands) if cands else None
+        assert got[i] == expected, f"event {i}: {got[i]} != {expected}"
+    assert len(got) == len(lefts)  # left join keeps every left row

@@ -128,6 +128,22 @@ def test_run_from_api_with_fake_fetcher(spark):
     assert urls == ["https://caltopo.com/api/v1/map/ABC123/since/-500"]
 
 
+def test_many_envelopes_fan_out(spark):
+    """One layer per CalTopo map in the reference (CHANGELOG.md:63);
+    here a single batch processes many maps as rows — the fan-out is
+    data parallelism, not scheduling."""
+    n = 200
+    envelopes = spark.createDataFrame(
+        [(f"share-{i}", fixture_envelope_json()) for i in range(n)],
+        "share_id string, body_json string",
+    ).repartition(8)
+    out = run_pipeline(envelopes)
+    assert out.count() == n * 14
+    # folder paths resolve within every envelope
+    f5 = out.filter(out["id"] == "F5").select("path").distinct().collect()
+    assert [r["path"] for r in f5] == ["/Team Alpha"]
+
+
 def test_env_validation():
     assert validate_env({"ShareId": "X"})["DEBUG"] is False
     with pytest.raises(ValueError):

@@ -39,7 +39,9 @@ def test_streaming_envelope_pipeline(spark, tmp_path):
     feats = decode_envelope(stream)
     _, rest = split_folders(feats)
     shaped = to_input_features(drop_null_geometry(rest))
-    out = attach_folder_paths(shaped, folders.dropDuplicates(["folder_key"]))
+    out = attach_folder_paths(
+        shaped, folders.dropDuplicates(["share_id", "folder_key"])
+    )
 
     q = (
         out.writeStream.format("memory")
