@@ -35,13 +35,16 @@ def main() -> None:
         spec = REGISTRY[name]
         # run once to amortize one-time whole-stage-codegen compilation
         # (seconds for the larger expression trees; irrelevant at real
-        # scale where a query runs minutes), then time the warm run —
-        # count() forces every operator in the plan
+        # scale where a query runs minutes), then report the best of
+        # two warm runs — count() forces every operator in the plan,
+        # min-of-2 damps scheduler jitter in the recorded artifact
         spec.fn(spark, sf_dir).count()
-        t0 = time.perf_counter()
-        n = spec.fn(spark, sf_dir).count()
-        times[name] = round(time.perf_counter() - t0, 3)
-        _ = n
+        samples = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(min(samples), 3)
     total = round(sum(times.values()), 3)
     print(
         json.dumps(

@@ -261,6 +261,41 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_higher_order",
+    oracle="""
+    WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
+    SELECT p_partkey,
+           CASE WHEN len(list_filter(words, x -> length(x) > 4)) > 0
+                THEN TRUE ELSE FALSE END AS has_long,
+           CASE WHEN len(list_filter(words, x -> length(x) > 1)) = len(words)
+                THEN TRUE ELSE FALSE END AS all_multichar,
+           list_transform(words, x -> length(x)) AS word_lens,
+           CAST(list_reduce(list_transform(words, x -> length(x)), (a, b) -> a + b)
+                AS INTEGER) AS total_chars,
+           words[1] AS first_word_again
+    FROM w
+    """,
+)
+def q_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: exists/forall/filter/transform/
+    aggregate/zip_with — all lambda evaluation stays in codegen."""
+    apply_runtime_conf(spark)
+    part = load_table(spark, sf_dir, "part")
+    words = F.split("p_name", " ")
+    lens = F.transform(words, lambda x: F.length(x))
+    return part.select(
+        "p_partkey",
+        F.exists(words, lambda x: F.length(x) > 4).alias("has_long"),
+        F.forall(words, lambda x: F.length(x) > 1).alias("all_multichar"),
+        lens.alias("word_lens"),
+        F.aggregate(lens, F.lit(0), lambda a, b: a + b).alias("total_chars"),
+        F.element_at(
+            F.zip_with(words, lens, lambda w, l: w), 1
+        ).alias("first_word_again"),
+    )
+
+
+@query(
     "q_percentile_approx",
     oracle=None,
     note="t-digest/KLL sketch quantiles are engine-specific; rows-only.",
