@@ -1,0 +1,117 @@
+"""Third extended wave: positional explode, series generation, RANGE
+window frames, map higher-order functions."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_caltopo_spark.io import load_table
+from etl_caltopo_spark.queries.registry import query
+from etl_caltopo_spark.session import apply_runtime_conf
+
+
+@query(
+    "q_posexplode",
+    oracle="""
+    WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
+    SELECT p_partkey,
+           words[CAST(t.i AS INTEGER)] AS word,
+           CAST(t.i - 1 AS INTEGER) AS pos
+    FROM w, unnest(generate_series(1, len(words))) AS t(i)
+    """,
+)
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (UNNEST WITH ORDINALITY; Spark pos is
+    0-based, the oracle shifts DuckDB's 1-based ordinal)."""
+    apply_runtime_conf(spark)
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.posexplode(F.split("p_name", " ")).alias("pos", "word"),
+    ).select("p_partkey", "word", "pos")
+
+
+@query(
+    "q_generate_series",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(t.m AS INTEGER) AS installment,
+           floor(o.o_totalprice / 3 * 100) / 100 AS installment_amt
+    FROM (SELECT * FROM orders WHERE o_orderkey % 100 = 0) o,
+         unnest(generate_series(1, 3)) AS t(m)
+    """,
+)
+def q_generate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row generation: explode a generated sequence per row (payment
+    installments shape)."""
+    apply_runtime_conf(spark)
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return orders.select(
+        "o_orderkey",
+        F.explode(F.sequence(F.lit(1), F.lit(3))).alias("installment"),
+        (F.floor(F.col("o_totalprice") / 3 * 100) / 100).alias("installment_amt"),
+    )
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+               RANGE BETWEEN 7 PRECEDING AND CURRENT ROW), 2) AS spend_7d
+    FROM orders
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame: trailing-7-day spend per customer.  The
+    order key is epoch-days so the RANGE offset is a plain integer in
+    both engines; sum recovers the 2-dp grid exactly."""
+    apply_runtime_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-7, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_7d"),
+    )
+
+
+@query(
+    "q_map_higher",
+    oracle="""
+    -- semantic equivalent of: build map{qty,price}, double every
+    -- value (transform_values), uppercase keys (transform_keys),
+    -- read back via map_zip_with-combined lookup
+    SELECT l_orderkey, l_linenumber,
+           l_quantity * 2 AS qty_doubled,
+           l_extendedprice * 2 AS price_doubled,
+           CAST(2 AS INTEGER) AS n_entries
+    FROM lineitem
+    """,
+)
+def q_map_higher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: transform_keys / transform_values /
+    map_zip_with, consumed back to scalars so the oracle can hash."""
+    apply_runtime_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity"), F.lit("price"), F.col("l_extendedprice")
+    )
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    upper = F.transform_keys(doubled, lambda k, v: F.upper(k))
+    zipped = F.map_zip_with(doubled, doubled, lambda k, v1, v2: v1)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at(zipped, "qty").alias("qty_doubled"),
+        F.element_at(upper, "PRICE").alias("price_doubled"),
+        F.size(F.map_keys(upper)).alias("n_entries"),
+    )
