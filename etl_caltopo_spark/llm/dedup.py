@@ -179,6 +179,65 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate clustering: connected components over a near-dup pair
+    graph via iterative min-label propagation.
+
+    Each vertex starts labeled with its own id; every iteration each
+    vertex takes the minimum label among itself and its neighbors,
+    until a fixpoint.  Iterations are O(diameter) — near-dup clusters
+    are shallow, so a handful of passes suffice at any scale.  Lineage
+    is cut with localCheckpoint each round (the standard iterative-
+    algorithm pattern; without it the plan doubles every pass).
+
+    Output: one row per vertex — ``id_col``, ``cluster_id`` (the
+    minimum member id, deterministic).  Singletons cluster with
+    themselves.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("_src"), F.col(src_col).alias("_dst"))
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("_v"), F.col(id_col).alias("cluster_id")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["_dst"] == labels["_v"])
+            .groupBy("_src")
+            .agg(F.min("cluster_id").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["_v"] == neighbor_min["_src"], "left")
+            .select(
+                "_v",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("_nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "_v")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("_v").alias(id_col), "cluster_id")
+
+
 @F.pandas_udf(LongType())
 def _simhash_from_hashes(hash_arrays: pd.Series) -> pd.Series:
     """64-bit SimHash from per-token xxhash64 longs via numpy bit

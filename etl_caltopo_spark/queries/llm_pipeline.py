@@ -264,6 +264,46 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_clusters",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE floor(list_dot_product(a.v, b.v) /
+                    (sqrt(list_dot_product(a.v, a.v)) *
+                     sqrt(list_dot_product(b.v, b.v))) * 1000000) / 1000000 >= 0.3
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach AS (
+        WITH RECURSIVE r(src, dst) AS (
+            SELECT vec_id, vec_id FROM base
+            UNION
+            SELECT r.src, e.b FROM r JOIN edges e ON r.dst = e.a
+        ) SELECT * FROM r
+    )
+    SELECT src AS vec_id, CAST(min(dst) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: connected components over the embedding
+    near-dup pair graph (iterative min-label propagation with
+    localCheckpoint; the oracle computes the same components by
+    recursive transitive closure).  This is the step that turns
+    near-dup PAIRS into keep/drop decisions."""
+    apply_runtime_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_pairs(emb, "label", threshold=0.3)
+    return dedup.connected_components(
+        emb.select("vec_id"), pairs, id_col="vec_id", src_col="id_a", dst_col="id_b"
+    )
+
+
+@query(
     "q_token_count",
     oracle="""
     SELECT doc_id,

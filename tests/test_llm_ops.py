@@ -44,6 +44,17 @@ def test_simhash_near_pairs(spark):
     assert (1, 3) in pairs  # near dup within hamming radius
 
 
+def test_connected_components_clusters(spark):
+    vertices = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    # components: {1,2,3,4} (chain), {5,6} (pair), {7} (singleton)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "id_a long, id_b long"
+    )
+    out = {r["id"]: r["cluster_id"]
+           for r in dedup.connected_components(vertices, edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
 def test_brute_force_topk_exact_neighbor(spark):
     emb = spark.createDataFrame(
         [
