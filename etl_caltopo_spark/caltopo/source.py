@@ -19,6 +19,7 @@ import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_caltopo_spark.caltopo.schemas import ENV_DEFAULTS, ENV_SCHEMA
 
@@ -66,6 +67,18 @@ def fetch_envelopes(
     fetcher = fetcher or default_fetcher
     rows = [(sid, fetcher(map_state_url(sid, since))) for sid in share_ids]
     return spark.createDataFrame(rows, "share_id string, body_json string")
+
+
+def envelopes_from_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Batch-file source: one envelope JSON per line (the archived /
+    replayed form of the HTTP fetch).  Returns the same
+    (share_id, body_json) shape as :func:`fetch_envelopes`, so the
+    pipeline is source-agnostic."""
+    lines = spark.read.text(path)
+    return lines.select(
+        F.get_json_object("value", "$.share_id").alias("share_id"),
+        F.get_json_object("value", "$.body").alias("body_json"),
+    )
 
 
 def load_watermark(path: str) -> int:

@@ -34,6 +34,39 @@ def test_watermark_roundtrip_and_delta_filter(spark, tmp_path):
     assert load_watermark(wm_path) == 500
 
 
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    from etl_caltopo_spark.io import load_table, read_orc, write_orc
+
+    path = str(tmp_path / "nation_orc")
+    nation = load_table(spark, sf_dir, "nation")
+    write_orc(nation, path)
+    back = read_orc(spark, path)
+    assert back.schema == nation.schema
+    assert sorted(r["n_nationkey"] for r in back.collect()) == sorted(
+        r["n_nationkey"] for r in nation.collect()
+    )
+
+
+def test_envelopes_from_jsonl_source(spark, tmp_path):
+    import json as _json
+
+    from etl_caltopo_spark.caltopo.fixtures import fixture_envelope_json
+    from etl_caltopo_spark.caltopo.pipeline import run_pipeline
+    from etl_caltopo_spark.caltopo.source import envelopes_from_jsonl
+
+    p = tmp_path / "archive.jsonl"
+    p.write_text(
+        "\n".join(
+            _json.dumps({"share_id": f"s{i}", "body": fixture_envelope_json()})
+            for i in range(3)
+        )
+    )
+    envs = envelopes_from_jsonl(spark, str(p))
+    assert envs.columns == ["share_id", "body_json"]
+    out = run_pipeline(envs)
+    assert out.count() == 3 * 14  # file source feeds the same pipeline
+
+
 def test_jsonl_scan_with_schema(spark, tmp_path):
     p = tmp_path / "rows.jsonl"
     p.write_text("\n".join(json.dumps({"id": i, "name": f"n{i}"}) for i in range(5)))
