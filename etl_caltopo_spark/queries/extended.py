@@ -451,14 +451,19 @@ def q_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_sample",
     oracle=None,
-    note="sampling is RNG-based; engines differ by design — rows-only.",
+    note="hash-based sampling uses Spark's xxhash64 (not in DuckDB); rows-only but stable.",
 )
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bernoulli TABLESAMPLE with a fixed seed (reproducible within
-    Spark, not across engines)."""
+    """Deterministic ~10% sample via key hashing — invariant to
+    partitioning, cluster size and run order (unlike rand()-based
+    TABLESAMPLE, which is only reproducible for a fixed partition
+    layout).  This is the reproducible-sampling form a training-data
+    pipeline needs; rand()-based .sample() is exercised in tests."""
     apply_runtime_conf(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+    return li.filter(
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(10)) == 0
+    ).select("l_orderkey", "l_linenumber")
 
 
 @query(

@@ -85,6 +85,39 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_lateral",
+    oracle="""
+    SELECT c.c_custkey, t.max_order, t.n_big
+    FROM customer c,
+         LATERAL (
+             SELECT max(o.o_totalprice) AS max_order,
+                    CAST(count(*) FILTER (o.o_totalprice > 50000) AS BIGINT) AS n_big
+             FROM orders o WHERE o.o_custkey = c.c_custkey
+         ) t
+    WHERE t.max_order IS NOT NULL
+    """,
+)
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (Catalyst de-correlates it to an
+    aggregate + join — same plan as the manual formulation)."""
+    apply_runtime_conf(spark)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.max_order, t.n_big
+        FROM customer c,
+             LATERAL (
+                 SELECT max(o.o_totalprice) AS max_order,
+                        count_if(o.o_totalprice > 50000) AS n_big
+                 FROM orders o WHERE o.o_custkey = c.c_custkey
+             ) t
+        WHERE t.max_order IS NOT NULL
+        """
+    )
+
+
+@query(
     "q_map_higher",
     oracle="""
     -- semantic equivalent of: build map{qty,price}, double every
