@@ -138,6 +138,48 @@ def embedding_near_pairs_lsh(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qv",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a KMeans coarse
+    quantizer assigns every vector to a cell; search scores only the
+    ``n_probe`` cells nearest the query — the classic recall/fan-in
+    trade (probe more cells → higher recall).
+
+    At scale the cell assignment is precomputed and the table is
+    partitioned by cell, so a query reads ``n_probe / n_cells`` of the
+    data.  Training samples the table; the model broadcast is tiny
+    (n_cells × dim floats).
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    with_features = emb.withColumn("_features", array_to_vector(_as_double(F.col(vec_col))))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="_features").fit(with_features)
+    assigned = model.transform(with_features).withColumnRenamed("prediction", "_cell")
+
+    qv = np.array(query.select(query_vec_col).first()[0], dtype=float)
+    centers = model.clusterCenters()
+    dists = [float(np.linalg.norm(np.asarray(c) - qv)) for c in centers]
+    probe_cells = [int(i) for i in np.argsort(dists)[:n_probe]]
+
+    candidates = assigned.filter(F.col("_cell").isin(probe_cells))
+    scored = candidates.crossJoin(F.broadcast(query)).select(
+        F.col(id_col),
+        fround(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
 def lsh_bucket_topk(
     emb: DataFrame,
     query: DataFrame,

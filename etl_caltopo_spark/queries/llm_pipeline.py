@@ -144,6 +144,23 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sim_topk_ivf",
+    oracle=None,
+    note="IVF probes a KMeans-cell subset; recall is approximate by design.",
+)
+def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: KMeans coarse quantizer + probe the 2
+    nearest of 8 cells (the inverted-file ANN structure, complementing
+    the hyperplane-LSH variant)."""
+    apply_runtime_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return similarity.ivf_topk(
+        emb.filter(F.col("vec_id") != 0), q, k=10, n_cells=8, n_probe=2
+    )
+
+
+@query(
     "q_dedup_embed",
     oracle="""
     WITH base AS (

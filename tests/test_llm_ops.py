@@ -71,6 +71,22 @@ def test_brute_force_topk_exact_neighbor(spark):
     assert out[0]["cos_sim"] == 1.0
 
 
+def test_ivf_topk_finds_exact_match(spark):
+    import random
+
+    random.seed(7)
+    rows = [(i, [random.random() for _ in range(8)]) for i in range(1, 64)]
+    rows.append((100, [0.5] * 8))  # exact clone of the query vector
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame([([0.5] * 8,)], "qv array<float>")
+    out = similarity.ivf_topk(emb, q, k=5, n_cells=4, n_probe=2).collect()
+    # the clone shares the query's cell by construction → rank 1
+    # (cos_sim is floor-truncated at 6dp, so an exact match reads as
+    # >= 0.999999 rather than 1.0)
+    assert out[0]["vec_id"] == 100
+    assert out[0]["cos_sim"] >= 0.999999
+
+
 def test_lsh_bucket_query_included(spark):
     emb = spark.createDataFrame(
         [(i, [float(i == j) for j in range(8)]) for i in range(8)],
