@@ -58,6 +58,75 @@ def _running_totals_fn(
     )
 
 
+SESSION_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("session_start_ms", LongType(), False),
+        StructField("session_end_ms", LongType(), False),
+        StructField("n_events", LongType(), False),
+    ]
+)
+
+#: per-key open-session state: (start epoch-ms, last epoch-ms, count)
+SESSION_STATE = StructType(
+    [
+        StructField("start_ms", LongType(), False),
+        StructField("last_ms", LongType(), False),
+        StructField("n", LongType(), False),
+    ]
+)
+
+
+def _make_session_fn(gap_ms: int):
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            # watermark passed last_event + gap: the session is closed
+            start_ms, last_ms, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start_ms": [start_ms],
+                    "session_end_ms": [last_ms],
+                    "n_events": [n],
+                }
+            )
+            return
+        start_ms, last_ms, n = state.get if state.exists else (None, None, 0)
+        for pdf in pdfs:
+            ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
+            for t in ts_ms:
+                if start_ms is None:
+                    start_ms = t
+                last_ms = t if last_ms is None else max(last_ms, t)
+                n += 1
+        state.update((start_ms, last_ms, n))
+        # close when the event-time watermark passes last event + gap
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+        return
+        yield  # pragma: no cover - makes fn a generator
+
+    return fn
+
+
+def sessionize_with_timeout(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Watermark-driven sessionization with event-time state timeout:
+    a session row is emitted only when the watermark proves no more
+    events can join it (the state-eviction pattern that bounds memory
+    on unbounded keys).  ``events`` must already carry a watermark on
+    ``ts``."""
+    n, unit = gap.split()
+    gap_ms = int(n) * {"minutes": 60_000, "seconds": 1_000, "hours": 3_600_000}[unit]
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_session_fn(gap_ms),
+        outputStructType=SESSION_OUTPUT,
+        stateStructType=SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Cross-batch per-user running totals — a custom stateful
     operator the built-in aggregates can't express in update mode with

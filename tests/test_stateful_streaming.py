@@ -5,7 +5,10 @@ from __future__ import annotations
 from datetime import datetime
 
 from etl_caltopo_spark.streaming.ingest import stream_from_parquet_dir
-from etl_caltopo_spark.streaming.stateful import running_user_totals
+from etl_caltopo_spark.streaming.stateful import (
+    running_user_totals,
+    sessionize_with_timeout,
+)
 
 
 def test_running_totals_accumulate_across_batches(spark, tmp_path):
@@ -43,3 +46,44 @@ def test_running_totals_accumulate_across_batches(spark, tmp_path):
         last[r["user_id"]] = (r["n_events"], r["total_value"])
     assert last[10] == (3, 7.0)  # 2 events in batch1 + 1 in batch2
     assert last[20] == (1, 5.0)
+
+def test_sessionize_with_event_time_timeout(spark, tmp_path):
+    """A session row appears only after the watermark proves the gap
+    has passed (state evicted via EventTimeTimeout)."""
+    t = datetime
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    src = str(tmp_path / "src")
+    # batch 1: user 10's burst at 00:00-00:05
+    spark.createDataFrame(
+        [(1, t(2024, 1, 1, 0, 0), 10, "c", 1.0),
+         (2, t(2024, 1, 1, 0, 5), 10, "c", 1.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch 2: user 20 at 02:00 pushes the watermark far past 00:05+30m
+    spark.createDataFrame(
+        [(3, t(2024, 1, 1, 2, 0), 20, "c", 1.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+    )
+    q = (
+        sessionize_with_timeout(stream, "30 minutes")
+        .writeStream.format("memory")
+        .queryName("t_sessionize")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r["user_id"]: r for r in spark.table("t_sessionize").collect()}
+    # user 10's session sealed by the batch-2 watermark advance
+    assert 10 in rows
+    s = rows[10]
+    assert s["n_events"] == 2
+    assert s["session_end_ms"] - s["session_start_ms"] == 5 * 60 * 1000
+    # user 20's session still open (watermark never passed 02:00+30m)
+    assert 20 not in rows
