@@ -52,6 +52,24 @@ def run_available_now_to_memory(
     q.awaitTermination()
 
 
+def foreach_batch_parquet(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """Exactly-once file sink via foreachBatch: each micro-batch is
+    written transactionally keyed by epoch id (re-delivered batches
+    overwrite their own epoch directory instead of duplicating)."""
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(write)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def incremental_high_watermark(df: DataFrame, updated_col: str = "updated") -> int:
     """Batch-mode incremental state: the max change stamp of this run
     (persisted via caltopo.source.save_watermark between runs)."""

@@ -125,3 +125,17 @@ def test_stream_dedup(spark, tmp_path):
     q.awaitTermination()
     out = spark.table("t_dedup").collect()
     assert sorted(r["event_id"] for r in out) == [1, 2]
+
+
+def test_foreach_batch_parquet_sink(spark, tmp_path):
+    from etl_caltopo_spark.streaming.ingest import foreach_batch_parquet
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, tag string"
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = foreach_batch_parquet(stream, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert sorted(r["id"] for r in back.collect()) == [1, 2]
