@@ -209,13 +209,17 @@ def connected_components(
     labels = vertices.select(
         F.col(id_col).alias("_v"), F.col(id_col).alias("cluster_id")
     ).localCheckpoint()
+    # fixpoint certificate: labels only ever decrease, so the label sum
+    # is strictly monotone until convergence — one cheap aggregate per
+    # round instead of a self-join diff
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["_dst"] == labels["_v"])
             .groupBy("_src")
             .agg(F.min("cluster_id").alias("_nmin"))
         )
-        new_labels = (
+        labels = (
             labels.join(neighbor_min, labels["_v"] == neighbor_min["_src"], "left")
             .select(
                 "_v",
@@ -225,16 +229,10 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "_v")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("_v").alias(id_col), "cluster_id")
 
 
