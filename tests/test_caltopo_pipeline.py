@@ -154,8 +154,53 @@ def test_env_validation():
         validate_env({"ShareId": "X", "DEBUG": "yes"})
 
 
+def test_foreach_partition_post_sink(spark, tmp_path):
+    """Executor-side batched POST: every surviving feature reaches the
+    sink exactly once across partition-level requests."""
+    import glob
+    import json as _json
+    import uuid
+
+    from etl_caltopo_spark.caltopo.sink import foreach_partition_post
+
+    out_dir = tmp_path / "posts"
+    out_dir.mkdir()
+
+    def poster(url: str, body: str) -> None:
+        # executor-side capture: one file per partition POST
+        (out_dir / f"{uuid.uuid4().hex}.json").write_text(body)
+
+    df = run_pipeline(fixture_envelope_df(spark)).repartition(4)
+    foreach_partition_post(df, "https://example.test/layer", poster)
+    posted_ids = []
+    for f in glob.glob(str(out_dir / "*.json")):
+        fc = _json.loads(open(f).read())
+        assert fc["type"] == "FeatureCollection"
+        posted_ids += [feat["id"] for feat in fc["features"]]
+    assert sorted(posted_ids) == sorted(
+        r["id"] for r in run_pipeline(fixture_envelope_df(spark)).collect()
+    )
+
+
+def test_multimodal_decode_stub_raises():
+    from etl_caltopo_spark.llm.multimodal import decode_image
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="decode"):
+        decode_image(b"\x89PNG")
+
+
 def test_schema_introspection():
     assert map_state_url("S", -500).endswith("/map/S/since/-500")
     assert schema("input").fieldNames() == ["ShareId", "DEBUG"]
     assert "marker-color" in schema("output").fieldNames()
     assert schema("unknown").fieldNames() == []
+
+    import json as _json
+
+    from etl_caltopo_spark.caltopo.registry import STAGE_SCHEMAS, schema_json
+
+    assert set(STAGE_SCHEMAS) == {"env", "envelope", "feature", "output_properties"}
+    parsed = _json.loads(schema_json("input"))
+    assert [f["name"] for f in parsed["fields"]] == ["ShareId", "DEBUG"]
