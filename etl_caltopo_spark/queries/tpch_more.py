@@ -176,9 +176,9 @@ SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
-WHERE (p.p_brand = 'BRAND0' AND p.p_size BETWEEN 1 AND 15
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
        AND l.l_quantity BETWEEN 1 AND 20)
-   OR (p.p_brand = 'BRAND1' AND p.p_size BETWEEN 10 AND 30
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
        AND l.l_quantity BETWEEN 10 AND 40)
 """
 
@@ -209,3 +209,241 @@ def q_sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scalar subquery + anti join; the mean is an exact-grid
     round(sum)/count so the boundary is engine-stable)."""
     return _sql(spark, sf_dir, ("customer", "orders"), _Q22)
+
+
+# --- remaining TPC-H shapes, adapted to the synthetic schema ---------------
+# The driver tables have no partsupp and no commit/receipt dates
+# (TESTDATA.md), so Q2/Q11/Q16/Q20 use lineitem as the part<->supplier
+# link and Q21 rebuilds the "one bad supplier in a multi-supplier
+# order" shape on l_returnflag.  Each keeps the defining plan feature
+# of its original (correlated scalar min, market-share ratio, profit
+# rollup, HAVING vs global scalar, outer-join histogram, NOT IN +
+# count-distinct, correlated avg threshold, nested IN chain,
+# EXISTS/NOT-EXISTS pair).
+
+_Q2 = """
+SELECT p.p_partkey, p.p_name, s.s_name, n.n_name AS nation,
+       round(l.l_extendedprice, 2) AS best_price
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'EUROPE' AND p.p_size = 25
+  AND l.l_extendedprice = (
+      SELECT min(l2.l_extendedprice)
+      FROM lineitem l2
+      JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+      JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+"""
+
+
+@query("q_sql_tpch_q2", oracle=_Q2)
+def q_sql_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest regional offer per part via a
+    correlated scalar-min subquery over the same dimension chain."""
+    return _sql(
+        spark, sf_dir, ("part", "lineitem", "supplier", "nation", "region"), _Q2
+    )
+
+
+_Q8 = """
+SELECT o_year,
+       round(sum(CASE WHEN nation = 'NATION_7' THEN volume ELSE 0 END), 4)
+       / round(sum(volume), 4) AS mkt_share
+FROM (
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           l.l_extendedprice * (1 - l.l_discount) AS volume,
+           n2.n_name AS nation
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+    JOIN region r ON n1.n_regionkey = r.r_regionkey
+    JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+    WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+) allnations
+GROUP BY o_year
+"""
+
+
+@query("q_sql_tpch_q8", oracle=_Q8)
+def q_sql_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — an 8-table join whose
+    share is a ratio of two exactly-recovered grid sums."""
+    return _sql(
+        spark,
+        sf_dir,
+        ("part", "lineitem", "supplier", "orders", "customer", "nation", "region"),
+        _Q8,
+    )
+
+
+_Q9 = """
+SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
+FROM (
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           l.l_extendedprice * (1 - l.l_discount) - p.p_retailprice * l.l_quantity
+           AS amount
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%widget%'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+@query("q_sql_tpch_q9", oracle=_Q9)
+def q_sql_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by nation and year (cost
+    term uses p_retailprice*l_quantity since partsupp is absent; both
+    terms sit on the 1e-4 grid so round(sum,4) is exact)."""
+    return _sql(
+        spark, sf_dir, ("part", "lineitem", "supplier", "orders", "nation"), _Q9
+    )
+
+
+_Q11 = """
+SELECT l.l_partkey, round(sum(l.l_extendedprice * l.l_quantity), 2) AS value
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_3'
+GROUP BY l.l_partkey
+HAVING round(sum(l.l_extendedprice * l.l_quantity), 2) > (
+    SELECT round(sum(l2.l_extendedprice * l2.l_quantity), 2) * 0.001
+    FROM lineitem l2
+    JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    WHERE n2.n_name = 'NATION_3')
+"""
+
+
+@query("q_sql_tpch_q11", oracle=_Q11)
+def q_sql_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: important stock per part vs a global scalar
+    threshold (HAVING against an uncorrelated subquery; both sides
+    compare exactly-recovered 2-dp grid sums so the boundary is
+    engine-stable)."""
+    return _sql(spark, sf_dir, ("lineitem", "supplier", "nation"), _Q11)
+
+
+_Q13 = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                      AND o.o_orderpriority <> '5-LOW'
+    GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+@query("q_sql_tpch_q13", oracle=_Q13)
+def q_sql_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution (left outer
+    join with an extra ON predicate, then a histogram over the
+    grouped counts)."""
+    return _sql(spark, sf_dir, ("customer", "orders"), _Q13)
+
+
+_Q16 = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#5' AND p.p_type NOT IN ('PROMO', 'ECONOMY')
+  AND p.p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@query("q_sql_tpch_q16", oracle=_Q16)
+def q_sql_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: supplier diversity per part class (NOT IN
+    anti-subquery + COUNT(DISTINCT) — the distinct forces a second
+    shuffle keyed on the group)."""
+    return _sql(spark, sf_dir, ("lineitem", "part", "supplier"), _Q16)
+
+
+_Q17 = """
+SELECT round(sum(l.l_extendedprice), 2) / 7.0 AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#3' AND p.p_type = 'SMALL'
+  AND l.l_quantity < (
+      SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = p.p_partkey)
+"""
+
+
+@query("q_sql_tpch_q17", oracle=_Q17)
+def q_sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: small-quantity revenue vs a per-part
+    correlated average (quantities are integral so the avg is a
+    single exact division and the < boundary is engine-stable; the
+    final division of an exact grid sum needs no outer round)."""
+    return _sql(spark, sf_dir, ("lineitem", "part"), _Q17)
+
+
+_Q20 = """
+SELECT s.s_name, n.n_name AS nation
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_regionkey = 2
+  AND s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l.l_suppkey
+      HAVING sum(l.l_quantity) > 50)
+"""
+
+
+@query("q_sql_tpch_q20", oracle=_Q20)
+def q_sql_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers with excess shipped volume of a part
+    class (nested IN chain -> two stacked semi-joins; quantity sums
+    are exact integers)."""
+    return _sql(spark, sf_dir, ("supplier", "nation", "lineitem", "part"), _Q20)
+
+
+_Q21 = """
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R' AND n.n_regionkey = 1
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+"""
+
+
+@query("q_sql_tpch_q21", oracle=_Q21)
+def q_sql_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole at-fault supplier in multi-supplier
+    orders (EXISTS + NOT EXISTS pair on the same fact table; the
+    'kept waiting' flag is rebuilt on l_returnflag since the
+    synthetic schema has no commit/receipt dates)."""
+    return _sql(spark, sf_dir, ("supplier", "lineitem", "orders", "nation"), _Q21)
