@@ -206,9 +206,16 @@ def connected_components(
     ).unionByName(
         edges.select(F.col(dst_col).alias("_src"), F.col(src_col).alias("_dst"))
     )
-    labels = vertices.select(
-        F.col(id_col).alias("_v"), F.col(id_col).alias("cluster_id")
-    ).localCheckpoint()
+    # Iterate only over the edge-induced subgraph: in a dedup workload
+    # the overwhelming majority of vertices are singletons and their
+    # label never changes — keeping them out of the per-round joins
+    # shrinks every shuffle to O(|E|), not O(|V|).
+    labels = (
+        sym.select(F.col("_src").alias("_v"))
+        .distinct()
+        .withColumn("cluster_id", F.col("_v"))
+        .localCheckpoint()
+    )
     # fixpoint certificate: labels only ever decrease, so the label sum
     # is strictly monotone until convergence — one cheap aggregate per
     # round instead of a self-join diff
@@ -219,12 +226,28 @@ def connected_components(
             .groupBy("_src")
             .agg(F.min("cluster_id").alias("_nmin"))
         )
+        propagated = labels.join(
+            neighbor_min, labels["_v"] == neighbor_min["_src"], "left"
+        ).select(
+            "_v",
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("_nmin"), F.col("cluster_id"))
+            ).alias("cluster_id"),
+        )
+        # pointer-jumping: follow the current label to ITS label, which
+        # doubles the shortcut depth every round — convergence becomes
+        # O(log diameter) instead of O(diameter).  A label is always the
+        # id of some edge-touched vertex, so the self-join hits.
+        parent = propagated.select(
+            F.col("_v").alias("_p"), F.col("cluster_id").alias("_pmin")
+        )
         labels = (
-            labels.join(neighbor_min, labels["_v"] == neighbor_min["_src"], "left")
+            propagated.join(parent, propagated["cluster_id"] == parent["_p"], "left")
             .select(
                 "_v",
                 F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("_nmin"), F.col("cluster_id"))
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("_pmin"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
             .localCheckpoint()
@@ -233,7 +256,15 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    return labels.select(F.col("_v").alias(id_col), "cluster_id")
+    # singletons (never in an edge) cluster with themselves
+    return (
+        vertices.select(F.col(id_col).alias("_av"))
+        .join(labels, F.col("_av") == labels["_v"], "left")
+        .select(
+            F.col("_av").alias(id_col),
+            F.coalesce(F.col("cluster_id"), F.col("_av")).alias("cluster_id"),
+        )
+    )
 
 
 @F.pandas_udf(LongType())
