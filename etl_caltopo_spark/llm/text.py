@@ -84,3 +84,35 @@ def fingerprint(col: Column) -> Column:
     """Canonical content fingerprint: md5 of lowercased trimmed text
     (the cheap exact-dup key; rolling/shingle hashes live in dedup)."""
     return F.md5(F.lower(F.trim(col)))
+
+
+#: (pattern, replacement) redaction rules, applied in order.  Patterns
+#: are restricted to the syntax subset shared by Java regex (Spark) and
+#: RE2 (DuckDB) so the oracle pair behaves identically.
+PII_RULES: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+1-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    (r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Chained regexp_replace over :data:`PII_RULES` — pure codegen'd
+    string work, no Python boundary, so a 100 TB scrub is a map-only
+    scan."""
+    out = col
+    for pattern, repl in PII_RULES:
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
+def bigrams(col: Column) -> Column:
+    """Adjacent-token bigrams as an array<string> (empty for 1-token
+    docs).  Built with transform over the token prefix so the whole
+    expression stays in codegen."""
+    toks = tokens(col)
+    prefix = F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+    return F.transform(
+        prefix,
+        lambda t, i: F.concat(t, F.lit(" "), F.element_at(toks, i + 2)),
+    )

@@ -403,3 +403,112 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", F.encode(F.col("text"), "utf-8"), "image"
     )
     return assets.select("asset_id", "media_type", "n_bytes")
+
+
+@query(
+    "q_pii_redact",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com, +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' or SSN 123-45-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS body
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(body,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+               '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS clean
+    FROM raw
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: email/phone/SSN redaction
+    via chained regexp_replace (map-only, codegen'd — the plan at
+    100 TB is a single scan+project).  The synthetic corpus carries no
+    PII, so deterministic contact lines derived from doc_id are
+    injected first and then redacted; both engines run the identical
+    construction."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    body = F.concat(
+        F.col("text"),
+        F.lit(" Contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com, +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" or SSN 123-45-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return docs.select("doc_id", text.redact_pii(body).alias("clean"))
+
+
+@query(
+    "q_ngram_topk",
+    oracle="""
+    WITH toks AS (
+        SELECT string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+    ),
+    bi AS (
+        SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]))
+               AS bigram
+        FROM toks
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+    FROM bi
+    GROUP BY bigram
+    ORDER BY cnt DESC, bigram
+    LIMIT 20
+    """,
+)
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency top-20: transform-built bigram arrays →
+    explode → count → TakeOrderedAndProject.  The shuffle carries
+    (bigram, partial count) pairs only — map-side combine makes the
+    exchange proportional to vocabulary size, not corpus size."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(text.bigrams(F.col("text"))).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+    SELECT source, doc_id
+    FROM (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+               ) AS rn
+        FROM documents
+    ) ranked
+    WHERE rn <= 5
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: 5 docs per source, ranked by
+    a Knuth multiplicative-hash key so the pick is pseudo-random yet
+    identical in any engine and under any partitioning.  The standard
+    per-class downsampling step of a training-data pipeline; one
+    shuffle on the stratum key."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    key = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .select("source", "doc_id")
+    )

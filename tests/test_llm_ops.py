@@ -148,3 +148,42 @@ def test_multimodal_feature_plumbing(spark):
     assert all(0.0 <= v <= 1.0 for r in feats for v in r["features"])
     # n_bytes metadata matches the payload length
     assert all(r["n_bytes"] == len(r["payload"]) for r in feats)
+
+
+def test_redact_pii_all_three_kinds(spark):
+    from etl_caltopo_spark.llm.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@sub.example.org now"),
+            (2, "call +1-555-0042 today"),
+            (3, "ssn 123-45-6789 leaked"),
+            (4, "clean text stays clean"),
+        ],
+        "id long, body string",
+    )
+    out = {r["id"]: r["clean"] for r in df.select("id", redact_pii(F.col("body")).alias("clean")).collect()}
+    assert out[1] == "mail <EMAIL> now"
+    assert out[2] == "call <PHONE> today"
+    assert out[3] == "ssn <SSN> leaked"
+    assert out[4] == "clean text stays clean"
+
+
+def test_bigrams_adjacent_tokens(spark):
+    from etl_caltopo_spark.llm.text import bigrams
+
+    df = spark.createDataFrame([(1, "a b c"), (2, "solo"), (3, "x  y")], "id long, t string")
+    out = {r["id"]: r["bg"] for r in df.select("id", bigrams(F.col("t")).alias("bg")).collect()}
+    assert out[1] == ["a b", "b c"]
+    assert out[2] == []  # single token -> no bigrams
+    assert out[3] == ["x y"]  # multi-space collapses
+
+
+def test_connected_components_singletons_and_chain(spark):
+    verts = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    # chain 1-2-3-4 (diameter 3), pair 5-6, singleton 7
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "id_a long, id_b long"
+    )
+    out = {r["id"]: r["cluster_id"] for r in dedup.connected_components(verts, edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
