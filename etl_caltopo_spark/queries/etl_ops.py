@@ -123,3 +123,45 @@ def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
         F.col("l_quantity").cast("string").try_cast("double").alias("qty_roundtrip"),
     )
+
+
+@query(
+    "q_incr_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           round(sum(value), 2) / count(*) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_incr_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup refresh: the daily (event_type) rollup is
+    maintained as stored partials over history plus a freshly
+    aggregated delta (last 5 days), merged by re-aggregation
+    (operators/rollup.py).  The oracle is a FULL recompute — passing
+    proves stored+delta merging is lossless, which is what makes the
+    refresh O(delta) at 100 TB.  Sums recover the 2-dp grid; avg is
+    derived from merged partials, never merged itself."""
+    apply_runtime_conf(spark)
+    from etl_caltopo_spark.operators.rollup import merge_rollups, partial_rollup
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    # mid-day cutoff: the Jan-26 groups exist in BOTH stored and delta,
+    # so the merge genuinely combines partials instead of concatenating
+    # disjoint groups
+    cutoff = F.lit("2024-01-26 12:00:00").cast("timestamp")
+    stored = partial_rollup(ev.filter(F.col("ts") < cutoff), ["day", "event_type"], "value")
+    delta = partial_rollup(ev.filter(F.col("ts") >= cutoff), ["day", "event_type"], "value")
+    merged = merge_rollups(stored, delta)
+    return merged.select(
+        "day",
+        "event_type",
+        F.col("_pcount").alias("n_events"),
+        F.round(F.col("_psum"), 2).alias("sum_value"),
+        (F.round(F.col("_psum"), 2) / F.col("_pcount")).alias("avg_value"),
+    )

@@ -70,3 +70,22 @@ def test_union_by_name_schema_evolution(spark):
     merged = old.unionByName(new, allowMissingColumns=True)
     rows = {r["id"]: r["lang"] for r in merged.collect()}
     assert rows == {1: None, 2: "en"}
+
+
+def test_rollup_merge_equals_full_recompute(spark):
+    from etl_caltopo_spark.operators.rollup import merge_rollups, partial_rollup
+
+    rows = [
+        ("a", 1.0), ("a", 2.5), ("a", 4.0), ("b", 10.0), ("b", 0.5), ("c", 7.25),
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    # split NOT aligned with groups: 'a' and 'b' span both halves
+    part1 = partial_rollup(spark.createDataFrame(rows[:3], "k string, v double"), ["k"], "v")
+    part2 = partial_rollup(spark.createDataFrame(rows[3:], "k string, v double"), ["k"], "v")
+    merged = {r["k"]: (r["_psum"], r["_pcount"]) for r in merge_rollups(part1, part2).collect()}
+    full = {r["k"]: (r["_psum"], r["_pcount"]) for r in partial_rollup(df, ["k"], "v").collect()}
+    assert merged == full
+    # three-way merge is associative too
+    part3 = partial_rollup(spark.createDataFrame([("a", 1.0)], "k string, v double"), ["k"], "v")
+    merged3 = {r["k"]: r["_pcount"] for r in merge_rollups(part1, part2, part3).collect()}
+    assert merged3["a"] == 4
