@@ -67,3 +67,30 @@ def test_salted_join_matches_plain_join(spark):
               for r in salted_join(skewed, dim, "k", n_salts=8).collect()}
     assert salted == plain
     assert len(salted) == 505
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
+    """Star-join runtime pruning: when the fact table is partitioned on
+    the join key and the dimension side carries a selective filter,
+    Catalyst injects a dynamic pruning subquery so the fact scan only
+    opens partitions the filtered dim can reach — at 100 TB this is
+    the difference between scanning one year and scanning all of them."""
+    path = str(tmp_path / "orders_by_year")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    write_parquet(orders, path, partition_by=["o_year"])
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(1995, "keep"), (1996, "keep"), (1997, "drop"), (1998, "drop")],
+        "y int, tag string",
+    )
+    joined = (
+        fact.join(dim.filter(F.col("tag") == "keep"), fact["o_year"] == dim["y"])
+        .groupBy("o_year")
+        .agg(F.count("*").alias("n"))
+    )
+    plan = plan_of(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    rows = {r["o_year"]: r["n"] for r in joined.collect()}
+    assert set(rows) == {1995, 1996}
