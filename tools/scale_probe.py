@@ -62,6 +62,14 @@ PROBE_QUERIES = [
     "q_sim_topk",
     "q_text_stats",
     "q_cdc_merge",
+    "q_sql_tpch_q9",
+    "q_sql_tpch_q13",
+    "q_sql_tpch_q21",
+    "q_pii_redact",
+    "q_ngram_topk",
+    "q_stratified_sample",
+    "q_incr_rollup",
+    "q_dedup_clusters",
 ]
 
 
