@@ -108,11 +108,14 @@ def redact_pii(col: Column) -> Column:
 
 def bigrams(col: Column) -> Column:
     """Adjacent-token bigrams as an array<string> (empty for 1-token
-    docs).  Built with transform over the token prefix so the whole
-    expression stays in codegen."""
+    docs).  zip_with over two shifted slices keeps the whole expression
+    in codegen AND evaluates the tokenization O(1) times per row — an
+    element_at(tokens, i) inside a transform lambda would re-split the
+    text per element, turning a 100 TB scan quadratic in tokens."""
     toks = tokens(col)
-    prefix = F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
-    return F.transform(
-        prefix,
-        lambda t, i: F.concat(t, F.lit(" "), F.element_at(toks, i + 2)),
+    n_pairs = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, 1, n_pairs),
+        F.slice(toks, 2, n_pairs),
+        lambda x, y: F.concat(x, F.lit(" "), y),
     )

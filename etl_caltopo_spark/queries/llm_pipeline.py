@@ -448,6 +448,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_ngram_topk",
+    headline=True,
     oracle="""
     WITH toks AS (
         SELECT string_split_regex(trim(lower(text)), '\s+') AS t FROM documents

@@ -339,7 +339,7 @@ GROUP BY nation, o_year
 """
 
 
-@query("q_sql_tpch_q9", oracle=_Q9)
+@query("q_sql_tpch_q9", oracle=_Q9, headline=True)
 def q_sql_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: product-line profit by nation and year (cost
     term uses p_retailprice*l_quantity since partsupp is absent; both
