@@ -139,3 +139,36 @@ def test_foreach_batch_parquet_sink(spark, tmp_path):
     q.awaitTermination()
     back = spark.read.parquet(str(tmp_path / "out"))
     assert sorted(r["id"] for r in back.collect()) == [1, 2]
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir):
+    """Click attribution: views joined to same-user clicks within 30
+    minutes — run as a genuine stream-stream join (watermarks on both
+    sides bound the state) and as the identical batch join."""
+    from etl_caltopo_spark.streaming.joins import interval_join
+
+    def split_sides(df):
+        views = df.filter(F.col("event_type") == "view").select(
+            F.col("user_id"), F.col("ts").alias("l_ts"), F.col("event_id").alias("view_id")
+        )
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id"), F.col("ts").alias("r_ts"), F.col("event_id").alias("click_id")
+        )
+        return views, clicks
+
+    batch_df = spark.read.parquet(f"{events_dir}/data")
+    bv, bc = split_sides(batch_df)
+    batch = {tuple(r) for r in interval_join(bv, bc, "user_id").collect()}
+
+    schema = batch_df.schema
+    s1 = stream_from_parquet_dir(spark, f"{events_dir}/data", schema)
+    s2 = stream_from_parquet_dir(spark, f"{events_dir}/data", schema)
+    sv, sc = split_sides(s1)[0], split_sides(s2)[1]
+    run_available_now_to_memory(
+        interval_join(sv, sc, "user_id"),
+        "t_ssjoin",
+        f"{events_dir}/ckpt_ssjoin",
+        output_mode="append",
+    )
+    streamed = {tuple(r) for r in spark.table("t_ssjoin").collect()}
+    assert batch == streamed and batch
