@@ -2,10 +2,12 @@
 
 Media are opaque ``binary`` columns with typed metadata, processed by
 Arrow-batched ``mapInPandas`` so each executor sees columnar batches,
-never row-at-a-time Python.  The actual codec work (image decode,
-resample, frame sampling) is STUBBED — the decode libraries are not in
-this container — but the Spark-side contract (schemas, batch shapes,
-partitioning) is real and tested (tests/test_multimodal.py).
+never row-at-a-time Python.  One decode path is fully real: binary PPM
+(P6) via pure numpy (``encode_ppm``/``decode_ppm``/``decode_images``).
+Codec work needing external libraries (JPEG/PNG/audio/video) is
+STUBBED — not present in this container — but runs in the identical
+Spark-side contract (schemas, batch shapes, partitioning), all tested
+(tests/test_llm_ops.py).
 """
 
 from __future__ import annotations
@@ -53,12 +55,84 @@ def as_binary_assets(df: DataFrame, id_col: str, payload_col: Column, media_type
 
 
 def decode_image(payload: bytes) -> object:
-    """STUB — image decode requires a codec library not present in
-    this environment.  The mapInPandas plumbing around it is real."""
+    """STUB — general image decode (JPEG/PNG/...) requires a codec
+    library not present in this environment.  The mapInPandas plumbing
+    around it is real, and :func:`decode_ppm` is a fully real decoder
+    for the one format pure numpy can handle."""
     raise NotImplementedError(
         "image decode stub: install a codec (e.g. Pillow) and decode "
-        "payload bytes here"
+        "payload bytes here; PPM payloads decode for real via decode_ppm"
     )
+
+
+def encode_ppm(pixels) -> bytes:
+    """Encode an (H, W, 3) uint8 array as binary PPM (P6) — the
+    deterministic fixture generator for the real decode path."""
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def decode_ppm(payload: bytes):
+    """REAL decoder: binary PPM (P6) → (H, W, 3) uint8 numpy array.
+    Pure numpy, no external codec.  Returns None for None/non-PPM
+    payloads (dirty rows flow through as nulls instead of failing the
+    job — same policy as try_* expressions)."""
+    import re
+
+    import numpy as np
+
+    if payload is None:
+        return None
+    # header = magic, width, height, maxval, then EXACTLY ONE whitespace
+    # before the raster — a split() would eat raster bytes that happen
+    # to be whitespace values (0x09/0x0a/0x20).  No comment support.
+    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
+    if m is None:
+        return None
+    w, h = int(m.group(1)), int(m.group(2))
+    raster = payload[m.end() : m.end() + w * h * 3]
+    if len(raster) < w * h * 3:
+        return None
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def decode_images(assets: DataFrame) -> DataFrame:
+    """mapInPandas over PPM payloads: width/height/mean-RGB per asset —
+    a real decode running in the exact plan shape a JPEG decoder would
+    use (Arrow batches in, declared schema out, no shuffle)."""
+    out_schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("mean_rgb", ArrayType(FloatType()), True),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            widths, heights, means = [], [], []
+            for b in pdf["payload"]:
+                img = decode_ppm(b)
+                if img is None:
+                    widths.append(None), heights.append(None), means.append(None)
+                else:
+                    widths.append(img.shape[1])
+                    heights.append(img.shape[0])
+                    means.append([float(x) for x in img.mean(axis=(0, 1))])
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": widths,
+                    "height": heights,
+                    "mean_rgb": means,
+                }
+            )
+
+    return assets.mapInPandas(fn, schema=out_schema)
 
 
 def _fake_features(payload: pd.Series, dim: int = 8) -> pd.Series:

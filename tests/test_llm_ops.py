@@ -187,3 +187,30 @@ def test_connected_components_singletons_and_chain(spark):
     )
     out = {r["id"]: r["cluster_id"] for r in dedup.connected_components(verts, edges).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_ppm_roundtrip_and_decode_images(spark):
+    import numpy as np
+
+    from etl_caltopo_spark.llm.multimodal import (
+        as_binary_assets,
+        decode_images,
+        decode_ppm,
+        encode_ppm,
+    )
+
+    # raster deliberately contains whitespace-valued bytes (0x0a, 0x20)
+    img1 = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3) + 8
+    img1[0, 0] = [0x0A, 0x20, 0x09]
+    img2 = np.full((4, 2, 3), 200, dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(img1)) == img1).all()
+
+    rows = [(1, bytearray(encode_ppm(img1))), (2, bytearray(encode_ppm(img2))),
+            (3, bytearray(b"not an image")), (4, None)]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    assets = as_binary_assets(df, "asset_id", F.col("payload"), "image")
+    out = {r["asset_id"]: r for r in decode_images(assets).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (3, 2)
+    assert (out[2]["width"], out[2]["height"]) == (2, 4)
+    assert abs(out[2]["mean_rgb"][0] - 200.0) < 1e-6
+    assert out[3]["width"] is None and out[4]["width"] is None
