@@ -174,3 +174,32 @@ def q_map_higher(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(upper, "PRICE").alias("price_doubled"),
         F.size(F.map_keys(upper)).alias("n_entries"),
     )
+
+
+@query(
+    "q_variant_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VariantType path (Spark 4): parse_json into an
+    open binary-encoded variant, variant_get typed extraction, then a
+    relational aggregate over the extracted value.  Unlike
+    get_json_object (per-access string re-parse), the variant encodes
+    once and every subsequent access is a binary probe — the difference
+    between O(accesses x parse) and O(parse) on a 100 TB scan."""
+    apply_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n_events"))
+    )
