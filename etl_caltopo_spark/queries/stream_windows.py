@@ -120,3 +120,62 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id"],
         [F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value")],
     )
+
+
+@query(
+    "q_sessionize_batch",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts, event_id,
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        FROM marked
+    )
+    SELECT user_id, session_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS duration_us
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+)
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: a 30-minute-inactivity session
+    id assigned with lag + running sum — the relational complement to
+    session_window (q_stream_session), and the shape analysts reach for
+    when sessions must be numbered, not merely bounded.  One shuffle on
+    user_id serves both windows and the final aggregate (microsecond integers
+    are exact in both engines, so every measure and boundary is exact)."""
+    apply_runtime_conf(spark)
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_new = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+            > 1_800_000_000
+        ),
+        1,
+    ).otherwise(0)
+    numbered = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_seq"),
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias(
+            "duration_us"
+        ),
+    )
