@@ -201,10 +201,16 @@ def connected_components(
     minimum member id, deterministic).  Singletons cluster with
     themselves.
     """
-    sym = edges.select(
-        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
-    ).unionByName(
-        edges.select(F.col(dst_col).alias("_src"), F.col(src_col).alias("_dst"))
+    # materialize the symmetric edge list ONCE: `edges` is usually an
+    # expensive candidate-pair computation (LSH bucket join, cosine
+    # verify), and without the checkpoint every fixpoint round would
+    # recompute it from scratch (measured 107 s -> 11 s at sf0.1)
+    sym = (
+        edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("_src"), F.col(src_col).alias("_dst"))
+        )
+        .localCheckpoint()
     )
     # Iterate only over the edge-induced subgraph: in a dedup workload
     # the overwhelming majority of vertices are singletons and their
