@@ -179,3 +179,37 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "duration_us"
         ),
     )
+
+
+@query(
+    "q_forward_fill",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS last_purchase_value
+    FROM events
+    """,
+)
+def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (gap-filling): carry each user's most recent
+    purchase value onto every subsequent event — last(ignorenulls)
+    over a running frame, the canonical time-series imputation.  One
+    shuffle on user_id; values are source-column pass-throughs so no
+    rounding discipline is needed."""
+    apply_runtime_conf(spark)
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(marked, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
