@@ -213,3 +213,36 @@ def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.last(marked, ignorenulls=True).over(w).alias("last_purchase_value"),
     )
+
+
+@query(
+    "q_click_attribution",
+    oracle="""
+    SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id
+    FROM events v
+    JOIN events c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts
+     AND c.ts <= v.ts + INTERVAL '30 minutes'
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+    """,
+)
+def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click attribution: views matched to same-user clicks within 30
+    minutes, through the SAME interval_join operator the streaming mode
+    uses (streaming/joins.py; withWatermark is a no-op in batch) — this
+    id pins the operator's join semantics against the SQL oracle, and
+    tests/test_streaming.py pins stream == batch."""
+    apply_runtime_conf(spark)
+    from etl_caltopo_spark.streaming.joins import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("ts").alias("l_ts"), F.col("event_id").alias("view_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("r_ts"), F.col("event_id").alias("click_id")
+    )
+    return interval_join(views, clicks, "user_id").select(
+        "view_id", "click_id", "user_id"
+    )
