@@ -165,3 +165,32 @@ def q_incr_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("_psum"), 2).alias("sum_value"),
         (F.round(F.col("_psum"), 2) / F.col("_pcount")).alias("avg_value"),
     )
+
+
+@query(
+    "q_reconcile",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey AS o_orderkey,
+               round(sum(l_extendedprice), 2) AS li_total,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey, o.o_totalprice, li.li_total,
+           coalesce(li.n_lines, 0) AS n_lines,
+           o.o_totalprice - li.li_total AS diff
+    FROM orders o LEFT JOIN li ON o.o_orderkey = li.o_orderkey
+    """,
+)
+def q_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-lines reconciliation audit (operators/reconcile.py):
+    partial-aggregated lineitem totals left-joined to orders; orders
+    without lines audit as NULL rather than vanishing.  Sums recover
+    the 2-dp grid, so diff is a subtraction of identical doubles."""
+    apply_runtime_conf(spark)
+    from etl_caltopo_spark.operators.reconcile import reconcile_totals
+
+    return reconcile_totals(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )

@@ -89,3 +89,23 @@ def test_rollup_merge_equals_full_recompute(spark):
     part3 = partial_rollup(spark.createDataFrame([("a", 1.0)], "k string, v double"), ["k"], "v")
     merged3 = {r["k"]: r["_pcount"] for r in merge_rollups(part1, part2, part3).collect()}
     assert merged3["a"] == 4
+
+
+def test_cogroup_reconcile_matches_builtin(spark, sf_dir):
+    from etl_caltopo_spark.io import load_table
+    from etl_caltopo_spark.operators.reconcile import (
+        reconcile_totals,
+        reconcile_totals_cogroup,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").limit(500)
+    li = load_table(spark, sf_dir, "lineitem")
+    a = {r["o_orderkey"]: r for r in reconcile_totals(orders, li).collect()}
+    b = {r["o_orderkey"]: r for r in reconcile_totals_cogroup(orders, li).collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k]["n_lines"] == b[k]["n_lines"]
+        if a[k]["li_total"] is None:
+            assert b[k]["li_total"] is None
+        else:
+            assert abs(a[k]["li_total"] - b[k]["li_total"]) < 1e-6
