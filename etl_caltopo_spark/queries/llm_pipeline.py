@@ -513,3 +513,56 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("source", "doc_id")
     )
+
+
+@query(
+    "q_dedup_resolve",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE floor(list_dot_product(a.v, b.v) /
+                    (sqrt(list_dot_product(a.v, a.v)) *
+                     sqrt(list_dot_product(b.v, b.v))) * 1000000) / 1000000 >= 0.3
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach AS (
+        WITH RECURSIVE r(src, dst) AS (
+            SELECT vec_id, vec_id FROM base
+            UNION
+            SELECT r.src, e.b FROM r JOIN edges e ON r.dst = e.a
+        ) SELECT * FROM r
+    ), components AS (
+        SELECT src AS vec_id, CAST(min(dst) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY src
+    )
+    SELECT cluster_id,
+           CAST(max(vec_id) AS BIGINT) AS keeper_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(*) - 1 AS BIGINT) AS n_dropped
+    FROM components
+    GROUP BY cluster_id
+    """,
+)
+def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate RESOLUTION — the step after clustering: one keeper
+    per near-dup cluster (max vec_id = newest under monotone ids, the
+    common freshness policy) and the drop count.  Composes
+    connected_components with a max_by-style aggregate; at 100 TB the
+    extra cost over clustering is one shuffle of (vec_id, cluster_id)
+    pairs."""
+    apply_runtime_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_pairs(emb, "label", threshold=0.3)
+    comps = dedup.connected_components(
+        emb.select("vec_id"), pairs, id_col="vec_id", src_col="id_a", dst_col="id_b"
+    )
+    return comps.groupBy("cluster_id").agg(
+        F.max("vec_id").alias("keeper_id"),
+        F.count("*").alias("n_members"),
+        (F.count("*") - 1).alias("n_dropped"),
+    )
