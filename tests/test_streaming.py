@@ -172,3 +172,53 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir):
     )
     streamed = {tuple(r) for r in spark.table("t_ssjoin").collect()}
     assert batch == streamed and batch
+
+
+def test_streaming_incremental_rollup_equals_full_recompute(spark, events_dir, tmp_path):
+    """Incremental materialized view: each micro-batch's partials merge
+    into a stored rollup via foreachBatch; after draining the stream,
+    the store equals a full batch recompute.  maxFilesPerTrigger forces
+    multiple micro-batches so cross-batch merging is really exercised."""
+    import os
+
+    from etl_caltopo_spark.operators.rollup import merge_rollups, partial_rollup
+
+    store = str(tmp_path / "rollup_store")
+    batch_df = spark.read.parquet(f"{events_dir}/data")
+
+    def with_day(df):
+        return df.withColumn("day", F.date_trunc("day", F.col("ts")))
+
+    def upsert(batch, epoch_id):
+        delta = partial_rollup(with_day(batch), ["day", "event_type"], "value")
+        if os.path.exists(store):
+            merged = merge_rollups(spark.read.parquet(store), delta)
+        else:
+            merged = delta
+        # stage-then-swap keeps the read side consistent
+        staged = merged.localCheckpoint()
+        staged.write.mode("overwrite").parquet(store)
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 3)
+        .parquet(f"{events_dir}/data")
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ckpt_rollup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    full = partial_rollup(with_day(batch_df), ["day", "event_type"], "value")
+    got = {
+        (r["day"], r["event_type"]): (round(r["_psum"], 2), r["_pcount"])
+        for r in spark.read.parquet(store).collect()
+    }
+    want = {
+        (r["day"], r["event_type"]): (round(r["_psum"], 2), r["_pcount"])
+        for r in full.collect()
+    }
+    assert got == want and got
