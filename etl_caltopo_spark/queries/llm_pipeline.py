@@ -625,3 +625,48 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("doc_id", "term", "score")
     )
+
+
+@query(
+    "q_doc_chunk",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ), starts AS (
+        SELECT doc_id, t,
+               unnest(range(1, greatest(len(t) - 10, 1) + 1, 40)) AS start
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST((start - 1) / 40 AS BIGINT) AS chunk_idx,
+           array_to_string(t[start:start+49], ' ') AS chunk_text,
+           CAST(least(50, len(t) - start + 1) AS BIGINT) AS n_tokens
+    FROM starts
+    """,
+)
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — 50-token chunks, 10-token
+    overlap (stride 40), the canonical context-window prep step of a
+    training pipeline.  Chunk starts come from sequence(), the text
+    from slice() on a once-computed token array; posexplode keeps the
+    chunk index.  Map-only: a 100 TB corpus chunks with zero shuffle,
+    and output rows stay (doc_id, idx, text)-narrow."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    with_toks = docs.select("doc_id", toks.alias("t"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("t") - 10, F.lit(1)), F.lit(40)
+    )
+    exploded = with_toks.select(
+        "doc_id", "t", F.posexplode(starts).alias("chunk_idx", "start")
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join(F.slice("t", F.col("start"), F.lit(50)), " ").alias("chunk_text"),
+        F.least(F.lit(50), F.size("t") - F.col("start") + 1)
+        .cast("long")
+        .alias("n_tokens"),
+    )
