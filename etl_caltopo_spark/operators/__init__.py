@@ -12,6 +12,11 @@ from etl_caltopo_spark.operators.quality import (
     observe_metrics,
     quality_report,
 )
+from etl_caltopo_spark.operators.reconcile import (
+    reconcile_totals,
+    reconcile_totals_cogroup,
+)
+from etl_caltopo_spark.operators.rollup import merge_rollups, partial_rollup
 from etl_caltopo_spark.operators.skew import salted_join
 from etl_caltopo_spark.operators.topk import top_k, top_k_per_group
 
@@ -25,4 +30,8 @@ __all__ = [
     "salted_join",
     "top_k",
     "top_k_per_group",
+    "reconcile_totals",
+    "reconcile_totals_cogroup",
+    "merge_rollups",
+    "partial_rollup",
 ]

@@ -11,6 +11,7 @@ The reference's temporal model is scheduled incremental batch: a
   (``ingest``) — the true-streaming completion ([EXT], SURVEY §2.3).
 """
 
+from etl_caltopo_spark.streaming.joins import interval_join
 from etl_caltopo_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
 
-__all__ = ["tumbling_agg", "sliding_agg", "session_agg"]
+__all__ = ["tumbling_agg", "sliding_agg", "session_agg", "interval_join"]
