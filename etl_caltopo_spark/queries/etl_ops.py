@@ -194,3 +194,70 @@ def q_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reconcile_totals(
         load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
     )
+
+
+@query(
+    "q_anomaly_zscore",
+    oracle="""
+    WITH moments AS (
+        SELECT event_type,
+               round(sum(value), 2) AS s1,
+               round(sum(value * value), 4) AS s2,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           (e.value - m.s1 / m.n)
+           / sqrt(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n)) AS zscore
+    FROM events e JOIN moments m ON e.event_type = m.event_type
+    WHERE abs((e.value - m.s1 / m.n)
+              / sqrt(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n))) > 2.5
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection from MANUAL moments: mean
+    and variance are derived from exactly-recovered grid sums (value
+    on the 2-dp grid -> sum to 2 dp, value^2 on the 1e-4 grid -> sum
+    to 4 dp), so the z expression is arithmetic over identical doubles
+    in both engines — where builtin stddev (Welford, order-dependent)
+    would never hash-match.  One aggregate + one broadcast join back;
+    the anomaly scan of a 100 TB table is two passes, no sort."""
+    apply_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    moments = ev.groupBy("event_type").agg(
+        F.round(F.sum("value"), 2).alias("s1"),
+        F.round(F.sum(F.col("value") * F.col("value")), 4).alias("s2"),
+        F.count("*").alias("n"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        ev.join(F.broadcast(moments), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select("event_id", "event_type", z.alias("zscore"))
+    )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type, CAST(floor(value / 10.0) AS BIGINT)
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram per group (floor-bucketed), the profiling
+    primitive behind DQ dashboards — pure partial-aggregating
+    group-by whose shuffle carries one row per (group, bucket)."""
+    apply_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 10.0).cast("long")
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
