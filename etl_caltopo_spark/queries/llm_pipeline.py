@@ -710,3 +710,52 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ",",
     )
     return normed.select("vec_id", "l2_norm", q8.alias("q8"))
+
+
+@query(
+    "q_decontaminate",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 3, 1) + 1),
+                   i -> array_to_string(string_split_regex(trim(lower(text)), '\\s+')[i:i+3], ' ')
+               ))) AS shingle
+        FROM documents
+    ),
+    bench AS (SELECT shingle, doc_id AS bench_id FROM sh WHERE source = 'src0'),
+    train AS (SELECT shingle, doc_id FROM sh WHERE source <> 'src0')
+    SELECT t.doc_id,
+           CAST(count(DISTINCT t.shingle) AS BIGINT) AS n_hit_shingles,
+           CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+    FROM train t JOIN bench b ON t.shingle = b.shingle
+    GROUP BY t.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any
+    4-token shingle with the held-out set (source 'src0' stands in
+    for the benchmark), reporting how many distinct shingles and
+    benchmark docs each one hits.  The join is an inverted index on
+    the shingle itself — shuffle keyed by shingle, so cost scales with
+    shared-shingle frequency, never |train| x |bench|; at 100 TB the
+    bench side's distinct shingles broadcast."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.explode(dedup.shingles(F.col("text"), n=4)).alias("shingle"),
+    )
+    bench = sh.filter(F.col("source") == "src0").select(
+        "shingle", F.col("doc_id").alias("bench_id")
+    )
+    train = sh.filter(F.col("source") != "src0").select("shingle", "doc_id")
+    return (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_hit_shingles"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
