@@ -759,3 +759,92 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("bench_id").alias("n_bench_docs"),
         )
     )
+
+
+@query(
+    "q_repetition_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ), bi AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]))
+               AS bigram
+        FROM toks
+    ), freq AS (
+        SELECT doc_id, bigram, count(*) AS c FROM bi GROUP BY doc_id, bigram
+    )
+    SELECT doc_id,
+           CAST(max(c) AS BIGINT) AS top_bigram_count,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           CAST(max(c) AS DOUBLE) / sum(c) AS repetition_ratio
+    FROM freq
+    GROUP BY doc_id
+    """,
+)
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: the share of a document's
+    bigrams taken by its single most frequent bigram (looping/boiler-
+    plate text scores high).  Two stacked aggregates keyed by doc —
+    all partial-aggregating, shuffle bounded by per-doc vocabulary;
+    the ratio is a division of exact integer counts."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select("doc_id", F.explode(text.bigrams(F.col("text"))).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+    )
+    return freq.groupBy("doc_id").agg(
+        F.max("c").alias("top_bigram_count"),
+        F.sum("c").alias("n_bigrams"),
+        (F.max("c").cast("double") / F.sum("c")).alias("repetition_ratio"),
+    )
+
+
+@query(
+    "q_corpus_filter",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, n_chars,
+               string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ), sig AS (
+        SELECT doc_id,
+               len(t) AS n_tok,
+               lang = 'en' AS lang_ok,
+               len(t) BETWEEN 10 AND 1000 AS len_ok,
+               n_chars >= 50 AS chars_ok,
+               CAST(len(list_filter(t, x -> list_contains({{STOP}}, x))) AS DOUBLE)
+                   / len(t) < 0.5 AS stop_ok
+        FROM toks
+    )
+    SELECT doc_id, lang_ok, len_ok, chars_ok, stop_ok,
+           (lang_ok AND len_ok AND chars_ok AND stop_ok) AS kept
+    FROM sig
+    """.replace("{STOP}", _STOP_SQL),
+)
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style composite corpus filter: language, token-length
+    window, raw size, stopword-soup bound — each rule surfaced as its
+    own flag so downstream can audit WHY a doc dropped (reason codes,
+    not silent deletion).  Pure codegen column expressions; the 100 TB
+    cleanup is one map-only scan."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*text.STOPWORDS)))
+    lang_ok = F.col("lang") == "en"
+    len_ok = n_tok.between(10, 1000)
+    chars_ok = F.col("n_chars") >= 50
+    stop_ok = (n_stop.cast("double") / n_tok) < 0.5
+    return docs.select(
+        "doc_id",
+        lang_ok.alias("lang_ok"),
+        len_ok.alias("len_ok"),
+        chars_ok.alias("chars_ok"),
+        stop_ok.alias("stop_ok"),
+        (lang_ok & len_ok & chars_ok & stop_ok).alias("kept"),
+    )
