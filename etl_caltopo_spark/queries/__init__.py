@@ -26,5 +26,6 @@ from etl_caltopo_spark.queries import extended2  # noqa: F401,E402
 from etl_caltopo_spark.queries import etl_ops  # noqa: F401,E402
 from etl_caltopo_spark.queries import extended3  # noqa: F401,E402
 from etl_caltopo_spark.queries import tpch_more  # noqa: F401,E402
+from etl_caltopo_spark.queries import extended4  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

@@ -261,3 +261,56 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type", bucket.alias("bucket"))
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "q_scd2",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changes AS (
+        SELECT user_id, event_type, ts
+        FROM ordered
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type,
+           CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+           CAST(epoch_us(lead(ts) OVER
+               (PARTITION BY user_id ORDER BY ts)) AS BIGINT) AS valid_to_us,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL)
+               AS is_current
+    FROM changes
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 compaction: collapse each
+    user's event stream into validity intervals — a row per status
+    *change* with [valid_from, valid_to) bounds and an is_current
+    flag (valid_to NULL on the open interval).  Both windows share
+    the user_id partitioning, so one shuffle serves the whole build;
+    microsecond integers keep every boundary exact cross-engine."""
+    apply_runtime_conf(spark)
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select("user_id", "event_type", "ts")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    valid_to = F.lead("ts").over(w2)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(valid_to).alias("valid_to_us"),
+        valid_to.isNull().alias("is_current"),
+    )

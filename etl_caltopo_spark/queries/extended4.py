@@ -1,0 +1,157 @@
+"""Fourth extended wave: deterministic mode, boolean aggregates,
+linear-regression aggregates, and a blocked fuzzy (edit-distance)
+self-join — the entity-resolution building block.
+
+Reference basis: the reference has no aggregates at all (SURVEY §2.1
+— the only join is the folder lookup, task.ts:142-152); these widen
+the standard-relational completion ([EXT+]) so a reference user finds
+every aggregate family a complete engine implies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_caltopo_spark.functions.numeric import fround
+from etl_caltopo_spark.io import load_table
+from etl_caltopo_spark.queries.registry import query
+from etl_caltopo_spark.session import apply_runtime_conf
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY 1, 2
+    ), r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_orderstatus
+            ORDER BY n DESC, o_orderpriority) AS rn
+        FROM c
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority,
+           CAST(n AS BIGINT) AS n_rows
+    FROM r WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (most frequent value, ties broken
+    by lexicographic min) as count + row_number — the builtin mode()
+    is tie-nondeterministic in both engines, so the composed form IS
+    the portable implementation.  One shuffle: the count groupBy; the
+    window repartitions on the (narrower) group key."""
+    apply_runtime_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").cast("bigint").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q_agg_bool",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_discount <= 0.1) AS all_low_discount,
+           bool_or(l_tax > 0.07) AS any_high_tax,
+           bool_and(l_quantity < 50) AS all_qty_lt50
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (bool_and / bool_or == SQL EVERY / ANY) —
+    predicate summaries over groups; exact (no floats)."""
+    apply_runtime_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_discount") <= 0.1).alias("all_low_discount"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+        F.bool_and(F.col("l_quantity") < 50).alias("all_qty_lt50"),
+    )
+
+
+@query(
+    "q_agg_regr",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pts,
+           floor(regr_slope(l_extendedprice, l_quantity) * 10000) / 10000
+               AS price_per_qty,
+           floor(regr_intercept(l_extendedprice, l_quantity) * 10000) / 10000
+               AS base_price,
+           floor(regr_r2(l_extendedprice, l_quantity) * 10000) / 10000
+               AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (regr_slope / intercept / r2 /
+    count) — the SQL:2003 bivariate fitting family, one shuffle with
+    partial aggregation.  4-dp floor-scaling absorbs the sub-1e-10
+    summation-order difference (same policy as q_agg_corr)."""
+    apply_runtime_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).cast("bigint").alias("n_pts"),
+        fround(F.regr_slope(y, x), 4).alias("price_per_qty"),
+        fround(F.regr_intercept(y, x), 4).alias("base_price"),
+        fround(F.regr_r2(y, x), 4).alias("r2"),
+    )
+
+
+@query(
+    "q_fuzzy_join",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+    FROM part a, part b
+    WHERE a.p_brand = b.p_brand
+      AND a.p_partkey < b.p_partkey
+      AND levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join: equi-join on the blocking key
+    (p_brand) with an edit-distance post-filter — the canonical
+    entity-resolution / fuzzy-dedup shape.  The equi key keeps it a
+    hash join (never a cartesian product); at 100 TB the block key
+    bounds the quadratic term to within-block pairs."""
+    apply_runtime_conf(spark)
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_name"
+    )
+    a = part.alias("a")
+    b = part.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (dist <= 3),
+        )
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.cast("int").alias("edit_dist"),
+        )
+    )

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_caltopo_spark.functions.numeric import fround
 from etl_caltopo_spark.io import load_table
 from etl_caltopo_spark.llm import dedup, multimodal, similarity, text
 from etl_caltopo_spark.queries.registry import query
@@ -847,4 +848,101 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         chars_ok.alias("chars_ok"),
         stop_ok.alias("stop_ok"),
         (lang_ok & len_ok & chars_ok & stop_ok).alias("kept"),
+    )
+
+
+@query(
+    "q_word_entropy",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, w
+        FROM documents, unnest(string_split(text, ' ')) AS t(w)
+        WHERE w <> ''
+    ), wc AS (
+        SELECT doc_id, w, count(*) AS n FROM words GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_words,
+           floor((ln(sum(n)) - sum(n * ln(n)) / sum(n)) * 10000) / 10000
+               AS entropy
+    FROM wc GROUP BY doc_id
+    """,
+)
+def q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the unigram distribution
+    (nats) — the repetition/diversity signal corpus filters threshold
+    on (low entropy = boilerplate / keyword stuffing).  Uses the
+    H = ln(T) - sum(n·ln n)/T identity so only integer counts are
+    aggregated before the one ln per distinct term; 4-dp floor
+    absorbs libm ulp + summation-order drift (q_udaf_geomean
+    policy).  Two partial-aggregating shuffles on doc-sized groups."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    wc = words.groupBy("doc_id", "w").agg(F.count("*").alias("n"))
+    total = F.sum("n")
+    return wc.groupBy("doc_id").agg(
+        total.cast("bigint").alias("n_words"),
+        fround(
+            F.log(total) - F.sum(F.col("n") * F.log("n")) / total, 4
+        ).alias("entropy"),
+    )
+
+
+@query(
+    "q_centroid_assign",
+    oracle="""
+    WITH c AS (
+        SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id < 8
+    ), p AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id >= 8
+    ), s AS (
+        SELECT p.vec_id, c.centroid_id,
+               floor(list_dot_product(v, cv) /
+                     (sqrt(list_dot_product(v, v)) *
+                      sqrt(list_dot_product(cv, cv))) * 1000000) / 1000000
+                   AS cos_sim
+        FROM p, c
+    ), r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cos_sim DESC, centroid_id) AS rn
+        FROM s
+    )
+    SELECT vec_id, centroid_id, cos_sim FROM r WHERE rn = 1
+    """,
+)
+def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (the IVF/KMeans E-step): broadcast
+    the centroid table, score every point against all centroids
+    JVM-side, keep the argmax per point (ties to the lowest centroid
+    id).  Shuffle-free except the per-point window — and that window
+    collapses to a TakeOrdered per point under partial aggregation;
+    at 100 TB this is the map-only pass that builds the IVF index
+    q_sim_topk_ivf probes."""
+    apply_runtime_conf(spark)
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    pts = emb.filter(F.col("vec_id") >= 8)
+    scored = pts.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "centroid_id",
+        fround(
+            similarity.cosine(F.col("embedding"), F.col("cv")), 6
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", "cos_sim")
     )
