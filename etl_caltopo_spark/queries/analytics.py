@@ -1,0 +1,236 @@
+"""Event-analytics wave: sequential funnel, cohort retention, RFM
+scoring, robust (median/MAD/IQR) statistics.
+
+These are the composite shapes product analysts run over an events
+stream — each one decomposes into the primitive operators the engine
+already exposes (conditional min-aggregates, broadcast joins back to
+a per-key scalar, ntile windows), so they double as integration
+coverage for those primitives at realistic query complexity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_caltopo_spark.functions.numeric import fround
+from etl_caltopo_spark.io import load_table
+from etl_caltopo_spark.queries.registry import query
+from etl_caltopo_spark.session import apply_runtime_conf
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS ts1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, min(e.ts) AS ts2
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > s1.ts1
+        GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id, min(e.ts) AS ts3
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > s2.ts2
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_viewed,
+           (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_clicked,
+           (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchased
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered 3-step funnel (view → click → purchase): each
+    step counts users whose step-N event happened after their step-N-1
+    first occurrence.  Per-step min-aggregates keyed on user_id reuse
+    one partitioning; the step tables are user-cardinality (tiny next
+    to the event log), so the step joins broadcast — at 100 TB of
+    events the heavy table is scanned once per step with a pushed
+    event_type filter and never shuffled whole."""
+    apply_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s1), "user_id")
+        .filter(F.col("ts") > F.col("ts1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(s2), "user_id")
+        .filter(F.col("ts") > F.col("ts2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts3"))
+    )
+    return (
+        s1.agg(F.count("*").cast("bigint").alias("n_viewed"))
+        .crossJoin(s2.agg(F.count("*").cast("bigint").alias("n_clicked")))
+        .crossJoin(s3.agg(F.count("*").cast("bigint").alias("n_purchased")))
+    )
+
+
+@query(
+    "q_retention",
+    oracle="""
+    WITH first_day AS (
+        SELECT user_id, CAST(min(ts) AS DATE) AS day0
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(date_diff('day', DATE '2024-01-01', f.day0) AS INTEGER)
+               AS cohort_day,
+           CAST(floor(date_diff('day', f.day0, CAST(e.ts AS DATE)) / 7.0)
+                AS INTEGER) AS week_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN first_day f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, activity
+    bucketed into week offsets from that day, distinct users per
+    (cohort, offset) cell.  The first-seen table is user-cardinality
+    and broadcast back onto the log; day arithmetic stays in exact
+    integers (no timestamp rendering in the output)."""
+    apply_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first_day = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("day0")
+    )
+    joined = ev.join(F.broadcast(first_day), "user_id")
+    cohort_day = F.datediff(F.col("day0"), F.lit("2024-01-01")).cast("int")
+    week_offset = (
+        F.floor(F.datediff(F.to_date("ts"), F.col("day0")) / 7.0).cast("int")
+    )
+    return joined.groupBy(
+        cohort_day.alias("cohort_day"), week_offset.alias("week_offset")
+    ).agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+
+
+@query(
+    "q_rfm",
+    oracle="""
+    WITH ref AS (SELECT max(o_orderdate) AS ref_date FROM orders),
+    base AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', max(o_orderdate),
+                              (SELECT ref_date FROM ref)) AS INTEGER)
+                   AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               round(sum(o_totalprice), 2) AS monetary
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           CAST(ntile(4) OVER (ORDER BY recency_days, o_custkey)
+                AS INTEGER) AS r_score,
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey)
+                AS INTEGER) AS f_score,
+           CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey)
+                AS INTEGER) AS m_score
+    FROM base
+    """,
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer quartile scoring
+    — one aggregate over orders, then three ntile windows over the
+    customer-cardinality result (each with a custkey tie-break so the
+    quartile cut is deterministic).  The monetary sum sits on the
+    2-dp source grid, so round(sum, 2) is exact cross-engine.
+
+    Scale note: the ntile windows are global (single-partition) but
+    run over the post-aggregation customer table, not the order log.
+    At customer counts where that matters, the scale path is
+    approx_percentile cutoffs broadcast-joined back (the
+    q_percentile_approx pattern) instead of exact ntile."""
+    apply_runtime_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    ref = orders.agg(F.max("o_orderdate").alias("ref_date"))
+    base = (
+        orders.crossJoin(F.broadcast(ref))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("ref_date"), F.max("o_orderdate"))
+            .cast("int")
+            .alias("recency_days"),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    w_r = Window.orderBy("recency_days", "o_custkey")
+    w_f = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    w_m = Window.orderBy(F.col("monetary").desc(), "o_custkey")
+    return base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(w_r).cast("int").alias("r_score"),
+        F.ntile(4).over(w_f).cast("int").alias("f_score"),
+        F.ntile(4).over(w_m).cast("int").alias("m_score"),
+    )
+
+
+@query(
+    "q_robust_stats",
+    oracle="""
+    WITH med AS (
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS med,
+               quantile_cont(value, 0.25) AS q1,
+               quantile_cont(value, 0.75) AS q3
+        FROM events GROUP BY event_type
+    ), mad AS (
+        SELECT e.event_type,
+               quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type
+    )
+    SELECT m.event_type,
+           floor(m.med * 10000) / 10000 AS median_value,
+           floor((m.q3 - m.q1) * 10000) / 10000 AS iqr,
+           floor(mad.mad * 10000) / 10000 AS mad
+    FROM med m JOIN mad USING (event_type)
+    """,
+)
+def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion statistics per group: median, interquartile
+    range, and median absolute deviation — the outlier-resistant
+    complement to q_anomaly_zscore.  MAD needs the two-pass shape
+    (per-group median broadcast back under the second quantile);
+    both engines use the same linear-interpolation quantile, and the
+    |x - med| inputs are bitwise-identical doubles, so 4-dp flooring
+    is safely inside the agreement margin."""
+    apply_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med"),
+        F.percentile("value", 0.25).alias("q1"),
+        F.percentile("value", 0.75).alias("q3"),
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias(
+                "mad"
+            )
+        )
+    )
+    return (
+        med.join(mad, "event_type")
+        .select(
+            "event_type",
+            fround(F.col("med"), 4).alias("median_value"),
+            fround(F.col("q3") - F.col("q1"), 4).alias("iqr"),
+            fround(F.col("mad"), 4).alias("mad"),
+        )
+    )

@@ -946,3 +946,79 @@ def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "centroid_id", "cos_sim")
     )
+
+
+@query(
+    "q_word_cooccur",
+    oracle="""
+    WITH dw AS (
+        SELECT DISTINCT doc_id, w
+        FROM documents, unnest(string_split(text, ' ')) AS t(w)
+        WHERE w <> ''
+    ), n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM dw),
+    dfreq AS (SELECT w, count(*) AS c FROM dw GROUP BY w),
+    pairs AS (
+        SELECT a.w AS w1, b.w AS w2, count(*) AS c12
+        FROM dw a JOIN dw b
+          ON a.doc_id = b.doc_id AND a.w < b.w
+        GROUP BY a.w, b.w
+    )
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS n_docs_both,
+           floor(ln(CAST((SELECT n FROM n_docs) AS DOUBLE) * c12
+                    / (f1.c * f2.c)) * 10000) / 10000 AS pmi
+    FROM pairs
+    JOIN dfreq f1 ON f1.w = pairs.w1
+    JOIN dfreq f2 ON f2.w = pairs.w2
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def q_word_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word pairs by document-level PMI (pointwise mutual
+    information) — the collocation/phrase-mining primitive.  Distinct
+    (doc, word) pairs self-join on doc_id (the natural block key, so
+    the quadratic term is bounded per document), document frequencies
+    broadcast back, and the final order runs on the floor-scaled PMI
+    with a lexicographic tie-break so the top-20 cut is deterministic
+    cross-engine."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    dw = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    n_docs = dw.agg(F.count_distinct("doc_id").alias("n"))
+    dfreq = dw.groupBy("w").agg(F.count("*").alias("c"))
+    a, b = dw.alias("a"), dw.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.w") < F.col("b.w")),
+        )
+        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .agg(F.count("*").alias("c12"))
+    )
+    scored = (
+        pairs.join(F.broadcast(dfreq.withColumnRenamed("w", "w1")
+                   .withColumnRenamed("c", "c1")), "w1")
+        .join(F.broadcast(dfreq.withColumnRenamed("w", "w2")
+              .withColumnRenamed("c", "c2")), "w2")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("n_docs_both"),
+            fround(
+                F.log(
+                    F.col("n").cast("double") * F.col("c12")
+                    / (F.col("c1") * F.col("c2"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), "w1", "w2"
+    ).limit(20)
