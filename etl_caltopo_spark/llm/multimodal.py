@@ -2,9 +2,11 @@
 
 Media are opaque ``binary`` columns with typed metadata, processed by
 Arrow-batched ``mapInPandas`` so each executor sees columnar batches,
-never row-at-a-time Python.  One decode path is fully real: binary PPM
-(P6) via pure numpy (``encode_ppm``/``decode_ppm``/``decode_images``).
-Codec work needing external libraries (JPEG/PNG/audio/video) is
+never row-at-a-time Python.  Two decode paths are fully real: binary
+PPM (P6) images via pure numpy (``encode_ppm``/``decode_ppm``/
+``decode_images``) and RIFF/WAVE PCM16 audio via pure struct+numpy
+(``encode_wav``/``decode_wav``/``decode_audio``).
+Codec work needing external libraries (JPEG/PNG/MP3/video) is
 STUBBED — not present in this container — but runs in the identical
 Spark-side contract (schemas, batch shapes, partitioning), all tested
 (tests/test_llm_ops.py).
@@ -97,6 +99,108 @@ def decode_ppm(payload: bytes):
     if len(raster) < w * h * 3:
         return None
     return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_wav(samples, sample_rate: int = 8000) -> bytes:
+    """Encode a 1-D int16 array as a canonical RIFF/WAVE file (PCM16
+    mono) — pure struct packing, the fixture generator for the real
+    audio decode path."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype="<i2")
+    data = arr.tobytes()
+    byte_rate = sample_rate * 2
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes):
+    """REAL decoder: RIFF/WAVE PCM16 mono → (sample_rate, int16 numpy
+    array).  WAV is a length-prefixed container, not a compressed
+    codec, so pure numpy/struct suffice.  Returns None for None /
+    non-WAV / non-PCM16 payloads (dirty rows become nulls, same
+    policy as decode_ppm)."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 44:
+        return None
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    # walk the chunk list: fmt then data (other chunks skipped)
+    pos, rate, bits, channels, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if fmt != 1:  # PCM only
+                return None
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or data is None or bits != 16 or channels != 1:
+        return None
+    return rate, np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2")
+
+
+def decode_audio(assets: DataFrame) -> DataFrame:
+    """mapInPandas over WAV payloads: sample_rate / n_samples /
+    duration_ms / RMS amplitude per asset — a real audio decode in
+    the same Arrow-batched, shuffle-free plan shape a compressed-codec
+    decoder would use."""
+    out_schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("sample_rate", LongType(), True),
+            StructField("n_samples", LongType(), True),
+            StructField("duration_ms", FloatType(), True),
+            StructField("rms", FloatType(), True),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rates, counts, durs, rmss = [], [], [], []
+            for b in pdf["payload"]:
+                out = decode_wav(b)
+                if out is None:
+                    rates.append(None), counts.append(None)
+                    durs.append(None), rmss.append(None)
+                else:
+                    rate, samples = out
+                    rates.append(rate)
+                    counts.append(len(samples))
+                    durs.append(1000.0 * len(samples) / rate)
+                    rmss.append(
+                        float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+                        if len(samples)
+                        else 0.0
+                    )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "sample_rate": rates,
+                    "n_samples": counts,
+                    "duration_ms": durs,
+                    "rms": rmss,
+                }
+            )
+
+    return assets.mapInPandas(fn, schema=out_schema)
 
 
 def decode_images(assets: DataFrame) -> DataFrame:

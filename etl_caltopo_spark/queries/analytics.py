@@ -40,6 +40,7 @@ from etl_caltopo_spark.session import apply_runtime_conf
            (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_clicked,
            (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchased
     """,
+    headline=True,
 )
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strictly-ordered 3-step funnel (view → click → purchase): each
@@ -233,4 +234,133 @@ def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.col("q3") - F.col("q1"), 4).alias("iqr"),
             fround(F.col("mad"), 4).alias("mad"),
         )
+    )
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), cnt AS (
+        SELECT prev_type AS from_type, event_type AS to_type,
+               count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n_transitions,
+           CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type)
+               AS p_transition
+    FROM cnt
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: lag pairs → counts → row-normalized probabilities.
+    The lag window and nothing else touches the full log (one shuffle
+    on user_id); the probability window runs over the 25-row count
+    matrix.  Integer division of identical counts is bit-exact."""
+    apply_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cnt = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return cnt.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n_transitions"),
+        (F.col("n").cast("double") / F.sum("n").over(w_from)).alias(
+            "p_transition"
+        ),
+    )
+
+
+@query(
+    "q_dedup_latest",
+    oracle="""
+    WITH r AS (
+        SELECT event_id, user_id, event_type, value,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, event_type, event_id,
+           round(value, 2) AS last_value
+    FROM r WHERE rn = 1
+    """,
+)
+def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest compaction: one surviving row per (user, type) by
+    event time — the upsert-log → current-state materialization every
+    CDC consumer runs.  row_number desc with an event_id tie-break;
+    WindowGroupLimit turns it into a map-side top-1 before the
+    shuffle, so state size, not log size, bounds the exchange."""
+    apply_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.round("value", 2).alias("last_value"),
+        )
+    )
+
+
+@query(
+    "q_user_paths",
+    oracle="""
+    WITH sessions AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM (
+            SELECT user_id, event_type, ts, event_id,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events
+        ) WHERE rn <= 5
+        GROUP BY user_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM sessions GROUP BY path
+    """,
+)
+def q_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common user journeys: each user's first five events joined into
+    an ordered path string, counted across users — the path-analysis /
+    sequence-mining shape.  Ordering is pinned by (ts, event_id)
+    inside a window (Spark's collect_list is only deterministic under
+    an ordered window), truncated to 5 steps so the path vocabulary
+    stays bounded; one shuffle on user_id feeds both the window and
+    the per-user fold."""
+    apply_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per_user = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .withColumn("steps", F.collect_list("event_type").over(w_all))
+        .groupBy("user_id")
+        .agg(F.array_join(F.first("steps"), ">").alias("path"))
+    )
+    return per_user.groupBy("path").agg(
+        F.count("*").cast("bigint").alias("n_users")
     )

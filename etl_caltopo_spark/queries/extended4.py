@@ -126,6 +126,7 @@ def q_agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND a.p_partkey < b.p_partkey
       AND levenshtein(a.p_name, b.p_name) <= 3
     """,
+    headline=True,
 )
 def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy self-join: equi-join on the blocking key
@@ -154,4 +155,72 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.p_name").alias("name_b"),
             dist.cast("int").alias("edit_dist"),
         )
+    )
+
+
+@query(
+    "q_skyline",
+    oracle="""
+    SELECT a.p_partkey, a.p_name, a.p_retailprice, CAST(a.p_size AS INTEGER) AS p_size
+    FROM part a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part b
+        WHERE b.p_retailprice <= a.p_retailprice
+          AND b.p_size <= a.p_size
+          AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size)
+    )
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) on (price ↓, size ↓): parts no other
+    part weakly dominates with one strict improvement — multi-objective
+    top-k, implemented as a non-equi anti-join (exact, duplicate-safe).
+
+    Scale note: the anti-join is a broadcast nested-loop; at large n
+    the scale path is the sort-based sweep (order by price, running
+    min of size) after collapsing exact (price, size) duplicates —
+    O(n log n), one shuffle."""
+    apply_runtime_conf(spark)
+    part = load_table(spark, sf_dir, "part")
+    a, b = part.alias("a"), part.alias("b")
+    dominated = (
+        (F.col("b.p_retailprice") <= F.col("a.p_retailprice"))
+        & (F.col("b.p_size") <= F.col("a.p_size"))
+        & (
+            (F.col("b.p_retailprice") < F.col("a.p_retailprice"))
+            | (F.col("b.p_size") < F.col("a.p_size"))
+        )
+    )
+    return a.join(b, dominated, "left_anti").select(
+        F.col("a.p_partkey").alias("p_partkey"),
+        F.col("a.p_name").alias("p_name"),
+        F.col("a.p_retailprice").alias("p_retailprice"),
+        F.col("a.p_size").cast("int").alias("p_size"),
+    )
+
+
+@query(
+    "q_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity), 2) / sum(l_quantity)
+               AS wavg_price,
+           CAST(sum(l_quantity) AS BIGINT) AS total_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price (the VWAP shape): sum of
+    grid-exact products over sum of integral weights, one partial-
+    aggregating shuffle.  round(sum, 2) recovers the exact grid sum
+    before the division, so the quotient is bit-identical."""
+    apply_runtime_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        (
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2)
+            / F.sum("l_quantity")
+        ).alias("wavg_price"),
+        F.sum("l_quantity").cast("bigint").alias("total_qty"),
     )

@@ -1022,3 +1022,70 @@ def q_word_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("pmi").desc(), "w1", "w2"
     ).limit(20)
+
+
+@query(
+    "q_audio_stats",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS asset_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(400 + (doc_id % 10) * 80 AS BIGINT) AS n_samples,
+           (400 + (doc_id % 10) * 80) / 8.0 AS duration_ms
+    FROM documents
+    """,
+)
+def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode end-to-end: synthesize a deterministic PCM16 WAV
+    per document (length keyed on doc_id), round-trip the bytes
+    through the REAL RIFF/WAVE decoder (encode_wav → decode_audio,
+    both Arrow-batched mapInPandas), and emit the decoded metadata.
+    The oracle recomputes the same metadata in closed form, so a
+    header-parsing or chunk-walk bug breaks the hash.  duration_ms =
+    n/8 is a power-of-two division — exact in float32 and double."""
+    apply_runtime_conf(spark)
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    gen_schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                n = 400 + (int(doc_id) % 10) * 80
+                t = np.arange(n)
+                freq = 220.0 + (int(doc_id) % 5) * 110.0
+                sine = (np.sin(2 * np.pi * freq * t / 8000.0) * 12000).astype(
+                    np.int16
+                )
+                payloads.append(multimodal.encode_wav(sine, 8000))
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    raw = docs.mapInPandas(gen, schema=gen_schema)
+    assets = multimodal.as_binary_assets(
+        raw, "asset_id", F.col("payload"), "audio"
+    )
+    decoded = multimodal.decode_audio(assets)
+    return decoded.select(
+        "asset_id",
+        "sample_rate",
+        "n_samples",
+        F.col("duration_ms").cast("double").alias("duration_ms"),
+    )

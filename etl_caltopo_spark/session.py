@@ -73,6 +73,48 @@ def build_spark(
     return spark
 
 
+#: application ids whose executors already received the package zip
+_PYFILES_SHIPPED: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``etl_caltopo_spark`` importable on executor Python workers.
+
+    The driver contract hands queries an externally built SparkSession
+    whose working directory / PYTHONPATH need not contain this repo —
+    in that case cloudpickled Pandas-UDF closures fail to unpickle on
+    workers (ModuleNotFoundError at worker.py subimport).  Shipping a
+    zip of the package via ``addPyFile`` puts it on every worker's
+    sys.path regardless of how the session was launched.  Once per
+    SparkContext; a few dozen small files, so building the zip is
+    cheap."""
+    import tempfile
+    import zipfile
+
+    try:
+        sc = spark.sparkContext
+        app_id = sc.applicationId
+    except Exception:  # pragma: no cover - e.g. Spark Connect: no sc
+        return
+    if app_id in _PYFILES_SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    fd, zpath = tempfile.mkstemp(prefix="etl_caltopo_spark_", suffix=".zip")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for fname in files:
+                if not fname.endswith(".py"):
+                    continue
+                full = os.path.join(root, fname)
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                zf.write(full, rel)
+    sc.addPyFile(zpath)
+    _PYFILES_SHIPPED.add(app_id)
+
+
 def apply_runtime_conf(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable conf to an externally provided session."""
     for k, v in RUNTIME_CONF.items():
@@ -80,4 +122,8 @@ def apply_runtime_conf(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - read-only conf on some builds
             pass
+    try:
+        _ship_package(spark)
+    except Exception:  # pragma: no cover - never fail a query over this
+        pass
     return spark

@@ -214,3 +214,40 @@ def test_ppm_roundtrip_and_decode_images(spark):
     assert (out[2]["width"], out[2]["height"]) == (2, 4)
     assert abs(out[2]["mean_rgb"][0] - 200.0) < 1e-6
     assert out[3]["width"] is None and out[4]["width"] is None
+
+
+def test_wav_roundtrip_and_decode_audio(spark):
+    import numpy as np
+
+    from etl_caltopo_spark.llm.multimodal import (
+        as_binary_assets,
+        decode_audio,
+        decode_wav,
+        encode_wav,
+    )
+
+    t = np.arange(800)
+    sine = (np.sin(2 * np.pi * 440 * t / 8000) * 12000).astype(np.int16)
+    rate, back = decode_wav(encode_wav(sine, 8000))
+    assert rate == 8000 and (back == sine).all()
+
+    # LIST chunk before data: the chunk walk must skip it
+    wav = encode_wav(sine, 8000)
+    extra = wav[:12] + b"LIST\x04\x00\x00\x00INFO" + wav[12:]
+    rate2, back2 = decode_wav(extra)
+    assert rate2 == 8000 and (back2 == sine).all()
+
+    rows = [
+        (1, bytearray(encode_wav(sine, 8000))),
+        (2, bytearray(encode_wav(np.zeros(16000, dtype=np.int16), 16000))),
+        (3, bytearray(b"not audio")),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    assets = as_binary_assets(df, "asset_id", F.col("payload"), "audio")
+    out = {r["asset_id"]: r for r in decode_audio(assets).collect()}
+    assert out[1]["sample_rate"] == 8000 and out[1]["n_samples"] == 800
+    assert abs(out[1]["duration_ms"] - 100.0) < 1e-3
+    assert abs(out[1]["rms"] - float(np.sqrt(np.mean(sine.astype(np.float64) ** 2)))) < 0.5
+    assert out[2]["duration_ms"] == 1000.0 and out[2]["rms"] == 0.0
+    assert out[3]["sample_rate"] is None and out[4]["sample_rate"] is None
