@@ -806,7 +806,7 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_corpus_filter",
-    oracle=f"""
+    oracle=rf"""
     WITH toks AS (
         SELECT doc_id, lang, n_chars,
                string_split_regex(trim(lower(text)), '\s+') AS t

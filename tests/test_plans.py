@@ -94,3 +94,25 @@ def test_scan_prunes_with_limit(spark, sf_dir):
     )
     plan = plan_of(df)
     assert "PushedFilters" in plan and "EqualTo(l_orderkey,1)" in plan
+
+
+def test_fuzzy_join_is_hash_join_on_block_key(spark, sf_dir):
+    """The levenshtein filter must ride on the p_brand equi-join —
+    never degrade to a nested-loop cartesian product."""
+    plan = plan_of(REGISTRY["q_fuzzy_join"].fn(spark, sf_dir))
+    assert "NestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "levenshtein" in plan  # post-join condition, not a separate pass
+
+
+def test_centroid_assign_broadcasts_and_group_limits(spark, sf_dir):
+    """Centroids broadcast (tiny build side); the per-point argmax
+    becomes a WindowGroupLimit (map-side top-1) before the shuffle."""
+    plan = plan_of(REGISTRY["q_centroid_assign"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_dedup_latest_group_limits_before_shuffle(spark, sf_dir):
+    plan = plan_of(REGISTRY["q_dedup_latest"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
