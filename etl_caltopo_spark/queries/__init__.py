@@ -28,5 +28,7 @@ from etl_caltopo_spark.queries import extended3  # noqa: F401,E402
 from etl_caltopo_spark.queries import tpch_more  # noqa: F401,E402
 from etl_caltopo_spark.queries import extended4  # noqa: F401,E402
 from etl_caltopo_spark.queries import analytics  # noqa: F401,E402
+from etl_caltopo_spark.queries import timeseries  # noqa: F401,E402
+from etl_caltopo_spark.queries import retail  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

@@ -1089,3 +1089,68 @@ def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_samples",
         F.col("duration_ms").cast("double").alias("duration_ms"),
     )
+
+
+@query(
+    "q_oov_rate",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+    ), vocab AS (
+        SELECT tok FROM toks GROUP BY tok
+        ORDER BY count(*) DESC, tok LIMIT 10
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           floor(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) * 100000000) / 100000000 AS oov_rate
+    FROM toks t LEFT JOIN vocab v USING (tok)
+    GROUP BY t.doc_id
+    """,
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus top-10
+    vocabulary (ties broken lexically).
+
+    The tokenizer-coverage check a training pipeline runs before
+    committing to a vocab: pass 1 builds the frequency-ranked
+    vocabulary (TakeOrderedAndProject — top-k never globally sorts),
+    pass 2 streams every token past the broadcast vocab and counts
+    misses.  The corpus scan shuffles once per pass on token-sized
+    keys; the vocab side is O(k) and always broadcast, so at 100 TB
+    the plan is two scans + one small-key aggregation, no big join.
+    """
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(text.tokens(F.col("text"))).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(10)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            fround(F.col("n_oov").cast("double") / F.col("n_tokens"), 8).alias(
+                "oov_rate"
+            ),
+        )
+    )
