@@ -1154,3 +1154,119 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_bpe_pairs",
+    oracle=r"""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+    ), pairs AS (
+        SELECT substr(tok, CAST(i AS INT), 2) AS pair
+        FROM toks, UNNEST(range(1, length(tok))) AS t(i)
+        WHERE length(tok) >= 2
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY pair
+    ORDER BY pair_count DESC, pair LIMIT 20
+    """,
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent character pairs across the corpus — the
+    counting step of one BPE merge iteration (the pair with the top
+    count is the next merge rule).
+
+    The whole inner loop of BPE vocabulary learning is this shape run
+    repeatedly; expressed as sequence+transform (codegen'd, no Python)
+    → explode → count → top-k, the per-iteration cost at 100 TB is one
+    scan plus a shuffle keyed on ~|alphabet|² pairs, and the top-k is
+    TakeOrderedAndProject (never a global sort).
+    """
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    toks = docs.select(F.explode(text.tokens(F.col("text"))).alias("tok"))
+    pairs = (
+        toks.filter(F.length("tok") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_image_stats",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS asset_id,
+           CAST(8 + (doc_id % 5) * 4 AS BIGINT) AS width,
+           CAST(6 + (doc_id % 3) * 6 AS BIGINT) AS height,
+           CAST(CAST((8 + (doc_id % 5) * 4 - 1) / 2.0
+                     + (6 + (doc_id % 3) * 6 - 1) AS REAL) AS DOUBLE) AS mean_r,
+           CAST(CAST((8 + (doc_id % 5) * 4 - 1) / 2.0
+                     + (6 + (doc_id % 3) * 6 - 1) + 85 AS REAL) AS DOUBLE) AS mean_g,
+           CAST(CAST((8 + (doc_id % 5) * 4 - 1) / 2.0
+                     + (6 + (doc_id % 3) * 6 - 1) + 170 AS REAL) AS DOUBLE) AS mean_b
+    FROM documents
+    """,
+)
+def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Width/height/per-channel mean over REAL image decode.
+
+    Exercises the full multimodal plumbing end-to-end with zero
+    external codecs: deterministic PPM (P6) payloads are generated per
+    doc (gradient pixel (x, y, c) = x + 2y + 85c, all values < 256 so
+    no wraparound), carried as opaque binary asset rows, and decoded
+    by the pure-numpy PPM decoder inside mapInPandas — the exact
+    Arrow-batched plan a JPEG decoder would run, scan-shaped with no
+    shuffle.  The oracle is the closed form of the gradient's mean:
+    mean_c = (w-1)/2 + (h-1) + 85c, float32-rounded exactly as the
+    decode path rounds.
+    """
+    apply_runtime_conf(spark)
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    gen_schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w = 8 + (int(doc_id) % 5) * 4
+                h = 6 + (int(doc_id) % 3) * 6
+                x = np.arange(w, dtype=np.uint16)[None, :, None]
+                y = np.arange(h, dtype=np.uint16)[:, None, None]
+                c = np.arange(3, dtype=np.uint16)[None, None, :]
+                img = (x + 2 * y + 85 * c).astype(np.uint8)
+                payloads.append(multimodal.encode_ppm(img))
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
+
+    raw = docs.mapInPandas(gen, schema=gen_schema)
+    assets = multimodal.as_binary_assets(raw, "asset_id", F.col("payload"), "image")
+    decoded = multimodal.decode_images(assets)
+    return decoded.select(
+        "asset_id",
+        "width",
+        "height",
+        F.element_at("mean_rgb", 1).cast("double").alias("mean_r"),
+        F.element_at("mean_rgb", 2).cast("double").alias("mean_g"),
+        F.element_at("mean_rgb", 3).cast("double").alias("mean_b"),
+    )

@@ -116,3 +116,44 @@ def test_centroid_assign_broadcasts_and_group_limits(spark, sf_dir):
 def test_dedup_latest_group_limits_before_shuffle(spark, sf_dir):
     plan = plan_of(REGISTRY["q_dedup_latest"].fn(spark, sf_dir))
     assert "WindowGroupLimit" in plan
+
+
+def n_exchanges(plan: str) -> int:
+    import re
+
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+
+def test_ewma_single_shuffle_no_python(spark, sf_dir):
+    """EWMA = collect-sort-fold per key: exactly one exchange, the
+    fold stays in codegen'd higher-order builtins (no Python eval)."""
+    plan = plan_of(REGISTRY["q_ewma"].fn(spark, sf_dir))
+    assert n_exchanges(plan) == 1
+    assert "partial_collect_list" in plan  # map-side partial agg
+    assert "Python" not in plan
+
+
+def test_ohlc_is_one_aggregate_no_window(spark, sf_dir):
+    """Ordered open/close picks ride min_by/max_by inside one hash
+    aggregate — never a per-group Window sort over the event log."""
+    plan = plan_of(REGISTRY["q_ohlc"].fn(spark, sf_dir))
+    assert "Window" not in plan
+    assert n_exchanges(plan) == 1
+    assert "partial_min_by" in plan
+
+
+def test_market_basket_broadcasts_dims(spark, sf_dir):
+    """Item counts + the scalar order count join back as broadcasts;
+    the pair self-join is an equi-join on the order key, never a
+    cartesian pass."""
+    plan = plan_of(REGISTRY["q_market_basket"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_topk_queries_never_global_sort(spark, sf_dir):
+    """Vocab/merge-candidate top-k must be TakeOrderedAndProject (heap
+    per partition + driver merge), not a full sort."""
+    for qid in ("q_oov_rate", "q_bpe_pairs"):
+        plan = plan_of(REGISTRY[qid].fn(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, qid
