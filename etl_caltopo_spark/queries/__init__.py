@@ -30,5 +30,6 @@ from etl_caltopo_spark.queries import extended4  # noqa: F401,E402
 from etl_caltopo_spark.queries import analytics  # noqa: F401,E402
 from etl_caltopo_spark.queries import timeseries  # noqa: F401,E402
 from etl_caltopo_spark.queries import retail  # noqa: F401,E402
+from etl_caltopo_spark.queries import extended5  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]
