@@ -460,3 +460,242 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.regr_slope(ln_n, ln_r), 4).alias("zipf_slope"),
         fround(F.regr_r2(ln_n, ln_r), 4).alias("zipf_r2"),
     )
+
+
+# Deterministic synthetic coordinates for geo operators: the synthetic
+# tables carry no lat/lon, so a fixed multiplicative-hash projection of
+# the entity key onto the globe stands in (same derivation on both
+# engines — the geo MATH is what's under test, mirroring the
+# reference's geometry handling in caltopo/geometry.py and
+# task.ts:102-140 where features carry Point coordinates).
+def _lat_c(key: str) -> F.Column:
+    return (F.col(key) * 37) % 18000 - 9000
+
+
+def _lon_c(key: str) -> F.Column:
+    return (F.col(key) * 91) % 36000 - 18000
+
+
+_SQL_LAT = "((({k}) * 37) % 18000 - 9000)"
+_SQL_LON = "((({k}) * 91) % 36000 - 18000)"
+
+
+@query(
+    "q_geo_bbox",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_nationkey,
+               {_SQL_LAT.format(k='c_custkey')} AS lat_c,
+               {_SQL_LON.format(k='c_custkey')} AS lon_c
+        FROM customer
+    )
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_points,
+           min(lat_c) / 100.0 AS min_lat,
+           max(lat_c) / 100.0 AS max_lat,
+           min(lon_c) / 100.0 AS min_lon,
+           max(lon_c) / 100.0 AS max_lon,
+           floor(sum(lat_c) / (count(*) * 100.0) * 10000) / 10000
+               AS centroid_lat,
+           floor(sum(lon_c) / (count(*) * 100.0) * 10000) / 10000
+               AS centroid_lon
+    FROM pts JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group bounding box + centroid over point sets — the map-
+    extent aggregation the reference's folder/map UI implies (features
+    are grouped into folders, task.ts:142-152; an extent is the
+    min/max over their coordinates).  Coordinates are integer
+    centidegrees until the final division, so min/max are exact and
+    the centroid is a double over exact integer sums (4-dp floor).
+    One partial-agg shuffle on nationkey; nation is broadcast."""
+    apply_runtime_conf(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    pts = cust.select(
+        "c_nationkey",
+        _lat_c("c_custkey").alias("lat_c"),
+        _lon_c("c_custkey").alias("lon_c"),
+    )
+    n = F.count("*")
+    return (
+        pts.join(F.broadcast(nat), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            n.cast("bigint").alias("n_points"),
+            (F.min("lat_c") / 100.0).alias("min_lat"),
+            (F.max("lat_c") / 100.0).alias("max_lat"),
+            (F.min("lon_c") / 100.0).alias("min_lon"),
+            (F.max("lon_c") / 100.0).alias("max_lon"),
+            fround(F.sum("lat_c") / (n * 100.0), 4).alias("centroid_lat"),
+            fround(F.sum("lon_c") / (n * 100.0), 4).alias("centroid_lon"),
+        )
+    )
+
+
+@query(
+    "q_geo_haversine",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT DISTINCT o_custkey, l_suppkey
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), pts AS (
+        SELECT o_custkey, l_suppkey,
+               radians({_SQL_LAT.format(k='o_custkey')} / 100.0) AS la1,
+               radians({_SQL_LON.format(k='o_custkey')} / 100.0) AS lo1,
+               radians({_SQL_LAT.format(k='l_suppkey')} / 100.0) AS la2,
+               radians({_SQL_LON.format(k='l_suppkey')} / 100.0) AS lo2
+        FROM pairs
+    ), d AS (
+        SELECT o_custkey, l_suppkey,
+               floor(2.0 * 6371.0 * asin(sqrt(
+                   sin((la2 - la1) / 2) * sin((la2 - la1) / 2)
+                   + cos(la1) * cos(la2)
+                     * sin((lo2 - lo1) / 2) * sin((lo2 - lo1) / 2)
+               )) * 10000) / 10000 AS dist_km
+        FROM pts
+    )
+    SELECT o_custkey, l_suppkey, dist_km
+    FROM d
+    ORDER BY dist_km DESC, o_custkey, l_suppkey
+    LIMIT 20
+    """,
+)
+def q_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle (haversine) distance over customer->supplier
+    trade links, top-20 longest — the geodesic primitive under any
+    track-length / proximity query on the reference's Point features
+    (task.ts:81, geometry passthrough).  Trig runs row-level on both
+    engines; 4-dp floor absorbs libm ulps, and the top-k orders by
+    the TRUNCATED value with full key tie-breaks so rank flips
+    can't change the selected set.  Plan: one shuffle for the
+    distinct pair projection, then TakeOrderedAndProject (heap
+    top-k, no global sort)."""
+    apply_runtime_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    la1 = F.radians(_lat_c("o_custkey") / 100.0)
+    lo1 = F.radians(_lon_c("o_custkey") / 100.0)
+    la2 = F.radians(_lat_c("l_suppkey") / 100.0)
+    lo2 = F.radians(_lon_c("l_suppkey") / 100.0)
+    hav = (
+        F.sin((la2 - la1) / 2) * F.sin((la2 - la1) / 2)
+        + F.cos(la1) * F.cos(la2) * F.sin((lo2 - lo1) / 2) * F.sin((lo2 - lo1) / 2)
+    )
+    dist = fround(F.lit(2.0) * 6371.0 * F.asin(F.sqrt(hav)), 4)
+    return (
+        pairs.select("o_custkey", "l_suppkey", dist.alias("dist_km"))
+        .orderBy(F.col("dist_km").desc(), "o_custkey", "l_suppkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q_corr_matrix",
+    oracle="""
+    SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+           floor(corr(l_quantity, l_extendedprice) * 10000) / 10000 AS pearson_r
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount',
+           floor(corr(l_quantity, l_discount) * 10000) / 10000 FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', 'l_tax',
+           floor(corr(l_quantity, l_tax) * 10000) / 10000 FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount',
+           floor(corr(l_extendedprice, l_discount) * 10000) / 10000 FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_tax',
+           floor(corr(l_extendedprice, l_tax) * 10000) / 10000 FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', 'l_tax',
+           floor(corr(l_discount, l_tax) * 10000) / 10000 FROM lineitem
+    """,
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the lineitem numeric
+    measures, unpivoted to (col_x, col_y, r) rows — the feature-
+    profiling step of a training-data pipeline.  ONE scan and ONE
+    partial-agg shuffle computes all six coefficients (a single agg
+    node), then the 1x6 row is exploded driver-side-free via stack;
+    4-dp floor (q_agg_corr policy)."""
+    apply_runtime_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    aggs = [
+        fround(F.corr(a, b), 4).alias(f"r_{i}") for i, (a, b) in enumerate(pairs)
+    ]
+    wide = li.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{a}', '{b}', r_{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {stack_expr}) AS (col_x, col_y, pearson_r)"
+    )
+
+
+@query(
+    "q_readability",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               greatest(len(list_filter(string_split(text, ' '),
+                                        x -> x <> '')), 1) AS n_words,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents,
+               len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_sylls
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sents AS BIGINT) AS n_sents,
+           CAST(n_sylls AS BIGINT) AS n_sylls,
+           floor((206.835 - 1.015 * (n_words / CAST(n_sents AS DOUBLE))
+                  - 84.6 * (n_sylls / CAST(n_words AS DOUBLE))) * 100) / 100
+               AS flesch
+    FROM m
+    """,
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring per document (vowel-group syllable
+    heuristic) — a standard corpus-quality feature next to
+    q_quality_score / q_repetition_score.  All three counts are
+    integers from engine-portable regexes ([aeiouy]+ and [.!?]+ mean
+    the same in Java regex and RE2); the score is a double over exact
+    ints, 2-dp floor.  Narrow projection, zero shuffles — a pure map
+    stage that scales embarrassingly."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.greatest(
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")), F.lit(1)
+    )
+    n_sents = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit(r"[.!?]+"), 0)), F.lit(1)
+    )
+    n_sylls = F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"[aeiouy]+"), 0))
+    m = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_sylls.alias("n_sylls"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words") / F.col("n_sents").cast("double"))
+        - F.lit(84.6) * (F.col("n_sylls") / F.col("n_words").cast("double"))
+    )
+    return m.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_sents").cast("bigint").alias("n_sents"),
+        F.col("n_sylls").cast("bigint").alias("n_sylls"),
+        fround(flesch, 2).alias("flesch"),
+    )

@@ -764,7 +764,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_repetition_score",
-    oracle="""
+    oracle=r"""
     WITH toks AS (
         SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
         FROM documents

@@ -157,3 +157,43 @@ def test_topk_queries_never_global_sort(spark, sf_dir):
     for qid in ("q_oov_rate", "q_bpe_pairs"):
         plan = plan_of(REGISTRY[qid].fn(spark, sf_dir))
         assert "TakeOrderedAndProject" in plan, qid
+
+
+def test_hhi_broadcasts_all_dims_single_fact_shuffle(spark, sf_dir):
+    """lineitem joins part/supplier/nation as broadcasts; the only
+    fact-table exchange is the (nation, brand) partial aggregation."""
+    plan = plan_of(REGISTRY["q_hhi"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_geo_haversine_heap_topk_trig_in_codegen(spark, sf_dir):
+    """Top-20 distances: heap top-k (no global sort), and the trig
+    expression stays JVM-side (no Python eval in the plan)."""
+    plan = plan_of(REGISTRY["q_geo_haversine"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
+
+
+def test_readability_is_pure_map_stage(spark, sf_dir):
+    """Per-doc regex scoring: zero exchanges, narrow ReadSchema
+    (doc_id + text only)."""
+    plan = plan_of(REGISTRY["q_readability"].fn(spark, sf_dir))
+    assert n_exchanges(plan) == 0
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_corr_matrix_single_aggregate(spark, sf_dir):
+    """All six Pearson coefficients in one scan + one partial-agg
+    shuffle — never six scans of the fact table."""
+    plan = plan_of(REGISTRY["q_corr_matrix"].fn(spark, sf_dir))
+    assert n_exchanges(plan) == 1
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_graph_degree_equi_join_not_cartesian(spark, sf_dir):
+    """The pair self-join must bind on l_orderkey (equi-join); the
+    a<b orientation is a post-join filter, not a nested loop."""
+    plan = plan_of(REGISTRY["q_graph_degree"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
