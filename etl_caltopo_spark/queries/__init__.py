@@ -31,5 +31,6 @@ from etl_caltopo_spark.queries import analytics  # noqa: F401,E402
 from etl_caltopo_spark.queries import timeseries  # noqa: F401,E402
 from etl_caltopo_spark.queries import retail  # noqa: F401,E402
 from etl_caltopo_spark.queries import extended5  # noqa: F401,E402
+from etl_caltopo_spark.queries import extended6  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

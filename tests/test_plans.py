@@ -197,3 +197,46 @@ def test_graph_degree_equi_join_not_cartesian(spark, sf_dir):
     plan = plan_of(REGISTRY["q_graph_degree"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ttest_single_pass_narrow_scan(spark, sf_dir):
+    """Welch t-test: ONE conditional-agg pass — one scan, one
+    exchange, ReadSchema pruned to flag + price."""
+    plan = plan_of(REGISTRY["q_ttest_welch"].fn(spark, sf_dir))
+    assert n_exchanges(plan) == 1
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "ReadSchema: struct<l_extendedprice:double,l_returnflag:string>" in plan
+
+
+def test_chi_square_broadcasts_dims(spark, sf_dir):
+    """Contingency build joins nation/region as broadcasts; the fact
+    table is scanned once and never sort-merge joined."""
+    plan = plan_of(REGISTRY["q_chi_square"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "ReadSchema: struct<c_nationkey:int,c_mktsegment:string>" in plan
+
+
+def test_cardinality_profile_one_scan_expand(spark, sf_dir):
+    """Three exact DISTINCT aggregates resolve to a single scan with
+    Expand — never one scan per profiled column."""
+    plan = plan_of(REGISTRY["q_cardinality_profile"].fn(spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Expand" in plan
+
+
+def test_table_fingerprint_single_scan_no_topk(spark, sf_dir):
+    """Row-hash checksum reduces on executors: one scan, no
+    TakeOrdered/collect-like node, hashing stays JVM-side."""
+    plan = plan_of(REGISTRY["q_table_fingerprint"].fn(spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Python" not in plan
+
+
+def test_kmeans_update_broadcasts_centroids(spark, sf_dir):
+    """M-step: centroid side is broadcast (nested-loop over the
+    8-row build side, never a shuffled join of the points)."""
+    plan = plan_of(REGISTRY["q_kmeans_update"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
