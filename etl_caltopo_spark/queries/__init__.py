@@ -32,5 +32,6 @@ from etl_caltopo_spark.queries import timeseries  # noqa: F401,E402
 from etl_caltopo_spark.queries import retail  # noqa: F401,E402
 from etl_caltopo_spark.queries import extended5  # noqa: F401,E402
 from etl_caltopo_spark.queries import extended6  # noqa: F401,E402
+from etl_caltopo_spark.queries import extended7  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

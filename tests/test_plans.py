@@ -240,3 +240,32 @@ def test_kmeans_update_broadcasts_centroids(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_knn_classify_broadcast_jvm_side(spark, sf_dir):
+    """All-pairs k-NN: neighbor side broadcast, cosine stays in
+    codegen'd higher-order builtins (no Python eval), doc scan
+    prunes to id+label+vector."""
+    plan = plan_of(REGISTRY["q_knn_classify"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_minmax_scale_single_shuffle(spark, sf_dir):
+    """Per-group scaling: one exchange on the group key, narrow
+    three-column scan."""
+    plan = plan_of(REGISTRY["q_minmax_scale"].fn(spark, sf_dir))
+    assert n_exchanges(plan) == 1
+    assert (
+        "ReadSchema: struct<c_custkey:bigint,c_acctbal:double,c_mktsegment:string>"
+        in plan
+    )
+
+
+def test_train_test_split_pure_map_plus_agg(spark, sf_dir):
+    """Hash split: deterministic key arithmetic in the map stage, one
+    2-group aggregate; text column never read."""
+    plan = plan_of(REGISTRY["q_train_test_split"].fn(spark, sf_dir))
+    assert n_exchanges(plan) == 1
+    assert "ReadSchema: struct<doc_id:bigint,n_chars:bigint>" in plan
