@@ -35,17 +35,32 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Vectorized parquet scan of one synthetic table.
 
-    events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
-    reader rejects by default; it is read via the nanos-as-long legacy
-    path and floor-converted to microseconds (matching how DuckDB's
-    TIMESTAMP truncates the same column — keeps the oracle aligned).
+    events.parquet carries TIMESTAMP(NANOS).  Spark 4.1 reads that
+    natively as TIMESTAMP_NTZ truncated to microseconds — the same
+    naive wall-clock value DuckDB's TIMESTAMP holds — so NTZ is the
+    canonical ``ts`` dtype engine-wide and all epoch arithmetic goes
+    through functions/temporal.py (timezone-free in any session).
     """
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # nanosAsLong fallback (pre-4.1 sessions): nanos → NTZ µs,
+            # timezone-free, matching the native 4.1 read below.
+            df = df.withColumn(
+                "ts",
+                F.timestamp_add(
+                    "MICROSECOND",
+                    (F.col("ts") / 1000).cast("long"),
+                    F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'"),
+                ),
+            )
+        elif ts_type == "timestamp":
+            # A session configured to read parquet as LTZ: strip the
+            # zone so downstream wall-clock semantics stay engine-
+            # portable (functions/temporal.py).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
         return df
     return spark.read.parquet(path)
 

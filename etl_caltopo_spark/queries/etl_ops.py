@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_caltopo_spark.functions.temporal import epoch_us
 from etl_caltopo_spark.io import load_table
 from etl_caltopo_spark.operators.merge import merge_upsert
 from etl_caltopo_spark.operators.quality import quality_report
@@ -310,7 +311,7 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changes.select(
         "user_id",
         "event_type",
-        F.unix_micros("ts").alias("valid_from_us"),
-        F.unix_micros(valid_to).alias("valid_to_us"),
+        epoch_us("ts").alias("valid_from_us"),
+        epoch_us(valid_to).alias("valid_to_us"),
         valid_to.isNull().alias("is_current"),
     )

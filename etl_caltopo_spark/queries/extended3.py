@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_caltopo_spark.functions.temporal import epoch_day
 from etl_caltopo_spark.io import load_table
 from etl_caltopo_spark.queries.registry import query
 from etl_caltopo_spark.session import apply_runtime_conf
@@ -71,7 +72,7 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines; sum recovers the 2-dp grid exactly."""
     apply_runtime_conf(spark)
     orders = load_table(spark, sf_dir, "orders")
-    day = F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long")
+    day = epoch_day("o_orderdate")
     w = (
         Window.partitionBy("o_custkey")
         .orderBy(day)

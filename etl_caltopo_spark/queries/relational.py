@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_caltopo_spark.functions.numeric import fround
+from etl_caltopo_spark.functions.temporal import date_epoch_seconds
 from etl_caltopo_spark.io import load_table
 from etl_caltopo_spark.queries.registry import query
 from etl_caltopo_spark.session import apply_runtime_conf
@@ -346,7 +347,7 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").alias("m"),
         F.dayofmonth("o_orderdate").alias("d"),
         F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
-        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        date_epoch_seconds("o_orderdate").alias("epoch_s"),
     )
 
 

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_caltopo_spark.functions.numeric import fround
+from etl_caltopo_spark.functions.temporal import epoch_us
 from etl_caltopo_spark.io import load_table
 from etl_caltopo_spark.queries.registry import query
 from etl_caltopo_spark.session import apply_runtime_conf
@@ -160,7 +161,7 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_new = F.when(
         F.lag("ts").over(w).isNull()
         | (
-            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+            (epoch_us("ts") - epoch_us(F.lag("ts").over(w)))
             > 1_800_000_000
         ),
         1,
@@ -175,7 +176,7 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return numbered.groupBy("user_id", "session_seq").agg(
         F.count("*").alias("n_events"),
-        (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias(
+        (F.max(epoch_us("ts")) - F.min(epoch_us("ts"))).alias(
             "duration_us"
         ),
     )

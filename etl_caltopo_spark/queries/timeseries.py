@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_caltopo_spark.functions.numeric import fround, sql_fround
+from etl_caltopo_spark.functions.temporal import epoch_us
 from etl_caltopo_spark.io import load_table
 from etl_caltopo_spark.queries.registry import query
 from etl_caltopo_spark.session import apply_runtime_conf
@@ -36,7 +37,7 @@ _TICK_KEY_SQL = "printf('%020d|%020d', epoch_us(ts), event_id)"
 
 def _tick_key() -> F.Column:
     return F.format_string(
-        "%020d|%020d", F.unix_micros(F.col("ts")), F.col("event_id")
+        "%020d|%020d", epoch_us("ts"), F.col("event_id")
     )
 
 
