@@ -35,16 +35,18 @@ def main() -> None:
         spec = REGISTRY[name]
         # run once to amortize one-time whole-stage-codegen compilation
         # (seconds for the larger expression trees; irrelevant at real
-        # scale where a query runs minutes), then report the best of
-        # two warm runs — count() forces every operator in the plan,
-        # min-of-2 damps scheduler jitter in the recorded artifact
+        # scale where a query runs minutes), then report the median of
+        # five warm runs — count() forces every operator in the plan.
+        # Median-of-5 over min-of-2 because sub-second queries see
+        # ±20% scheduler jitter that made round-over-round deltas
+        # meaningless noise.
         spec.fn(spark, sf_dir).count()
         samples = []
-        for _ in range(2):
+        for _ in range(5):
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)
-        times[name] = round(min(samples), 3)
+        times[name] = round(sorted(samples)[2], 3)
     total = round(sum(times.values()), 3)
     print(
         json.dumps(

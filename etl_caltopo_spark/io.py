@@ -40,27 +40,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     naive wall-clock value DuckDB's TIMESTAMP holds — so NTZ is the
     canonical ``ts`` dtype engine-wide and all epoch arithmetic goes
     through functions/temporal.py (timezone-free in any session).
+
+    Requires Spark >= 4.1 for the native NANOS read; a pre-4.1 session
+    must set ``spark.sql.legacy.parquet.nanosAsLong=true`` before
+    reading, which lands in the bigint fallback branch below.
     """
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         df = spark.read.parquet(path)
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
-            # nanosAsLong fallback (pre-4.1 sessions): nanos → NTZ µs,
-            # timezone-free, matching the native 4.1 read below.
+            # nanosAsLong fallback: nanos → NTZ µs.  Integer DIV, not
+            # '/': long '/' is double division and nano epochs
+            # (~1.7e18) exceed double's 53-bit mantissa.
             df = df.withColumn(
                 "ts",
                 F.timestamp_add(
                     "MICROSECOND",
-                    (F.col("ts") / 1000).cast("long"),
+                    F.expr("ts DIV 1000"),
                     F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'"),
                 ),
             )
         elif ts_type == "timestamp":
-            # A session configured to read parquet as LTZ: strip the
-            # zone so downstream wall-clock semantics stay engine-
-            # portable (functions/temporal.py).
-            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+            # A session configured to read parquet as LTZ: rebuild the
+            # NTZ wall-clock from the instant's epoch micros —
+            # session-timezone-independent, unlike a plain NTZ cast.
+            df = df.withColumn(
+                "ts",
+                F.timestamp_add(
+                    "MICROSECOND",
+                    F.unix_micros(F.col("ts")),
+                    F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'"),
+                ),
+            )
         return df
     return spark.read.parquet(path)
 

@@ -2,14 +2,15 @@
 
 Media are opaque ``binary`` columns with typed metadata, processed by
 Arrow-batched ``mapInPandas`` so each executor sees columnar batches,
-never row-at-a-time Python.  Two decode paths are fully real: binary
-PPM (P6) images via pure numpy (``encode_ppm``/``decode_ppm``/
-``decode_images``) and RIFF/WAVE PCM16 audio via pure struct+numpy
-(``encode_wav``/``decode_wav``/``decode_audio``).
-Codec work needing external libraries (JPEG/PNG/MP3/video) is
-STUBBED — not present in this container — but runs in the identical
-Spark-side contract (schemas, batch shapes, partitioning), all tested
-(tests/test_llm_ops.py).
+never row-at-a-time Python.  Three decode paths are fully real: PNG
+(8-bit gray/RGB/±alpha, stdlib zlib + all five scanline unfilters —
+``encode_png``/``decode_png``), binary PPM (P6) via pure numpy
+(``encode_ppm``/``decode_ppm``), and RIFF/WAVE PCM16 audio via pure
+struct+numpy (``encode_wav``/``decode_wav``/``decode_audio``).
+``decode_image`` magic-sniffs and dispatches; codec work needing
+external libraries (JPEG/MP3/video) returns None under the dirty-row
+policy but runs in the identical Spark-side contract (schemas, batch
+shapes, partitioning), all tested (tests/test_llm_ops.py).
 """
 
 from __future__ import annotations
@@ -56,15 +57,165 @@ def as_binary_assets(df: DataFrame, id_col: str, payload_col: Column, media_type
     )
 
 
-def decode_image(payload: bytes) -> object:
-    """STUB — general image decode (JPEG/PNG/...) requires a codec
-    library not present in this environment.  The mapInPandas plumbing
-    around it is real, and :func:`decode_ppm` is a fully real decoder
-    for the one format pure numpy can handle."""
-    raise NotImplementedError(
-        "image decode stub: install a codec (e.g. Pillow) and decode "
-        "payload bytes here; PPM payloads decode for real via decode_ppm"
+#: PNG file signature
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_image(payload: bytes):
+    """General image decode dispatcher — magic-sniffs the payload and
+    routes to a REAL pure-python decoder: PNG (:func:`decode_png`,
+    zlib is stdlib) or binary PPM (:func:`decode_ppm`).  Compressed
+    formats needing an external codec (JPEG/WebP/...) and any
+    undecodable payload return None — dirty rows flow through as
+    nulls instead of failing the job, the same policy as try_*
+    expressions."""
+    if payload is None:
+        return None
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    return None
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
     )
+
+
+def encode_png(pixels, filter_type: int = 0) -> bytes:
+    """Encode an (H, W[, C]) uint8 array (C in {1,2,3,4} → gray/
+    gray+alpha/RGB/RGBA) as a non-interlaced 8-bit PNG — pure
+    struct+zlib.  ``filter_type`` applies one of the five standard
+    scanline filters (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth) to
+    every row; filtering against the ORIGINAL pixels is fully
+    vectorizable, so this doubles as the fixture generator that
+    exercises every unfilter branch of :func:`decode_png`."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, channels = arr.shape
+    colortype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    flat = arr.reshape(h, w * channels).astype(np.int32)
+    bpp = channels
+
+    def shifted(row):  # value bpp bytes to the left, 0 past the edge
+        return np.concatenate([np.zeros(bpp, dtype=np.int32), row[:-bpp]])
+
+    out = []
+    prev = np.zeros(w * channels, dtype=np.int32)
+    for r in range(h):
+        cur = flat[r]
+        if filter_type == 0:
+            filtered = cur
+        elif filter_type == 1:
+            filtered = (cur - shifted(cur)) & 0xFF
+        elif filter_type == 2:
+            filtered = (cur - prev) & 0xFF
+        elif filter_type == 3:
+            filtered = (cur - ((shifted(cur) + prev) >> 1)) & 0xFF
+        elif filter_type == 4:
+            a, b, c = shifted(cur), prev, shifted(prev)
+            p = a + b - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+            filtered = (cur - pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {filter_type}")
+        out.append(bytes([filter_type]) + filtered.astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """REAL decoder: non-interlaced 8-bit-depth PNG (gray / gray+alpha
+    / RGB / RGBA) → (H, W[, C]) uint8 numpy array.  Pure stdlib zlib
+    inflate + the five standard scanline unfilters.  Up unfilters
+    vectorized per row; Sub/Average/Paeth reconstruct left-to-right
+    (an inherent byte dependency chain — acceptable inside an Arrow
+    batch; a columnar engine would JIT this).  Palette, 16-bit,
+    interlaced, or truncated payloads return None (dirty-row
+    policy)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload is None or payload[:8] != _PNG_SIG:
+        return None
+    pos, dims, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + clen]
+        if ctype == b"IHDR" and len(body) == 13:
+            dims = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if dims is None or not idat:
+        return None
+    w, h, bitdepth, colortype, _comp, _filt, interlace = dims
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(colortype)
+    if channels is None or bitdepth != 8 or interlace != 0 or w == 0 or h == 0:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride, bpp = w * channels, channels
+    if len(raw) < h * (stride + 1):
+        return None
+    rows = np.frombuffer(raw[: h * (stride + 1)], dtype=np.uint8).reshape(
+        h, stride + 1
+    )
+    filters, data = rows[:, 0], rows[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    for r in range(h):
+        f, row = filters[r], data[r]
+        prev = out[r - 1] if r else np.zeros(stride, dtype=np.int32)
+        if f == 0:
+            out[r] = row
+        elif f == 2:  # Up: no intra-row dependency, vector add
+            out[r] = (row + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub/Average/Paeth: left-to-right chain
+            cur = out[r]
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + prev[i]) >> 1
+                else:
+                    b, c = prev[i], (prev[i - bpp] if i >= bpp else 0)
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[i] = (row[i] + pred) & 0xFF
+        else:
+            return None
+    arr = out.astype(np.uint8).reshape(h, w, channels)
+    return arr if channels > 1 else arr.reshape(h, w)
 
 
 def encode_ppm(pixels) -> bytes:
@@ -204,9 +355,11 @@ def decode_audio(assets: DataFrame) -> DataFrame:
 
 
 def decode_images(assets: DataFrame) -> DataFrame:
-    """mapInPandas over PPM payloads: width/height/mean-RGB per asset —
-    a real decode running in the exact plan shape a JPEG decoder would
-    use (Arrow batches in, declared schema out, no shuffle)."""
+    """mapInPandas over image payloads (PNG or PPM, magic-sniffed via
+    :func:`decode_image`): width/height/mean-RGB per asset — a real
+    decode running in the exact plan shape a JPEG decoder would use
+    (Arrow batches in, declared schema out, no shuffle).  Grayscale
+    replicates to 3 channels; alpha is dropped from the mean."""
     out_schema = StructType(
         [
             StructField("asset_id", LongType(), False),
@@ -220,13 +373,19 @@ def decode_images(assets: DataFrame) -> DataFrame:
         for pdf in batches:
             widths, heights, means = [], [], []
             for b in pdf["payload"]:
-                img = decode_ppm(b)
+                img = decode_image(b)
                 if img is None:
                     widths.append(None), heights.append(None), means.append(None)
                 else:
+                    if img.ndim == 2:  # gray → replicate
+                        m = [float(img.mean())] * 3
+                    elif img.shape[2] == 2:  # gray+alpha → replicate gray
+                        m = [float(img[:, :, 0].mean())] * 3
+                    else:  # RGB / RGBA → first three channels
+                        m = [float(x) for x in img[:, :, :3].mean(axis=(0, 1))]
                     widths.append(img.shape[1])
                     heights.append(img.shape[0])
-                    means.append([float(x) for x in img.mean(axis=(0, 1))])
+                    means.append(m)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],

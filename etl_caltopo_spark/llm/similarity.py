@@ -180,6 +180,80 @@ def ivf_topk(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
+def ivf_candidate_pairs(
+    emb: DataFrame,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    carry: tuple[str, ...] = (),
+    seed: int = 42,
+) -> DataFrame:
+    """All-points ANN candidate generation — the scale path for kNN
+    graph / classification workloads where EVERY row is a query.
+
+    A KMeans coarse quantizer assigns each vector to a cell; each
+    query point probes its ``n_probe`` nearest cells and meets only
+    the vectors stored there.  Output: one row per candidate pair
+    (``qid``/``nid``, carried columns prefixed ``q_``/``n_``, vectors
+    ``qv``/``nv``) with qid != nid.  A pair appears at most once (a
+    neighbor lives in exactly one cell).
+
+    Scale shape: the probe assignment is a broadcast nested loop over
+    the tiny (n_cells x dim) centers table + a per-point top-n_probe
+    WindowGroupLimit; the pair join is an EQUI-join shuffled on the
+    cell id — fan-in is ~n_probe/n_cells of all pairs, never a
+    broadcast of the fact table and never a cartesian product.  At
+    100 TB the cell assignment is precomputed and the table bucketed
+    by cell, making the join co-located.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.window import Window
+
+    with_features = emb.withColumn(
+        "_features", array_to_vector(_as_double(F.col(vec_col)))
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="_features").fit(with_features)
+    assigned = (
+        model.transform(with_features)
+        .withColumnRenamed("prediction", "_cell")
+        .drop("_features")
+    )
+    spark = emb.sparkSession
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "_ccell int, _center array<double>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(_as_double(F.col(vec_col)), F.col("_center"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_d2").asc(), F.col("_ccell"))
+    probes = (
+        assigned.crossJoin(F.broadcast(centers))
+        .withColumn("_d2", d2)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_probe)
+    )
+    q = probes.select(
+        F.col(id_col).alias("qid"),
+        *[F.col(c).alias(f"q_{c}") for c in carry],
+        F.col(vec_col).alias("qv"),
+        F.col("_ccell").alias("_probe"),
+    )
+    n = assigned.select(
+        F.col(id_col).alias("nid"),
+        *[F.col(c).alias(f"n_{c}") for c in carry],
+        F.col(vec_col).alias("nv"),
+        "_cell",
+    )
+    return q.join(
+        n, (F.col("_probe") == F.col("_cell")) & (F.col("qid") != F.col("nid"))
+    ).drop("_probe", "_cell")
+
+
 def lsh_bucket_topk(
     emb: DataFrame,
     query: DataFrame,

@@ -34,52 +34,9 @@ from etl_caltopo_spark.queries import extended5  # noqa: F401,E402
 from etl_caltopo_spark.queries import extended6  # noqa: F401,E402
 from etl_caltopo_spark.queries import extended7  # noqa: F401,E402
 
-# ---------------------------------------------------------------------------
-# Registry ordering.  The driver's correctness harness samples queries in
-# registry (insertion) order — round 1 graded exactly the first 50 ids — so
-# the front of the dict is curated: one representative per operator family,
-# every id oracle-checked (plus q_dedup_near, intentionally rows-only, so a
-# sketch-family weaker check is visible in the graded sample).  Everything
-# else keeps module insertion order behind the showcase.
-# ---------------------------------------------------------------------------
-_SHOWCASE = [
-    # decode / scalar expression core
-    "q_from_json", "q_filter_compound", "q_project_struct", "q_cast_rename",
-    "q_coalesce_default", "q_when_dispatch", "q_string_funcs", "q_math_funcs",
-    "q_date_funcs", "q_json_extract", "q_map_ops", "q_array_slice",
-    # join family
-    "q_broadcast_left_join", "q_join_inner", "q_join_multiway", "q_join_semi",
-    "q_join_anti", "q_join_outer", "q_join_range", "q_join_asof",
-    # aggregation family
-    "q_agg_group", "q_agg_distinct", "q_agg_rollup", "q_agg_global",
-    # window family
-    "q_window_rank", "q_window_lag", "q_window_running", "q_sort", "q_topk",
-    "q_topk_pergroup",
-    # set ops
-    "q_set_union", "q_set_intersect", "q_set_except",
-    # temporal / sessionization
-    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
-    "q_sessionize_batch", "q_forward_fill", "q_click_attribution",
-    # LLM pipeline: dedup / similarity / text
-    "q_dedup_exact", "q_dedup_near", "q_dedup_jaccard", "q_sim_topk",
-    "q_text_stats", "q_token_count",
-    # TPC-H headliners
-    "q_sql_tpch_q3", "q_sql_tpch_q5", "q_sql_tpch_q6", "q_sql_tpch_q9",
-    "q_sql_tpch_q10",
-]
-
-
-def _reorder(priority: list[str]) -> None:
-    missing = [n for n in priority if n not in REGISTRY]
-    if missing:
-        raise ValueError(f"showcase ids not registered: {missing}")
-    snapshot = dict(REGISTRY)
-    ordered = priority + [n for n in snapshot if n not in set(priority)]
-    REGISTRY.clear()
-    for n in ordered:
-        REGISTRY[n] = snapshot[n]
-
-
-_reorder(_SHOWCASE)
+# Registry order is plain module-import insertion order — no curation.
+# The full-registry correctness record (every id, not any harness
+# sample) is regenerated each round via tools/check_oracle.py and
+# committed as CORRECTNESS_full_r{N}.json.
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

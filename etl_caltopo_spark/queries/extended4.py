@@ -137,14 +137,19 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quadratic distance computation runs on DISTINCT (brand, name)
     pairs only — real catalogs repeat names heavily, so this shrinks
     the Levenshtein fan-in from |rows|^2 to |distinct names|^2 per
-    block — then the verdicts are expanded back to row pairs with two
-    broadcast equi-joins.  Two safe prunes keep even the distinct
-    stage cheap: a length-difference band (|len(a)-len(b)| <= 3 is
-    implied by edit distance <= 3) short-circuits before the DP, and
-    the thresholded levenshtein(l, r, 3) early-terminates its band.
-    The block key keeps every join a hash join (never a cartesian
-    product); at 100 TB only the distinct-name table rides the
-    quadratic term."""
+    block — then the verdicts are expanded back to row pairs with
+    equi-joins.  Two safe prunes keep even the distinct stage cheap: a
+    length-difference band (|len(a)-len(b)| <= 3 is implied by edit
+    distance <= 3) short-circuits before the DP, and the thresholded
+    levenshtein(l, r, 3) early-terminates its band.  The block key
+    keeps every join a hash join (never a cartesian product); at
+    100 TB only the distinct-name table rides the quadratic term.
+
+    Broadcast policy: only ``name_pairs`` — the thresholded survivors,
+    tiny by construction — carries an explicit broadcast hint.  The
+    part-sized sides (distinct names, the part table itself) shuffle
+    as brand-keyed hash joins / get AQE-promoted when small; hinting
+    them would be a broadcast OOM at 100x scale."""
     apply_runtime_conf(spark)
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_name"
@@ -158,7 +163,7 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d3 = F.levenshtein(F.col("name_a"), F.col("name_b"), 3)
     name_pairs = (
-        na.join(F.broadcast(nb), F.col("brand") == F.col("brand_b"))
+        na.join(nb, F.col("brand") == F.col("brand_b"))
         .filter(
             (F.abs(F.length("name_a") - F.length("name_b")) <= 3) & (d3 >= 0)
         )
@@ -176,7 +181,7 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         a.join(F.broadcast(name_pairs), ["brand", "name_a"])
-        .join(F.broadcast(b), ["brand", "name_b"])
+        .join(b, ["brand", "name_b"])
         .filter(F.col("key_a") < F.col("key_b"))
         .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
     )

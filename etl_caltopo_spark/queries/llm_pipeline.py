@@ -312,10 +312,41 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pair graph (iterative min-label propagation with
     localCheckpoint; the oracle computes the same components by
     recursive transitive closure).  This is the step that turns
-    near-dup PAIRS into keep/drop decisions."""
+    near-dup PAIRS into keep/drop decisions.
+
+    Candidate generation here is the label-blocked EXACT pass so the
+    recursive-CTE oracle can replay it; within-block fan-in is
+    quadratic, which holds at eval scale but not at 100 TB — the
+    production path is q_dedup_clusters_lsh, identical propagation
+    over hyperplane-LSH-bucketed candidates."""
     apply_runtime_conf(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = similarity.embedding_near_pairs(emb, "label", threshold=0.3)
+    return dedup.connected_components(
+        emb.select("vec_id"), pairs, id_col="vec_id", src_col="id_a", dst_col="id_b"
+    )
+
+
+@query(
+    "q_dedup_clusters_lsh",
+    oracle=None,
+    note="hyperplane-LSH bucket blocking is hash-family-specific; "
+    "rows-only (refinement property vs the exact clusters is "
+    "asserted in tests/test_llm_ops.py).",
+)
+def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB duplicate-clustering path: candidate pairs come
+    from the random-hyperplane LSH bucket join (vectors agreeing on
+    all 8 sign bits), so pair generation shuffles on the bucket id
+    and the quadratic term is bounded by the largest bucket —
+    near-linear overall — instead of the label-block's |block|^2.
+    Exact-cosine verification inside buckets keeps every emitted edge
+    a true near-dup pair, so the resulting components are a provable
+    REFINEMENT of q_dedup_clusters (never a merge across distinct
+    exact clusters).  Downstream min-label propagation is identical."""
+    apply_runtime_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_pairs_lsh(emb, threshold=0.3, n_planes=8, dim=64)
     return dedup.connected_components(
         emb.select("vec_id"), pairs, id_col="vec_id", src_col="id_a", dst_col="id_b"
     )
@@ -1221,14 +1252,18 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Width/height/per-channel mean over REAL image decode.
 
     Exercises the full multimodal plumbing end-to-end with zero
-    external codecs: deterministic PPM (P6) payloads are generated per
-    doc (gradient pixel (x, y, c) = x + 2y + 85c, all values < 256 so
-    no wraparound), carried as opaque binary asset rows, and decoded
-    by the pure-numpy PPM decoder inside mapInPandas — the exact
-    Arrow-batched plan a JPEG decoder would run, scan-shaped with no
-    shuffle.  The oracle is the closed form of the gradient's mean:
-    mean_c = (w-1)/2 + (h-1) + 85c, float32-rounded exactly as the
-    decode path rounds.
+    external codecs: deterministic payloads are generated per doc
+    (gradient pixel (x, y, c) = x + 2y + 85c, all values < 256 so no
+    wraparound) — PNG for odd doc_ids (stdlib-zlib decoder, scanline
+    filter cycling over all five standard filters per doc so every
+    unfilter branch runs under the oracle) and binary PPM for even
+    ones — carried as opaque binary asset rows and magic-dispatched
+    by decode_image inside mapInPandas: the exact Arrow-batched plan
+    a JPEG decoder would run, scan-shaped with no shuffle.  The
+    oracle is the closed form of the gradient's mean: mean_c =
+    (w-1)/2 + (h-1) + 85c, float32-rounded exactly as the decode
+    path rounds — identical for both formats, so a codec bug in
+    either breaks the hash.
     """
     apply_runtime_conf(spark)
     from collections.abc import Iterator
@@ -1256,7 +1291,12 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 y = np.arange(h, dtype=np.uint16)[:, None, None]
                 c = np.arange(3, dtype=np.uint16)[None, None, :]
                 img = (x + 2 * y + 85 * c).astype(np.uint8)
-                payloads.append(multimodal.encode_ppm(img))
+                if int(doc_id) % 2:
+                    payloads.append(
+                        multimodal.encode_png(img, filter_type=int(doc_id) % 5)
+                    )
+                else:
+                    payloads.append(multimodal.encode_ppm(img))
             yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
 
     raw = docs.mapInPandas(gen, schema=gen_schema)

@@ -22,9 +22,32 @@ def stream_from_parquet_dir(
     return spark.readStream.schema(schema).parquet(path)
 
 
+def as_event_time(df: DataFrame, ts_col: str) -> tuple[DataFrame, bool]:
+    """Watermark-boundary dtype adapter.
+
+    Spark requires event-time columns to be TIMESTAMP (LTZ) —
+    ``withWatermark`` on TIMESTAMP_NTZ raises
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE — while the engine's canonical
+    ``ts`` dtype is NTZ (io.py, so batch oracles stay timezone-free).
+    The session timezone is pinned UTC (session.py), so a plain cast is
+    wall-clock-preserving in both directions.  Returns the adapted
+    frame and whether the caller should cast back to NTZ afterwards.
+    """
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp")), True
+    return df, False
+
+
 def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
     """Late-data bound: rows later than ``delay`` behind the max seen
-    event time are dropped from stateful operators."""
+    event time are dropped from stateful operators.
+
+    NTZ event-time columns are cast to TIMESTAMP first (see
+    ``as_event_time``) and stay TIMESTAMP downstream — re-casting here
+    would shed the event-time watermark designation; callers cast back
+    after their stateful operator if NTZ output is wanted.
+    """
+    df, _ = as_event_time(df, ts_col)
     return df.withWatermark(ts_col, delay)
 
 
@@ -33,7 +56,11 @@ def stream_dedup(
 ) -> DataFrame:
     """Exactly-once-per-key within the watermark horizon
     (dropDuplicates + watermark bounds the dedup state)."""
-    return df.withWatermark(ts_col, delay).dropDuplicates([*keys, ts_col])
+    df, was_ntz = as_event_time(df, ts_col)
+    out = df.withWatermark(ts_col, delay).dropDuplicates([*keys, ts_col])
+    if was_ntz:
+        out = out.withColumn(ts_col, F.col(ts_col).cast("timestamp_ntz"))
+    return out
 
 
 def run_available_now_to_memory(

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_caltopo_spark.streaming.ingest import as_event_time
+
 
 def interval_join(
     left: DataFrame,
@@ -29,7 +31,15 @@ def interval_join(
 ) -> DataFrame:
     """Inner join rows sharing ``key`` where the right event happens in
     ``[left_ts, left_ts + max_delay]``.  Columns must already be
-    disambiguated (no shared names besides ``key``)."""
+    disambiguated (no shared names besides ``key``).
+
+    Event-time dtype: the engine's canonical ``ts`` is TIMESTAMP_NTZ
+    (io.py), which Spark rejects as an event-time column.  Both sides
+    are cast NTZ→TIMESTAMP at this boundary (wall-clock-preserving
+    under the pinned UTC session tz) and cast back after the join so
+    batch-equivalence oracles stay timezone-free."""
+    left, l_ntz = as_event_time(left, left_ts)
+    right, r_ntz = as_event_time(right, right_ts)
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark).withColumnRenamed(key, "_rkey")
     cond = (
@@ -37,4 +47,9 @@ def interval_join(
         & (rw[right_ts] >= lw[left_ts])
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_delay}"))
     )
-    return lw.join(rw, cond, "inner").drop("_rkey")
+    out = lw.join(rw, cond, "inner").drop("_rkey")
+    if l_ntz:
+        out = out.withColumn(left_ts, F.col(left_ts).cast("timestamp_ntz"))
+    if r_ntz:
+        out = out.withColumn(right_ts, F.col(right_ts).cast("timestamp_ntz"))
+    return out

@@ -182,13 +182,20 @@ def test_foreach_partition_post_sink(spark, tmp_path):
     )
 
 
-def test_multimodal_decode_stub_raises():
-    from etl_caltopo_spark.llm.multimodal import decode_image
+def test_multimodal_decode_dispatch():
+    """decode_image magic-sniffs: real PNG/PPM decode; codec formats
+    without a pure-python decoder (JPEG) return None (dirty-row
+    policy), never raise."""
+    import numpy as np
 
-    import pytest as _pytest
+    from etl_caltopo_spark.llm.multimodal import decode_image, encode_png, encode_ppm
 
-    with _pytest.raises(NotImplementedError, match="decode"):
-        decode_image(b"\x89PNG")
+    img = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    assert (decode_image(encode_png(img)) == img).all()
+    assert (decode_image(encode_ppm(img)) == img).all()
+    assert decode_image(b"\xff\xd8\xff\xe0 jpeg-ish") is None
+    assert decode_image(b"\x89PNG") is None  # truncated
+    assert decode_image(None) is None
 
 
 def test_schema_introspection():

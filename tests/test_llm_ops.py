@@ -87,6 +87,86 @@ def test_ivf_topk_finds_exact_match(spark):
     assert out[0]["cos_sim"] >= 0.999999
 
 
+def test_lsh_clusters_refine_allpairs_clusters(spark, sf_dir):
+    """LSH-bucketed edges are a subset of the unblocked all-pairs
+    near-dup edges (bucket agreement is only a prefilter; the exact
+    cosine >= 0.3 verify is identical), so every LSH cluster must sit
+    entirely inside one all-pairs cluster — a deterministic
+    containment property despite approximate recall."""
+    from pyspark.sql import functions as F
+
+    from etl_caltopo_spark.io import load_table
+    from etl_caltopo_spark.llm import dedup
+    from etl_caltopo_spark.queries import REGISTRY
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    allpairs = similarity.embedding_near_pairs(
+        emb.withColumn("_one", F.lit(1)), "_one", threshold=0.3
+    )
+    truth = {
+        r["vec_id"]: r["cluster_id"]
+        for r in dedup.connected_components(
+            emb.select("vec_id"), allpairs, id_col="vec_id", src_col="id_a", dst_col="id_b"
+        ).collect()
+    }
+    lsh_rows = REGISTRY["q_dedup_clusters_lsh"].fn(spark, sf_dir).collect()
+    assert len(lsh_rows) == len(truth)
+    by_lsh_cluster: dict[int, set[int]] = {}
+    for r in lsh_rows:
+        by_lsh_cluster.setdefault(r["cluster_id"], set()).add(truth[r["vec_id"]])
+    for cid, truth_ids in by_lsh_cluster.items():
+        assert len(truth_ids) == 1, f"LSH cluster {cid} spans clusters {truth_ids}"
+
+
+def test_knn_ivf_candidates_recall_and_accuracy(spark, sf_dir):
+    """q_knn_classify_ivf vs the exact baseline: every point still
+    gets classified (no point may lose all its candidates), the IVF
+    candidate set retains a majority of true top-5 neighbors, and the
+    reported accuracy tracks the exact one.  (The synthetic embedding
+    space has weak cluster structure — accuracy ~ chance — so the
+    recall floor is set by the n_probe/n_cells fan-in, not by
+    clusterability.)"""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_caltopo_spark.functions.numeric import fround
+    from etl_caltopo_spark.io import load_table
+    from etl_caltopo_spark.queries import REGISTRY
+
+    exact = REGISTRY["q_knn_classify"].fn(spark, sf_dir).collect()[0]
+    approx = REGISTRY["q_knn_classify_ivf"].fn(spark, sf_dir).collect()[0]
+    assert approx["n_points"] == exact["n_points"]
+    assert abs(approx["accuracy"] - exact["accuracy"]) <= 0.05
+
+    pts = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") >= 8)
+        .select("vec_id", "label", "embedding")
+    )
+    cand = {
+        (r["qid"], r["nid"])
+        for r in similarity.ivf_candidate_pairs(pts, n_cells=8, n_probe=2)
+        .select("qid", "nid")
+        .collect()
+    }
+    a = pts.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    b = pts.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"))
+    s = a.join(F.broadcast(b), F.col("qid") != F.col("nid")).select(
+        "qid",
+        "nid",
+        fround(similarity.cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "nid")
+    top5 = (
+        s.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "nid")
+        .collect()
+    )
+    recall = sum((r["qid"], r["nid"]) in cand for r in top5) / len(top5)
+    assert recall >= 0.4, f"IVF neighbor recall {recall:.3f} below floor"
+
+
 def test_lsh_bucket_query_included(spark):
     emb = spark.createDataFrame(
         [(i, [float(i == j) for j in range(8)]) for i in range(8)],
@@ -135,7 +215,7 @@ def test_multimodal_resize_contract(spark):
     out = multimodal.resize_stub(assets, 224, 224)
     r = out.first()
     assert r["resize_to"]["width"] == 224 and r["resize_to"]["height"] == 224
-    assert multimodal.decode_image.__doc__.startswith("STUB")
+    assert "dispatcher" in multimodal.decode_image.__doc__
 
 
 def test_multimodal_feature_plumbing(spark):
@@ -214,6 +294,45 @@ def test_ppm_roundtrip_and_decode_images(spark):
     assert (out[2]["width"], out[2]["height"]) == (2, 4)
     assert abs(out[2]["mean_rgb"][0] - 200.0) < 1e-6
     assert out[3]["width"] is None and out[4]["width"] is None
+
+
+def test_png_roundtrip_all_filters_and_color_types(spark):
+    """encode→decode identity for every scanline filter (0-4) and
+    every supported color type (gray / gray+alpha / RGB / RGBA), plus
+    the mixed-format decode_images path and dirty-payload nulls."""
+    import numpy as np
+
+    from etl_caltopo_spark.llm.multimodal import (
+        as_binary_assets,
+        decode_images,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    for f in range(5):
+        assert (decode_png(encode_png(rgb, filter_type=f)) == rgb).all(), f
+    for channels in (1, 2, 4):
+        img = rng.integers(0, 256, size=(5, 4, channels), dtype=np.uint8)
+        out = decode_png(encode_png(img, filter_type=4))
+        assert (out.reshape(img.shape) == img).all(), channels
+    assert decode_png(b"\x89PNG\r\n\x1a\x0a truncated") is None
+    assert decode_png(None) is None
+
+    gray = np.full((3, 6), 40, dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_png(rgb, filter_type=2))),
+        (2, bytearray(encode_png(gray))),
+        (3, bytearray(b"\xff\xd8 jpeg")),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    assets = as_binary_assets(df, "asset_id", F.col("payload"), "image")
+    out = {r["asset_id"]: r for r in decode_images(assets).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (7, 9)
+    assert (out[2]["width"], out[2]["height"]) == (6, 3)
+    assert abs(out[2]["mean_rgb"][1] - 40.0) < 1e-6  # gray replicated
+    assert out[3]["width"] is None
 
 
 def test_wav_roundtrip_and_decode_audio(spark):

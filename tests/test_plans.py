@@ -105,6 +105,17 @@ def test_fuzzy_join_is_hash_join_on_block_key(spark, sf_dir):
     assert "levenshtein" in plan  # post-join condition, not a separate pass
 
 
+def test_fuzzy_join_broadcasts_only_name_pairs(spark, sf_dir):
+    """Broadcast policy: exactly one explicit broadcast hint — the
+    thresholded name_pairs survivors.  The part-sized sides (distinct
+    names, the part table) must never carry a static hint (broadcast
+    OOM at 100x scale); AQE promoting them at small SF is fine and
+    does not show as a ResolvedHint."""
+    df = REGISTRY["q_fuzzy_join"].fn(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1
+
+
 def test_centroid_assign_broadcasts_and_group_limits(spark, sf_dir):
     """Centroids broadcast (tiny build side); the per-point argmax
     becomes a WindowGroupLimit (map-side top-1) before the shuffle."""
@@ -250,6 +261,20 @@ def test_knn_classify_broadcast_jvm_side(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Python" not in plan
+
+
+def test_knn_ivf_pair_join_is_equi_not_broadcast_fact(spark, sf_dir):
+    """The IVF kNN candidate stage must join on the cell id (hash
+    join), never broadcast the embeddings table or degrade to a
+    cartesian pass.  The only nested loop allowed is the 8-row
+    centers build side of the probe assignment."""
+    import re
+
+    plan = plan_of(REGISTRY["q_knn_classify_ivf"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # formatted plans print each node twice (tree line + detail header);
+    # count the detail headers
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
 
 
 def test_minmax_scale_single_shuffle(spark, sf_dir):
