@@ -247,3 +247,99 @@ def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_join(views, clicks, "user_id").select(
         "view_id", "click_id", "user_id"
     )
+
+
+@query(
+    "q_stream_watermark_late",
+    oracle=None,
+    note="genuine two-phase Structured Streaming run (availableNow, "
+    "persisted watermark, update mode); emissions are deterministic "
+    "(single-file micro-batches) but the run protocol is not "
+    "SQL-expressible — rows-only.",
+)
+def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + late-data drop, end-to-end as a REAL streaming job
+    under the correctness gate (the §2 'watermark / late data' row;
+    previously integration-test only).
+
+    Protocol: phase 1 streams only the newest 30 minutes of events
+    (one parquet file → one micro-batch), advancing the persisted
+    watermark to max(ts) - 1 hour.  Phase 2 restarts from the SAME
+    checkpoint and feeds every older row as a late arrival: rows
+    younger than the watermark are merged into open windows, rows
+    older are DROPPED by the windowed-aggregate state — so the final
+    emission set contains no window older than the watermark even
+    though phase 2 delivered thousands of such rows.  Update output
+    mode makes both the phase-1 windows and the accepted-late merges
+    visible; single-file batches keep the emission multiset
+    deterministic.  The result is driver-materialized (the emitted
+    windows are bounded by the 90-minute protocol horizon, not by
+    |events|)."""
+    apply_runtime_conf(spark)
+    import os
+    import shutil
+    import tempfile
+    from datetime import timedelta
+
+    from etl_caltopo_spark.streaming.ingest import (
+        stream_from_parquet_dir,
+        with_watermark,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    split = max_ts - timedelta(minutes=30)
+    tmp = tempfile.mkdtemp(prefix="q_wm_late_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        ev.filter(F.col("ts") >= F.lit(split)).coalesce(1).write.parquet(
+            os.path.join(tmp, "b1")
+        )
+        ev.filter(F.col("ts") < F.lit(split)).coalesce(1).write.parquet(
+            os.path.join(tmp, "b2")
+        )
+        schema = spark.read.parquet(os.path.join(tmp, "b1")).schema
+        out_dir = os.path.join(tmp, "out")
+
+        def emit(batch_df: DataFrame, _epoch_id: int) -> None:
+            batch_df.write.mode("append").parquet(out_dir)
+
+        for i, bdir in enumerate(("b1", "b2")):
+            for f in os.listdir(os.path.join(tmp, bdir)):
+                if f.endswith(".parquet"):
+                    shutil.copy(
+                        os.path.join(tmp, bdir, f), os.path.join(src, f"{i}_{f}")
+                    )
+            agg = tumbling_agg(
+                with_watermark(
+                    stream_from_parquet_dir(spark, src, schema), "ts", "1 hour"
+                ),
+                "ts",
+                "10 minutes",
+                [],
+                [
+                    F.count("*").alias("n_events"),
+                    F.round(F.sum("value"), 2).alias("sum_value"),
+                ],
+            ).drop("window_end")
+            # foreachBatch (not a memory sink): the only sink kind that
+            # can RESUME from the phase-1 checkpoint, which is what
+            # carries the watermark into phase 2
+            q = (
+                agg.writeStream.foreachBatch(emit)
+                .outputMode("update")
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        emitted = spark.read.parquet(out_dir)
+        out = spark.createDataFrame(emitted.collect(), emitted.schema)
+        return out.select(
+            F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+            "n_events",
+            "sum_value",
+        ).orderBy("window_start")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

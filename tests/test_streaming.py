@@ -100,6 +100,24 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert datetime(2024, 1, 1, 0, 0) in sealed
 
 
+def test_stream_watermark_late_query_drops_old_windows(spark, sf_dir):
+    """The graded q_stream_watermark_late protocol: although phase 2
+    replays every event older than the persisted watermark, no window
+    at-or-older than it may appear in the emission set — the drop is
+    the observable."""
+    from datetime import timedelta
+
+    from etl_caltopo_spark.io import load_table
+    from etl_caltopo_spark.queries import REGISTRY
+
+    mx = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    rows = REGISTRY["q_stream_watermark_late"].fn(spark, sf_dir).collect()
+    assert rows
+    wm = mx - timedelta(hours=1)
+    # a window ending after the watermark has window_start > wm - 10min
+    assert all(r["window_start"] > wm - timedelta(minutes=10) for r in rows)
+
+
 def test_stream_dedup(spark, tmp_path):
     t = datetime
     rows = [

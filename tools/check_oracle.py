@@ -6,6 +6,11 @@ column names, and an order-insensitive value hash.  Use while
 iterating:
 
     python tools/check_oracle.py [--sf /root/testdata/sf0.01] [q_name ...]
+
+``--json PATH`` additionally writes the per-query records in the
+driver's CORRECTNESS_r{N}.json shape — regenerated over ALL ids and
+committed as CORRECTNESS_full_r{N}.json each round, so the full
+registry (not any harness sample) has a visible correctness record.
 """
 
 from __future__ import annotations
@@ -63,7 +68,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*", help="query ids (default: all)")
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("--json", default=None, help="write per-query records to this path")
     args = ap.parse_args()
+    records: dict[str, dict] = {}
 
     spark = build_spark(app_name="check-oracle")
     con = duckdb.connect()
@@ -83,11 +90,20 @@ def main() -> int:
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+            records[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": None, "oracle_rows": None,
+                "err": f"spark error: {type(e).__name__}",
+            }
             n_fail += 1
             continue
         dt = time.perf_counter() - t0
         if spec.oracle is None:
             print(f"rows-only {name}: {len(s_rows)} rows [{dt:.1f}s] ({spec.note})")
+            records[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(s_rows), "oracle_rows": None, "err": "no_oracle",
+            }
             n_rowsonly += 1
             continue
         try:
@@ -96,6 +112,11 @@ def main() -> int:
             d_rows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
+            records[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": len(s_rows), "oracle_rows": None,
+                "err": f"duckdb error: {type(e).__name__}",
+            }
             n_fail += 1
             continue
         problems = []
@@ -118,6 +139,14 @@ def main() -> int:
                     problems.append(f"  spark-only: {x}")
                 for x in only_d:
                     problems.append(f"  duck-only:  {x}")
+        records[name] = {
+            "rows_match": len(s_rows) == len(d_rows),
+            "schema_match": sorted(s_cols) == sorted(d_cols),
+            "hash_match": not problems,
+            "spark_rows": len(s_rows),
+            "oracle_rows": len(d_rows),
+            "err": "; ".join(problems) if problems else None,
+        }
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems[:1]))
             for p in problems[1:]:
@@ -127,6 +156,12 @@ def main() -> int:
             print(f"PASS {name}: {len(s_rows)} rows [{dt:.1f}s]")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail / {len(names)}")
+    if args.json:
+        import json
+
+        with open(args.json, "w") as f:
+            json.dump(records, f, indent=2)
+        print(f"wrote {args.json}")
     return 1 if n_fail else 0
 
 

@@ -1,7 +1,8 @@
 """Scaling probe: replicate the sf0.1 tables ~Nx with shifted keys
 (≈ sf1 at N=10), then time the headline queries at both scales.
 
-Usage:  python tools/scale_probe.py [N]
+Usage:  python tools/scale_probe.py [N] [q_name ...]
+        (query ids override the default PROBE_QUERIES list)
 
 Writes the scaled dataset under /tmp/spark_graft_scale_<N>x (reused if
 present) and prints a per-query table: sf0.1 time, Nx time, ratio.
@@ -100,6 +101,7 @@ def time_query(spark, name: str, sf_dir: str) -> float:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    names = sys.argv[2:] or PROBE_QUERIES
     out_dir = f"/tmp/spark_graft_scale_{n}x"
     os.makedirs(out_dir, exist_ok=True)
     spark = build_spark(app_name="scale-probe")
@@ -108,7 +110,7 @@ def main() -> None:
 
     print(f"| query | sf0.1 (s) | {n}x (s) | ratio |")
     print("|---|---|---|---|")
-    for name in PROBE_QUERIES:
+    for name in names:
         t_base = time_query(spark, name, BASE)
         t_big = time_query(spark, name, out_dir)
         ratio = t_big / t_base if t_base > 0 else float("nan")
