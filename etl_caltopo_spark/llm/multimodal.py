@@ -2,15 +2,17 @@
 
 Media are opaque ``binary`` columns with typed metadata, processed by
 Arrow-batched ``mapInPandas`` so each executor sees columnar batches,
-never row-at-a-time Python.  Three decode paths are fully real: PNG
-(8-bit gray/RGB/±alpha, stdlib zlib + all five scanline unfilters —
-``encode_png``/``decode_png``), binary PPM (P6) via pure numpy
-(``encode_ppm``/``decode_ppm``), and RIFF/WAVE PCM16 audio via pure
-struct+numpy (``encode_wav``/``decode_wav``/``decode_audio``).
-``decode_image`` magic-sniffs and dispatches; codec work needing
-external libraries (JPEG/MP3/video) returns None under the dirty-row
-policy but runs in the identical Spark-side contract (schemas, batch
-shapes, partitioning), all tested (tests/test_llm_ops.py).
+never row-at-a-time Python.  Four decode paths are fully real:
+baseline JPEG (SOF0 huffman/DCT, pure numpy —
+``etl_caltopo_spark.llm.jpeg``), PNG (8-bit gray/RGB/±alpha, stdlib
+zlib + all five scanline unfilters — ``encode_png``/``decode_png``),
+binary PPM (P6) via pure numpy (``encode_ppm``/``decode_ppm``), and
+RIFF/WAVE PCM16 audio via pure struct+numpy
+(``encode_wav``/``decode_wav``/``decode_audio``).  ``decode_image``
+magic-sniffs and dispatches; formats still needing an external codec
+(WebP/MP3/video) return None under the dirty-row policy but run in
+the identical Spark-side contract (schemas, batch shapes,
+partitioning), all tested (tests/test_llm_ops.py).
 """
 
 from __future__ import annotations
@@ -63,9 +65,10 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 def decode_image(payload: bytes):
     """General image decode dispatcher — magic-sniffs the payload and
-    routes to a REAL pure-python decoder: PNG (:func:`decode_png`,
-    zlib is stdlib) or binary PPM (:func:`decode_ppm`).  Compressed
-    formats needing an external codec (JPEG/WebP/...) and any
+    routes to a REAL pure-python decoder: baseline JPEG
+    (:mod:`etl_caltopo_spark.llm.jpeg`), PNG (:func:`decode_png`,
+    zlib is stdlib), or binary PPM (:func:`decode_ppm`).  Formats
+    without a pure-python decoder here (WebP/AVIF/...) and any
     undecodable payload return None — dirty rows flow through as
     nulls instead of failing the job, the same policy as try_*
     expressions."""
@@ -75,6 +78,10 @@ def decode_image(payload: bytes):
         return decode_png(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:2] == b"\xff\xd8":
+        from etl_caltopo_spark.llm.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     return None
 
 

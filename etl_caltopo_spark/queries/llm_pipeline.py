@@ -353,6 +353,68 @@ def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_image_decode_jpeg",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS asset_id,
+           CAST(8 + (doc_id % 5) * 4 AS BIGINT) AS width,
+           CAST(6 + (doc_id % 3) * 6 AS BIGINT) AS height,
+           TRUE AS decoded
+    FROM documents
+    """,
+)
+def q_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-JPEG decode end-to-end under the oracle: a
+    deterministic gradient image per doc is JPEG-encoded (pure-numpy
+    DCT + huffman, llm/jpeg.py), carried as an opaque binary asset,
+    and decoded back inside mapInPandas.  JPEG is lossy, so the
+    graded columns are the LOSSLESS decode outputs — width/height and
+    decode success, which require the full entropy decode to succeed
+    (the decoder returns None, not header dims, on any entropy/DCT
+    failure).  Pixel fidelity (quantization-bounded error) is pinned
+    in tests/test_llm_ops.py."""
+    apply_runtime_conf(spark)
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    gen_schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from etl_caltopo_spark.llm.jpeg import encode_jpeg
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w = 8 + (int(doc_id) % 5) * 4
+                h = 6 + (int(doc_id) % 3) * 6
+                x = np.arange(w, dtype=np.uint16)[None, :, None]
+                y = np.arange(h, dtype=np.uint16)[:, None, None]
+                c = np.arange(3, dtype=np.uint16)[None, None, :]
+                img = (x + 2 * y + 85 * c).astype(np.uint8)
+                payloads.append(encode_jpeg(img))
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
+
+    raw = docs.mapInPandas(gen, schema=gen_schema)
+    assets = multimodal.as_binary_assets(raw, "asset_id", F.col("payload"), "image")
+    decoded = multimodal.decode_images(assets)
+    return decoded.select(
+        "asset_id",
+        "width",
+        "height",
+        F.col("width").isNotNull().alias("decoded"),
+    )
+
+
+@query(
     "q_token_count",
     oracle="""
     SELECT doc_id,

@@ -335,6 +335,44 @@ def test_png_roundtrip_all_filters_and_color_types(spark):
     assert out[3]["width"] is None
 
 
+def test_jpeg_roundtrip_fidelity_and_dirty_rows():
+    """Baseline-JPEG codec: shapes are exact, pixel error is bounded
+    by quantization on smooth content (the decoder must survive every
+    block type: DC-only, AC runs, ZRL, EOB), grayscale and color both
+    roundtrip, and malformed/unsupported streams return None."""
+    import numpy as np
+
+    from etl_caltopo_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    grad = np.stack(
+        [(np.add.outer(np.arange(19), np.arange(27)) * k % 256) for k in (1, 2, 3)],
+        axis=2,
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(grad))
+    assert out.shape == grad.shape
+    err = np.abs(out.astype(int) - grad.astype(int))
+    assert err.max() <= 12 and err.mean() <= 3.0
+
+    gray = (np.add.outer(np.arange(10), np.arange(14)) % 256).astype(np.uint8)
+    gout = decode_jpeg(encode_jpeg(gray))
+    assert gout.shape == gray.shape
+    assert np.abs(gout.astype(int) - gray.astype(int)).max() <= 8
+
+    rng = np.random.default_rng(11)
+    noise = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    nout = decode_jpeg(encode_jpeg(noise))  # stresses long AC runs
+    assert nout is not None and nout.shape == noise.shape
+
+    assert decode_jpeg(b"\xff\xd8 junk") is None
+    assert decode_jpeg(b"not a jpeg") is None
+    assert decode_jpeg(None) is None
+    # progressive frame marker (SOF2) is explicitly unsupported
+    sof2 = bytearray(encode_jpeg(gray))
+    idx = bytes(sof2).find(b"\xff\xc0")
+    sof2[idx + 1] = 0xC2
+    assert decode_jpeg(bytes(sof2)) is None
+
+
 def test_wav_roundtrip_and_decode_audio(spark):
     import numpy as np
 
