@@ -229,6 +229,52 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_skyline_sweep",
+    oracle="""
+    SELECT a.p_partkey, a.p_name, a.p_retailprice, CAST(a.p_size AS INTEGER) AS p_size
+    FROM part a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part b
+        WHERE b.p_retailprice <= a.p_retailprice
+          AND b.p_size <= a.p_size
+          AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size)
+    )
+    """,
+)
+def q_skyline_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB skyline path — same answer as q_skyline (identical
+    oracle), sweep-based instead of the O(n²) nested-loop anti-join.
+
+    A point is dominated iff (a) some strictly-cheaper point has size
+    <= its size, or (b) some same-price point has size strictly
+    smaller.  Both predicates reduce to per-price minima: one
+    aggregation shuffled on the exact price key produces (price,
+    group-min); a prefix-min window over that DISTINCT-price table
+    (bounded by price cardinality — cents on a bounded range — never
+    by |part|) yields the strictly-cheaper min; the verdict joins
+    back as a price-keyed equi-join.  The fact table is never
+    window-sorted into one partition and never nested-looped —
+    O(n log n) total, one fact shuffle."""
+    apply_runtime_conf(spark)
+    part = load_table(spark, sf_dir, "part").withColumn(
+        "price_cents", F.round(F.col("p_retailprice") * 100).cast("long")
+    )
+    prices = part.groupBy("price_cents").agg(F.min("p_size").alias("_gmin"))
+    w = Window.orderBy("price_cents").rowsBetween(Window.unboundedPreceding, -1)
+    prices = prices.withColumn("_prefix_lt", F.min("_gmin").over(w))
+    joined = part.join(prices, "price_cents")
+    dominated = (F.col("_prefix_lt") <= F.col("p_size")) | (
+        F.col("_gmin") < F.col("p_size")
+    )
+    return joined.filter(~F.coalesce(dominated, F.lit(False))).select(
+        "p_partkey",
+        "p_name",
+        "p_retailprice",
+        F.col("p_size").cast("int").alias("p_size"),
+    )
+
+
+@query(
     "q_weighted_avg",
     oracle="""
     SELECT l_returnflag,

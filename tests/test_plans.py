@@ -116,6 +116,14 @@ def test_fuzzy_join_broadcasts_only_name_pairs(spark, sf_dir):
     assert analyzed.count("ResolvedHint") == 1
 
 
+def test_skyline_sweep_no_nested_loop(spark, sf_dir):
+    """The sweep skyline must stay equi-join + aggregation shaped —
+    the whole point over q_skyline's O(n²) BNL anti-join."""
+    plan = plan_of(REGISTRY["q_skyline_sweep"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_centroid_assign_broadcasts_and_group_limits(spark, sf_dir):
     """Centroids broadcast (tiny build side); the per-point argmax
     becomes a WindowGroupLimit (map-side top-1) before the shuffle."""
