@@ -260,8 +260,14 @@ def q_knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     EQUI-join shuffled on the cell id — ~n_probe/n_cells of all pairs,
     no fact-table broadcast, no nested loop.  Downstream vote is
     byte-identical to the exact baseline (q_knn_classify);
-    tests/test_llm_extras.py asserts neighbor recall and accuracy
-    against it."""
+    tests/test_llm_ops.py asserts neighbor recall and accuracy
+    against it.
+
+    Sizing: n_cells=8 fits the ~500-vector eval table (recall stays
+    measurable).  The fan-in law is candidates ~ N * n_probe /
+    n_cells, so a production index sizes n_cells ~ sqrt(N) (total
+    work ~ N^1.5) and precomputes/buckets the cell assignment —
+    same plan shape, different constants (SCALING.md)."""
     apply_runtime_conf(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     pts = emb.filter(F.col("vec_id") >= 8).select("vec_id", "label", "embedding")
