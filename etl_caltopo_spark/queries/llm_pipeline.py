@@ -856,6 +856,57 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_repeated_spans",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 7, 1) + 1),
+                   i -> array_to_string(t[i:i+7], ' ')
+               ))) AS span
+        FROM toks
+    )
+    SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM sh
+    GROUP BY span
+    HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, span
+    LIMIT 50
+    """,
+)
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring duplication: 8-token spans that
+    appear verbatim in two or more documents, ranked by document
+    frequency — the span-level complement of whole-document dedup
+    (boilerplate headers, license blocks, and template text that
+    repeat across otherwise-distinct documents are what substring
+    dedup removes from a training corpus).
+
+    Scale shape: per-doc DISTINCT shingles explode map-side; one
+    shuffle keyed by the span aggregates document frequency with
+    partial aggregation, and the top-50 is a TakeOrderedAndProject
+    heap — cost rides the shared-span tail, never |docs|² (no join at
+    all).  At 100 TB the span column would carry a 64-bit hash with
+    the text resolved for the survivors only; here the span text
+    itself is carried so the DuckDB oracle can replay it exactly."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(dedup.shingles(F.col("text"), n=8)).alias("span")
+    )
+    return (
+        sh.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), "span")
+        .limit(50)
+    )
+
+
+@query(
     "q_repetition_score",
     oracle=r"""
     WITH toks AS (

@@ -343,3 +343,37 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("window_start")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_click_attribution_outer",
+    oracle="""
+    SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id
+    FROM events v
+    LEFT JOIN events c
+      ON v.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= v.ts
+     AND c.ts <= v.ts + INTERVAL '30 minutes'
+    WHERE v.event_type = 'view'
+    """,
+)
+def q_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer click attribution: every view row survives, with its
+    attributed click or NULL — the same interval_join operator in
+    ``how="left_outer"`` mode, whose streaming form emits the null
+    rows on watermark expiry (stream/batch relationship pinned in
+    tests/test_streaming.py)."""
+    apply_runtime_conf(spark)
+    from etl_caltopo_spark.streaming.joins import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("ts").alias("l_ts"), F.col("event_id").alias("view_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("r_ts"), F.col("event_id").alias("click_id")
+    )
+    return interval_join(views, clicks, "user_id", how="left_outer").select(
+        "view_id", "click_id", "user_id"
+    )

@@ -28,10 +28,18 @@ def interval_join(
     right_ts: str = "r_ts",
     max_delay: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner join rows sharing ``key`` where the right event happens in
+    """Join rows sharing ``key`` where the right event happens in
     ``[left_ts, left_ts + max_delay]``.  Columns must already be
     disambiguated (no shared names besides ``key``).
+
+    ``how="left_outer"`` adds null-padded rows for unmatched left
+    events.  In streaming mode Spark emits an outer null only once
+    the watermark proves the join window can no longer match — so at
+    stream end the outer rows are the subset of the batch outer rows
+    whose window expired under the final watermark (asserted in
+    tests/test_streaming.py); matched rows are identical to batch.
 
     Event-time dtype: the engine's canonical ``ts`` is TIMESTAMP_NTZ
     (io.py), which Spark rejects as an event-time column.  Both sides
@@ -47,7 +55,7 @@ def interval_join(
         & (rw[right_ts] >= lw[left_ts])
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_delay}"))
     )
-    out = lw.join(rw, cond, "inner").drop("_rkey")
+    out = lw.join(rw, cond, how).drop("_rkey")
     if l_ntz:
         out = out.withColumn(left_ts, F.col(left_ts).cast("timestamp_ntz"))
     if r_ntz:

@@ -192,6 +192,59 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir):
     assert batch == streamed and batch
 
 
+def test_stream_stream_left_outer_interval_join_vs_batch(spark, events_dir):
+    """Left-outer interval join: matched rows must equal the batch
+    join exactly; outer (null-padded) rows emit only when the
+    watermark proves no match can arrive, so the streamed null set is
+    a subset of the batch null set and covers every left row whose
+    join window expired under the final watermark."""
+    from datetime import timedelta
+
+    from etl_caltopo_spark.streaming.joins import interval_join
+
+    def split_sides(df):
+        views = df.filter(F.col("event_type") == "view").select(
+            F.col("user_id"), F.col("ts").alias("l_ts"), F.col("event_id").alias("view_id")
+        )
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id"), F.col("ts").alias("r_ts"), F.col("event_id").alias("click_id")
+        )
+        return views, clicks
+
+    batch_df = spark.read.parquet(f"{events_dir}/data")
+    bv, bc = split_sides(batch_df)
+    batch = [
+        r.asDict()
+        for r in interval_join(bv, bc, "user_id", how="left_outer").collect()
+    ]
+    b_matched = {tuple(sorted(r.items())) for r in batch if r["click_id"] is not None}
+    b_nulls = {r["view_id"]: r["l_ts"] for r in batch if r["click_id"] is None}
+
+    schema = batch_df.schema
+    s1 = stream_from_parquet_dir(spark, f"{events_dir}/data", schema)
+    s2 = stream_from_parquet_dir(spark, f"{events_dir}/data", schema)
+    sv, sc = split_sides(s1)[0], split_sides(s2)[1]
+    run_available_now_to_memory(
+        interval_join(sv, sc, "user_id", how="left_outer"),
+        "t_ssjoin_outer",
+        f"{events_dir}/ckpt_ssjoin_outer",
+        output_mode="append",
+    )
+    streamed = [r.asDict() for r in spark.table("t_ssjoin_outer").collect()]
+    s_matched = {tuple(sorted(r.items())) for r in streamed if r["click_id"] is not None}
+    s_null_ids = {r["view_id"] for r in streamed if r["click_id"] is None}
+
+    assert s_matched == b_matched and b_matched
+    assert s_null_ids <= set(b_nulls)
+    # every batch-null view whose window expired under the final
+    # watermark (max click ts - 1h delay - 30min join interval) must
+    # have been emitted as a streamed null
+    max_r = max(r["r_ts"] for r in batch if r["r_ts"] is not None)
+    horizon = max_r - timedelta(hours=1) - timedelta(minutes=30)
+    expired = {vid for vid, lts in b_nulls.items() if lts < horizon}
+    assert expired <= s_null_ids and expired
+
+
 def test_streaming_incremental_rollup_equals_full_recompute(spark, events_dir, tmp_path):
     """Incremental materialized view: each micro-batch's partials merge
     into a stored rollup via foreachBatch; after draining the stream,
