@@ -118,3 +118,27 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
+
+
+def read_xml(spark: SparkSession, path: str, row_tag: str = "row", schema=None) -> DataFrame:
+    """Native XML scan (Spark 4 bundles spark-xml).  Relevant to the
+    reference's ecosystem: the CloudTAK side converts submitted
+    features to Cursor-on-Target XML downstream of the submit
+    boundary (/root/reference/package-lock.json:1553) — this is the
+    engine-side completion for XML-shaped interchange."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    df.write.mode(mode).format("xml").option("rootTag", root_tag).option(
+        "rowTag", row_tag
+    ).save(path)

@@ -907,6 +907,63 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_corpus_mix",
+    oracle=r"""
+    WITH per_doc AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ), per_source AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM per_doc GROUP BY source
+    ), budgeted AS (
+        SELECT *,
+               CAST(100000 / (SELECT count(*) FROM per_source) AS BIGINT)
+                   AS token_budget
+        FROM per_source
+    )
+    SELECT source, n_docs, n_tokens, token_budget,
+           CASE WHEN n_tokens <= token_budget THEN 1.0
+                ELSE floor(CAST(token_budget AS DOUBLE) / n_tokens * 1000000)
+                     / 1000000
+           END AS sample_fraction
+    FROM budgeted
+    """,
+)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture budgeting: allocate a global token budget
+    (100k here) uniformly across sources and derive each source's
+    sampling fraction — the planning step before building a
+    fixed-size training mix from heterogeneous corpora.  Per-doc
+    token counts are a pure map stage; one shuffle aggregates per
+    source (a handful of groups); the scalar source count joins back
+    as a broadcast — at 100 TB the whole query is one scan plus a
+    tiny aggregate.  Fractions are exact integer ratios 6-dp floored
+    (cross-engine IEEE-identical)."""
+    apply_runtime_conf(spark)
+    from etl_caltopo_spark.functions.numeric import fround as _fr
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(text.token_count(F.col("text")).cast("bigint")).alias("n_tokens"),
+    )
+    n_sources = per_source.select(F.count("*").alias("_ns"))
+    budgeted = per_source.crossJoin(F.broadcast(n_sources)).withColumn(
+        "token_budget", (F.lit(100_000) / F.col("_ns")).cast("bigint")
+    )
+    frac = F.when(F.col("n_tokens") <= F.col("token_budget"), F.lit(1.0)).otherwise(
+        _fr(F.col("token_budget").cast("double") / F.col("n_tokens"), 6)
+    )
+    return budgeted.select(
+        "source", "n_docs", "n_tokens", "token_budget", frac.alias("sample_fraction")
+    )
+
+
+@query(
     "q_repetition_score",
     oracle=r"""
     WITH toks AS (

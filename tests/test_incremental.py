@@ -67,6 +67,21 @@ def test_envelopes_from_jsonl_source(spark, tmp_path):
     assert out.count() == 3 * 14  # file source feeds the same pipeline
 
 
+def test_xml_roundtrip(spark, sf_dir, tmp_path):
+    """Native XML interchange (the reference ecosystem's downstream
+    format is CoT XML): schema-declared read back of a written table
+    preserves keys and values."""
+    from etl_caltopo_spark.io import load_table, read_xml, write_xml
+
+    path = str(tmp_path / "nation_xml")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    write_xml(nation, path, row_tag="nation", root_tag="nations")
+    back = read_xml(spark, path, row_tag="nation", schema=nation.schema)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in nation.collect()}
+
+
 def test_jsonl_scan_with_schema(spark, tmp_path):
     p = tmp_path / "rows.jsonl"
     p.write_text("\n".join(json.dumps({"id": i, "name": f"n{i}"}) for i in range(5)))

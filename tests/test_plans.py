@@ -116,6 +116,45 @@ def test_fuzzy_join_broadcasts_only_name_pairs(spark, sf_dir):
     assert analyzed.count("ResolvedHint") == 1
 
 
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    """The shuffle-join pruning lever at 100 TB: when the selective
+    dimension side is too big to broadcast (forced here by disabling
+    broadcast joins), Catalyst injects a runtime bloom filter built
+    from the dimension keys into the fact side's scan — rows that
+    cannot join are dropped before the exchange."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        plan = plan_of(j)
+        assert "bloom_filter_agg" in plan  # built from the selective side
+        assert "partial_bloom_filter_agg" in plan  # map-side partials
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_skyline_sweep_no_nested_loop(spark, sf_dir):
     """The sweep skyline must stay equi-join + aggregation shaped —
     the whole point over q_skyline's O(n²) BNL anti-join."""
