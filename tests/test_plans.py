@@ -155,6 +155,26 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
                 spark.conf.set(k, v)
 
 
+def test_range_join_banded_is_equi_join(spark, sf_dir):
+    """The banded interval-overlap join must bind on (custkey,
+    bucket) as a hash join — the whole point over the theta join's
+    nested loop (q_join_range stays the BNL reference shape)."""
+    plan = plan_of(REGISTRY["q_range_join_banded"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_bm25_single_scan_heap_topk(spark, sf_dir):
+    """BM25: one documents scan feeding both the per-doc stage and the
+    global stats would need two scans — assert at most two scans, a
+    broadcast of the 1-row stats, and heap top-k (no global sort)."""
+    plan = plan_of(REGISTRY["q_bm25"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Location: InMemoryFileIndex") <= 2
+    assert "Python" not in plan
+
+
 def test_skyline_sweep_no_nested_loop(spark, sf_dir):
     """The sweep skyline must stay equi-join + aggregation shaped —
     the whole point over q_skyline's O(n²) BNL anti-join."""
