@@ -226,3 +226,140 @@ def q_range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("_ts_b") <= F.col("_ts_a") + F.expr("INTERVAL 6 DAYS"))
     )
     return pairs.select("key_a", "key_b", "o_custkey").distinct()
+
+
+@query(
+    "q_hll_mergeable",
+    oracle=None,
+    note="Apache DataSketches HLL binary sketches are engine-specific "
+    "(DuckDB has no compatible sketch type); rows-only.  Exact "
+    "distinct counting is graded by q_agg_distinct.",
+)
+def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB distinct-counting pattern: per-day HLL sketches of
+    active users (partial, mergeable state — what a warehouse stores
+    per partition) unioned into a weekly estimate WITHOUT rescanning
+    events.  Spark 3.5+ DataSketches builtins keep everything
+    JVM-side; sketch bytes shuffle instead of user ids, so the merge
+    cost is O(days x sketch_size), independent of |events|.  Output:
+    one row per week with the merged estimate and the day count it
+    covers."""
+    apply_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    weekly = daily.groupBy(
+        F.date_trunc("week", F.col("day")).alias("week")
+    ).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.count("*").alias("n_days"),
+    )
+    return weekly.select(
+        F.col("week").cast("timestamp_ntz").alias("week"),
+        "approx_users",
+        "n_days",
+    ).orderBy("week")
+
+
+@query(
+    "q_pagerank",
+    oracle="""
+    WITH edges0 AS (
+        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), edges AS (
+        SELECT pa AS src, pb AS dst FROM edges0
+        UNION ALL
+        SELECT pb AS src, pa AS dst FROM edges0
+    ), deg AS (
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src
+    ), c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM deg
+    ), p0 AS (
+        SELECT node, d, CAST(1000000000000 // n AS BIGINT) AS p FROM deg, c
+    ), s1 AS (
+        SELECT e.dst AS node, CAST(sum((85 * i.p // 100) // i.d) AS BIGINT) AS s
+        FROM edges e JOIN p0 i ON e.src = i.node GROUP BY e.dst
+    ), p1 AS (
+        SELECT i.node, i.d,
+               CAST((15 * (1000000000000 // (SELECT n FROM c))) // 100
+                    + COALESCE(s1.s, 0) AS BIGINT) AS p
+        FROM p0 i LEFT JOIN s1 ON i.node = s1.node
+    ), s2 AS (
+        SELECT e.dst AS node, CAST(sum((85 * i.p // 100) // i.d) AS BIGINT) AS s
+        FROM edges e JOIN p1 i ON e.src = i.node GROUP BY e.dst
+    ), p2 AS (
+        SELECT i.node, i.d,
+               CAST((15 * (1000000000000 // (SELECT n FROM c))) // 100
+                    + COALESCE(s2.s, 0) AS BIGINT) AS p
+        FROM p1 i LEFT JOIN s2 ON i.node = s2.node
+    ), s3 AS (
+        SELECT e.dst AS node, CAST(sum((85 * i.p // 100) // i.d) AS BIGINT) AS s
+        FROM edges e JOIN p2 i ON e.src = i.node GROUP BY e.dst
+    ), p3 AS (
+        SELECT i.node,
+               CAST((15 * (1000000000000 // (SELECT n FROM c))) // 100
+                    + COALESCE(s3.s, 0) AS BIGINT) AS p
+        FROM p2 i LEFT JOIN s3 ON i.node = s3.node
+    )
+    SELECT node AS part_id, p AS rank_fp
+    FROM p3 ORDER BY rank_fp DESC, node LIMIT 20
+    """,
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (3 power iterations, damping 0.85) over
+    the part co-purchase graph — iterative graph analytics under an
+    EXACT oracle: all mass is integer micro-units (1e12 total) with
+    floor division at every step, so per-node sums are
+    order-independent and both engines produce identical bits
+    (floating PageRank would hash-mismatch on summation order).
+
+    Scale shape: each iteration is one equi-join of the edge list
+    with the rank vector (shuffled on the node key, the same
+    partitioning every round — a real deployment co-partitions edges
+    and ranks once) plus a partial-aggregated sum; the teleport term
+    is a literal.  Driver holds only the node count (one scalar)."""
+    apply_runtime_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .distinct()
+    )
+    edges = (
+        edges0.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(edges0.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .localCheckpoint()  # edge list reused every iteration
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d")).withColumnRenamed(
+        "src", "node"
+    )
+    n = deg.count()
+    p_init = 1_000_000_000_000 // n
+    base = (15 * p_init) // 100
+    p = deg.withColumn("p", F.lit(p_init).cast("long"))
+    for _ in range(3):
+        contrib = edges.join(p, edges["src"] == p["node"]).select(
+            F.col("dst"), F.expr("(85 * p div 100) div d").alias("c")
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        p = (
+            deg.join(sums, deg["node"] == sums["dst"], "left")
+            .select(
+                "node",
+                "d",
+                (F.lit(base).cast("long") + F.coalesce(F.col("s"), F.lit(0).cast("long"))).alias("p"),
+            )
+        )
+    return (
+        p.select(F.col("node").alias("part_id"), F.col("p").alias("rank_fp"))
+        .orderBy(F.col("rank_fp").desc(), "part_id")
+        .limit(20)
+    )
