@@ -127,6 +127,47 @@ def sessionize_with_timeout(events: DataFrame, gap: str = "30 minutes") -> DataF
     )
 
 
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Same semantics as :func:`running_user_totals`, implemented on
+    Spark 4's ``transformWithStateInPandas`` — the arbitrary-state v2
+    API (typed state handles, timers, TTL, state schema evolution)
+    that succeeds applyInPandasWithState.  Requires the RocksDB state
+    store provider (tests set
+    ``spark.sql.streaming.stateStore.providerClass``) and the
+    ``protobuf`` wheel (Spark's TWS python runner imports
+    google.protobuf at runtime; absent in this sandbox, so the test
+    importorskips — :func:`running_user_totals` is the always-on
+    twin)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", RUNNING_TOTALS_STATE)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Totals(),
+        outputStructType=RUNNING_TOTALS_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Cross-batch per-user running totals — a custom stateful
     operator the built-in aggregates can't express in update mode with

@@ -47,6 +47,60 @@ def test_running_totals_accumulate_across_batches(spark, tmp_path):
     assert last[10] == (3, 7.0)  # 2 events in batch1 + 1 in batch2
     assert last[20] == (1, 5.0)
 
+def test_transform_with_state_totals_accumulate(spark, tmp_path):
+    """transformWithStateInPandas (arbitrary-state v2): ValueState
+    persists across micro-batches under the RocksDB provider.
+    Spark's TWS python runner imports google.protobuf at runtime —
+    skip where that wheel is absent (this sandbox); the
+    applyInPandasWithState twin above covers the semantics there."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    from etl_caltopo_spark.streaming.stateful import running_user_totals_tws
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(conf_key)
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        t = datetime
+        schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+        src = str(tmp_path / "src")
+        spark.createDataFrame(
+            [(1, t(2024, 1, 1, 0, 0), 10, "click", 1.0),
+             (2, t(2024, 1, 1, 0, 1), 10, "click", 2.0),
+             (3, t(2024, 1, 1, 0, 2), 20, "view", 5.0)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        spark.createDataFrame(
+            [(4, t(2024, 1, 1, 0, 3), 10, "click", 4.0)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            running_user_totals_tws(stream)
+            .writeStream.format("memory")
+            .queryName("t_tws")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        last = {}
+        for r in spark.table("t_tws").collect():
+            last[r["user_id"]] = (r["n_events"], r["total_value"])
+        assert last[10] == (3, 7.0)
+        assert last[20] == (1, 5.0)
+    finally:
+        spark.conf.set(conf_key, saved)
+
+
 def test_sessionize_with_event_time_timeout(spark, tmp_path):
     """A session row appears only after the watermark proves the gap
     has passed (state evicted via EventTimeTimeout)."""
