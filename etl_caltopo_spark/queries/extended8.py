@@ -363,3 +363,64 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_fp").desc(), "part_id")
         .limit(20)
     )
+
+
+@query(
+    "q_rolling_active_users",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ), dau AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS dau FROM pairs GROUP BY day
+    ), covers AS (
+        SELECT DISTINCT
+               unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                      INTERVAL 1 DAY)) AS day,
+               user_id
+        FROM pairs
+    ), wau AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS wau FROM covers GROUP BY day
+    )
+    SELECT w.day, COALESCE(d.dau, 0) AS dau, w.wau,
+           floor(CAST(COALESCE(d.dau, 0) AS DOUBLE) / w.wau * 10000) / 10000
+               AS stickiness
+    FROM wau w LEFT JOIN dau d ON w.day = d.day
+    """,
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (WAU) with same-day actives
+    (DAU) and the DAU/WAU stickiness ratio — the product-analytics
+    staple that Spark windows cannot express directly (COUNT(DISTINCT)
+    OVER is unsupported): each distinct (day, user) pair EXPLODES to
+    the 7 report days it covers, a second distinct collapses
+    multi-visit users, and a plain count per day finishes.  Work is
+    bounded by 7x the distinct pair count (never |events|); every
+    shuffle is keyed by day or (day, user).  Trailing days past the
+    last event keep reporting the users still inside their 7-day
+    window — same convention in both engines."""
+    apply_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    dau = pairs.groupBy("day").agg(F.count("*").alias("dau"))
+    covers = pairs.select(
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+        "user_id",
+    ).distinct()
+    wau = covers.groupBy("day").agg(F.count("*").alias("wau"))
+    out = wau.join(dau, "day", "left")
+    return out.select(
+        "day",
+        F.coalesce(F.col("dau"), F.lit(0)).cast("bigint").alias("dau"),
+        F.col("wau").cast("bigint").alias("wau"),
+        fround(
+            F.coalesce(F.col("dau"), F.lit(0)).cast("double") / F.col("wau"), 4
+        ).alias("stickiness"),
+    )
