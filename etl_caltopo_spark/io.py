@@ -120,6 +120,20 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
 
 
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """binaryFile scan — the multimodal ingestion source: one row per
+    file with (path, modificationTime, length, content bytes), feeding
+    decode_images / decode_audio (llm/multimodal.py) without any
+    driver-side file handling.  Partition-parallel: Spark splits the
+    file listing across executors; pushdown prunes on path/length."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
 def read_xml(spark: SparkSession, path: str, row_tag: str = "row", schema=None) -> DataFrame:
     """Native XML scan (Spark 4 bundles spark-xml).  Relevant to the
     reference's ecosystem: the CloudTAK side converts submitted

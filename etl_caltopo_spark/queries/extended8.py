@@ -424,3 +424,101 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("dau"), F.lit(0)).cast("double") / F.col("wau"), 4
         ).alias("stickiness"),
     )
+
+
+@query(
+    "q_join_asof_tolerance",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           p.ts AS purchase_ts,
+           CASE WHEN c.ts IS NOT NULL
+                 AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+                THEN c.ts END AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance: each purchase takes the
+    latest same-user click at-or-before it ONLY if that click is
+    within 1 hour — the variant every feature store needs (a stale
+    feature is worse than none).  The nearest match is the only one
+    that could satisfy the bound, so the tolerance is a post-pass
+    null-out over the standard union+window as-of machinery: still
+    one user_id shuffle, no extra join.  Microsecond integer
+    arithmetic keeps the bound exact cross-engine."""
+    apply_runtime_conf(spark)
+    from etl_caltopo_spark.functions.temporal import epoch_us
+    from etl_caltopo_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(
+        purchases,
+        clicks,
+        partition_keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=[],
+        prefix="last_click_",
+    )
+    fresh = (epoch_us("ts") - epoch_us(F.col("last_click_ts"))) <= 3_600_000_000
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(F.col("last_click_ts").isNotNull() & fresh, F.col("last_click_ts")).alias(
+            "last_click_ts"
+        ),
+    )
+
+
+@query(
+    "q_window_median",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           median(CAST(round(o_totalprice * 100) AS BIGINT))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100.0
+               AS trailing_median_price
+    FROM orders
+    """,
+)
+def q_window_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 3-order median price per customer — an exact
+    order-statistic over a sliding frame (the robust alternative to a
+    moving average).  Spark rejects ``median`` with a window frame
+    (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the 3-row frame is
+    materialized explicitly: two lags + the current row into a sorted
+    compact array, middle element (odd) or mean of the middles (even)
+    — all codegen'd Column expressions, one o_custkey shuffle.  Money
+    moves to exact cents first so both engines interpolate from
+    identical integers; the final /100 is one deterministic double
+    division."""
+    apply_runtime_conf(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    w0 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    d = orders.select("o_orderkey", "o_custkey", "o_orderdate", cents.alias("c"))
+    d = d.withColumn(
+        "arr",
+        F.array_sort(
+            F.array_compact(
+                F.array(F.lag("c", 2).over(w0), F.lag("c", 1).over(w0), F.col("c"))
+            )
+        ),
+    )
+    med = F.expr(
+        "CASE WHEN size(arr) % 2 = 1"
+        " THEN CAST(element_at(arr, CAST((size(arr) + 1) div 2 AS INT)) AS DOUBLE)"
+        " ELSE (element_at(arr, CAST(size(arr) div 2 AS INT))"
+        "       + element_at(arr, CAST(size(arr) div 2 + 1 AS INT))) / 2.0 END"
+    )
+    return d.select(
+        "o_orderkey", "o_custkey", (med / 100.0).alias("trailing_median_price")
+    )

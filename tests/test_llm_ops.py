@@ -373,6 +373,34 @@ def test_jpeg_roundtrip_fidelity_and_dirty_rows():
     assert decode_jpeg(bytes(sof2)) is None
 
 
+def test_binary_file_source_feeds_image_decode(spark, tmp_path):
+    """End-to-end multimodal ingestion: image files on disk → the
+    binaryFile source → asset rows → the magic-dispatch decoder, with
+    a glob filter pruning non-image files."""
+    import numpy as np
+
+    from etl_caltopo_spark.io import read_binary_files
+    from etl_caltopo_spark.llm.multimodal import (
+        as_binary_assets,
+        decode_images,
+        encode_png,
+        encode_ppm,
+    )
+
+    img = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    (tmp_path / "a.png").write_bytes(encode_png(img))
+    (tmp_path / "b.ppm").write_bytes(encode_ppm(img))
+    (tmp_path / "ignore.txt").write_bytes(b"not an image")
+
+    files = read_binary_files(spark, str(tmp_path), glob="*.{png,ppm}")
+    assets = as_binary_assets(
+        files.withColumn("fid", F.xxhash64("path")), "fid", F.col("content"), "image"
+    )
+    out = decode_images(assets).collect()
+    assert len(out) == 2
+    assert all((r["width"], r["height"]) == (5, 4) for r in out)
+
+
 def test_wav_roundtrip_and_decode_audio(spark):
     import numpy as np
 
