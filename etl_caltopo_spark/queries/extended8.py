@@ -522,3 +522,89 @@ def q_window_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "o_orderkey", "o_custkey", (med / 100.0).alias("trailing_median_price")
     )
+
+
+@query(
+    "q_dedup_incremental",
+    oracle="""
+    WITH existing AS (
+        SELECT DISTINCT sha256(text) AS h FROM documents
+        WHERE source < 'src5'
+    ), incoming AS (
+        SELECT doc_id, source, sha256(text) AS h FROM documents
+        WHERE source >= 'src5'
+    )
+    SELECT i.doc_id, i.source
+    FROM incoming i LEFT JOIN existing e ON i.h = e.h
+    WHERE e.h IS NULL
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus update: admit only incoming documents whose
+    content hash is unseen in the existing snapshot — the dedup shape
+    every periodically-refreshed training corpus runs (new crawl vs
+    the accumulated store).  Digests shuffle, never text; the
+    existing side reduces to DISTINCT hashes before the anti-join, so
+    at 100 TB the store contributes one 32-byte digest per unique doc
+    (and in production that digest set is a bucketed table the
+    anti-join co-locates with)."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    existing = (
+        docs.filter(F.col("source") < "src5")
+        .select(F.sha2(F.col("text"), 256).alias("h"))
+        .distinct()
+    )
+    incoming = docs.filter(F.col("source") >= "src5").select(
+        "doc_id", "source", F.sha2(F.col("text"), 256).alias("h")
+    )
+    return incoming.join(existing, "h", "left_anti").select("doc_id", "source")
+
+
+@query(
+    "q_dup_matrix",
+    oracle=r"""
+    WITH toks AS (
+        SELECT source, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT source,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 7, 1) + 1),
+                   i -> array_to_string(t[i:i+7], ' ')
+               ))) AS span
+        FROM toks
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_spans
+    FROM sh a JOIN sh b ON a.span = b.span AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def q_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how
+    many distinct 8-token spans they share verbatim — the provenance
+    diagnostic run before mixing corpora (a hot cell means two
+    'sources' sampled the same upstream crawl or template).  Spans
+    dedup per source map-side; one span-keyed shuffle joins the
+    per-source span sets, and the pair aggregate is tiny (|sources|²
+    cells).  Fan-out is bounded by span multiplicity across sources,
+    never |docs|² — same inverted-index shape as q_decontaminate."""
+    apply_runtime_conf(spark)
+    from etl_caltopo_spark.llm import dedup as _dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source", F.explode(_dedup.shingles(F.col("text"), n=8)).alias("span")
+    ).distinct()
+    a = sh.select(F.col("source").alias("source_a"), "span")
+    b = sh.select(F.col("source").alias("source_b"), F.col("span").alias("span_b"))
+    return (
+        a.join(
+            b,
+            (F.col("span") == F.col("span_b"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared_spans"))
+    )
