@@ -71,6 +71,18 @@ PROBE_QUERIES = [
     "q_stratified_sample",
     "q_incr_rollup",
     "q_dedup_clusters",
+    # round-3 scale paths (their brute-force baselines are excluded by
+    # design — see SCALING.md third wave)
+    "q_fuzzy_join",
+    "q_dedup_clusters_lsh",
+    "q_skyline_sweep",
+    "q_range_join_banded",
+    "q_repeated_spans",
+    "q_seq_pack",
+    "q_bm25",
+    "q_pagerank",
+    "q_rolling_active_users",
+    "q_dedup_incremental",
 ]
 
 
