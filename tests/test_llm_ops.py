@@ -373,6 +373,51 @@ def test_jpeg_roundtrip_fidelity_and_dirty_rows():
     assert decode_jpeg(bytes(sof2)) is None
 
 
+def test_codec_property_roundtrips():
+    """Property tests: PNG roundtrips EXACTLY for arbitrary uint8
+    images across all filters/color counts; JPEG preserves shape and
+    stays within quantization-bounded error on smooth content."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_caltopo_spark.llm.jpeg import decode_jpeg, encode_jpeg
+    from etl_caltopo_spark.llm.multimodal import decode_png, encode_png
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        c=st.sampled_from([1, 2, 3, 4]),
+        f=st.integers(0, 4),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def png_roundtrip(h, w, c, f, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        out = decode_png(encode_png(img, filter_type=f))
+        assert (out.reshape(img.shape) == img).all()
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        h=st.integers(1, 20),
+        w=st.integers(1, 20),
+        base=st.integers(0, 200),
+        gray=st.booleans(),
+    )
+    def jpeg_smooth(h, w, base, gray):
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        plane = ((base + x + 2 * y) % 256).astype(np.uint8)
+        img = plane if gray else np.stack([plane] * 3, axis=2)
+        out = decode_jpeg(encode_jpeg(img))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 16
+
+    png_roundtrip()
+    jpeg_smooth()
+
+
 def test_binary_file_source_feeds_image_decode(spark, tmp_path):
     """End-to-end multimodal ingestion: image files on disk → the
     binaryFile source → asset rows → the magic-dispatch decoder, with
