@@ -282,6 +282,45 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_importance_sample",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t,
+               length(text) AS n_chars_calc
+        FROM documents
+    ), scored AS (
+        SELECT doc_id,
+               floor((least(1.0, len(t) / 50.0) * 0.5
+                     + (1.0 - CAST(len(list_filter(t, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE) / len(t)) * 0.3
+                     + least(1.0, n_chars_calc / 200.0) * 0.2) * 10000) / 10000
+                   AS quality
+        FROM toks
+    )
+    SELECT doc_id, quality
+    FROM scored
+    WHERE CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE)
+          / 4294967296.0 < quality
+    """,
+)
+def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted (importance) sampling: each document is kept
+    with probability equal to its quality score — the curation step
+    that up-weights clean text without hard thresholds.  The
+    acceptance draw is a Knuth multiplicative hash of doc_id mapped to
+    [0,1) (a 32-bit numerator, so the double is exact), making the
+    sample deterministic, engine-portable, and exactly
+    oracle-checkable — no RNG state anywhere.  Pure map stage: at
+    100 TB this is a scan with the filter in codegen."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    q = text.quality_score(F.col("text"))
+    u = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) / F.lit(
+        4294967296.0
+    )
+    return docs.filter(u < q).select("doc_id", q.alias("quality"))
+
+
+@query(
     "q_dedup_clusters",
     oracle="""
     WITH base AS (
