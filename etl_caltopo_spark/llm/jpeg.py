@@ -138,16 +138,12 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
 
 
 def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) → value, for the bit-serial decoder."""
-    out: dict[tuple[int, int], int] = {}
-    code, k = 0, 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            out[(length, code)] = vals[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return out
+    """(length, code) → value — the encoder's canonical assignment,
+    inverted, so both directions share one construction."""
+    return {
+        (length, code): v
+        for v, (code, length) in _canonical_codes(bits, vals).items()
+    }
 
 
 # ---------------------------------------------------------------- encoder

@@ -298,7 +298,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, quality
     FROM scored
-    WHERE CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE)
+    WHERE CAST(((doc_id % 2147483648) * 2654435761) % 4294967296 AS DOUBLE)
           / 4294967296.0 < quality
     """,
 )
@@ -309,14 +309,17 @@ def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     acceptance draw is a Knuth multiplicative hash of doc_id mapped to
     [0,1) (a 32-bit numerator, so the double is exact), making the
     sample deterministic, engine-portable, and exactly
-    oracle-checkable — no RNG state anywhere.  Pure map stage: at
-    100 TB this is a scan with the filter in codegen."""
+    oracle-checkable — no RNG state anywhere.  doc_id reduces mod
+    2^31 BEFORE the multiply so the product stays under 2^63 for any
+    bigint id (ANSI-overflow-safe at 100 TB); pure map stage with
+    the filter in codegen."""
     apply_runtime_conf(spark)
     docs = load_table(spark, sf_dir, "documents")
     q = text.quality_score(F.col("text"))
-    u = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) / F.lit(
-        4294967296.0
-    )
+    u = (
+        ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761))
+        % F.lit(4294967296)
+    ) / F.lit(4294967296.0)
     return docs.filter(u < q).select("doc_id", q.alias("quality"))
 
 
@@ -960,7 +963,7 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM per_doc GROUP BY source
     ), budgeted AS (
         SELECT *,
-               CAST(100000 / (SELECT count(*) FROM per_source) AS BIGINT)
+               CAST(100000 // (SELECT count(*) FROM per_source) AS BIGINT)
                    AS token_budget
         FROM per_source
     )
@@ -980,11 +983,11 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     token counts are a pure map stage; one shuffle aggregates per
     source (a handful of groups); the scalar source count joins back
     as a broadcast — at 100 TB the whole query is one scan plus a
-    tiny aggregate.  Fractions are exact integer ratios 6-dp floored
-    (cross-engine IEEE-identical)."""
+    tiny aggregate.  Fractions are exact integer ratios 6-dp floored;
+    the budget split is INTEGER division on both sides (a
+    double-divide then cast diverges cross-engine: Spark's
+    cast(double→bigint) truncates while DuckDB's CAST rounds)."""
     apply_runtime_conf(spark)
-    from etl_caltopo_spark.functions.numeric import fround as _fr
-
     docs = load_table(spark, sf_dir, "documents")
     per_source = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -992,10 +995,10 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_sources = per_source.select(F.count("*").alias("_ns"))
     budgeted = per_source.crossJoin(F.broadcast(n_sources)).withColumn(
-        "token_budget", (F.lit(100_000) / F.col("_ns")).cast("bigint")
+        "token_budget", F.expr("100000 div _ns")
     )
     frac = F.when(F.col("n_tokens") <= F.col("token_budget"), F.lit(1.0)).otherwise(
-        _fr(F.col("token_budget").cast("double") / F.col("n_tokens"), 6)
+        fround(F.col("token_budget").cast("double") / F.col("n_tokens"), 6)
     )
     return budgeted.select(
         "source", "n_docs", "n_tokens", "token_budget", frac.alias("sample_fraction")

@@ -55,10 +55,13 @@ def stream_dedup(
     df: DataFrame, keys: list[str], ts_col: str, delay: str = "1 hour"
 ) -> DataFrame:
     """Exactly-once-per-key within the watermark horizon
-    (dropDuplicates + watermark bounds the dedup state)."""
+    (dropDuplicates + watermark bounds the dedup state).  Batch
+    outputs restore NTZ for the oracles; streaming outputs keep
+    TIMESTAMP so the event-time watermark survives into downstream
+    stateful operators."""
     df, was_ntz = as_event_time(df, ts_col)
     out = df.withWatermark(ts_col, delay).dropDuplicates([*keys, ts_col])
-    if was_ntz:
+    if was_ntz and not out.isStreaming:
         out = out.withColumn(ts_col, F.col(ts_col).cast("timestamp_ntz"))
     return out
 

@@ -44,8 +44,11 @@ def interval_join(
     Event-time dtype: the engine's canonical ``ts`` is TIMESTAMP_NTZ
     (io.py), which Spark rejects as an event-time column.  Both sides
     are cast NTZ→TIMESTAMP at this boundary (wall-clock-preserving
-    under the pinned UTC session tz) and cast back after the join so
-    batch-equivalence oracles stay timezone-free."""
+    under the pinned UTC session tz).  BATCH outputs cast back to NTZ
+    so the oracles stay timezone-free; STREAMING outputs keep
+    TIMESTAMP — re-casting would shed the event-time watermark
+    designation and break any downstream stateful operator chained
+    on the join."""
     left, l_ntz = as_event_time(left, left_ts)
     right, r_ntz = as_event_time(right, right_ts)
     lw = left.withWatermark(left_ts, watermark)
@@ -56,8 +59,9 @@ def interval_join(
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_delay}"))
     )
     out = lw.join(rw, cond, how).drop("_rkey")
-    if l_ntz:
-        out = out.withColumn(left_ts, F.col(left_ts).cast("timestamp_ntz"))
-    if r_ntz:
-        out = out.withColumn(right_ts, F.col(right_ts).cast("timestamp_ntz"))
+    if not out.isStreaming:
+        if l_ntz:
+            out = out.withColumn(left_ts, F.col(left_ts).cast("timestamp_ntz"))
+        if r_ntz:
+            out = out.withColumn(right_ts, F.col(right_ts).cast("timestamp_ntz"))
     return out

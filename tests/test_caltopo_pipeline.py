@@ -183,18 +183,22 @@ def test_foreach_partition_post_sink(spark, tmp_path):
 
 
 def test_multimodal_decode_dispatch():
-    """decode_image magic-sniffs: real PNG/PPM decode; codec formats
-    without a pure-python decoder (JPEG) return None (dirty-row
-    policy), never raise."""
+    """decode_image magic-sniffs and decodes PNG, PPM, and baseline
+    JPEG for real; malformed streams of any format return None
+    (dirty-row policy), never raise."""
     import numpy as np
 
+    from etl_caltopo_spark.llm.jpeg import encode_jpeg
     from etl_caltopo_spark.llm.multimodal import decode_image, encode_png, encode_ppm
 
     img = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
     assert (decode_image(encode_png(img)) == img).all()
     assert (decode_image(encode_ppm(img)) == img).all()
-    assert decode_image(b"\xff\xd8\xff\xe0 jpeg-ish") is None
-    assert decode_image(b"\x89PNG") is None  # truncated
+    jpg = decode_image(encode_jpeg(img))
+    assert jpg is not None and jpg.shape == img.shape
+    assert decode_image(b"\xff\xd8\xff\xe0 jpeg-ish") is None  # malformed JPEG
+    assert decode_image(b"\x89PNG") is None  # truncated PNG
+    assert decode_image(b"RIFF no image") is None  # unknown format
     assert decode_image(None) is None
 
 
