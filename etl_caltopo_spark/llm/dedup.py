@@ -139,11 +139,19 @@ def near_duplicates(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
+    verified = (
         cand.withColumn("jaccard", fround(inter / union, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # materialize the (small) verified pair set eagerly so the signature
+    # cache can be dropped before returning — repeated calls in a
+    # long-lived session must not accumulate persisted signature tables.
+    # localCheckpoint blocks are released by the ContextCleaner once the
+    # returned DataFrame goes out of scope, unlike cacheManager entries.
+    verified = verified.localCheckpoint(eager=True)
+    sig.unpersist()
+    return verified
 
 
 def ngram_jaccard_pairs(

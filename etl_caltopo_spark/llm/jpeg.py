@@ -381,9 +381,20 @@ def _decode_jpeg_strict(payload: bytes):
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             return None
+        # spec allows 0xFF fill bytes before a marker (B.1.1.2)
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(payload):
+            return None
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # standalone markers (TEM, RSTn) carry no length segment
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
+            return None
         (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         body = payload[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT (possibly several tables per segment)
@@ -457,6 +468,11 @@ def _decode_scan(payload, pos, h, w, scan_tabs, restart_interval):
                 if p + 1 < len(payload) and payload[p] == 0xFF and 0xD0 <= payload[p + 1] <= 0xD7:
                     reader.pos = p + 2
                     preds = [0] * n_comp
+                else:
+                    # a DRI stream without its RST marker is malformed;
+                    # decoding on would yield plausible-but-corrupt
+                    # pixels — honor the dirty-row policy instead
+                    return None
             for c in range(n_comp):
                 dc_tab, ac_tab, qt = scan_tabs[c]
                 zz = np.zeros(64, dtype=np.int32)

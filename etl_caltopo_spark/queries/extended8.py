@@ -50,7 +50,7 @@ SEQ_LEN = 2048
 def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence packing (GPT-style concat-and-chunk): within
     each source, documents are concatenated in doc_id order into a
-    token stream and cut into fixed {SEQ_LEN}-token sequences; each
+    token stream and cut into fixed 2048-token sequences; each
     doc gets its sequence id and offset (docs may straddle a cut —
     exactly what concat-and-chunk does).  One shuffle on the source
     key; the running sum is integer-exact.  At 100 TB the partition
@@ -120,7 +120,7 @@ def _duck_tf(term: str) -> str:
 )
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 lexical retrieval scoring for the fixed query
-    {_BM25_TERMS} — the standard relevance ranking used in
+    ("join", "vector", "stream") — the standard relevance ranking used in
     training-data curation (retrieval-based filtering, dedup triage,
     eval-set mining).  Per-doc term frequencies and length are a pure
     map stage; N/avgdl/df are one tiny global aggregate broadcast

@@ -555,8 +555,8 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            regexp_replace(regexp_replace(regexp_replace(body,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-               '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
                '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS clean
     FROM raw
     """,
@@ -587,7 +587,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     oracle="""
     WITH toks AS (
-        SELECT string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+        SELECT string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
     ),
     bi AS (
         SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]))
@@ -708,7 +708,7 @@ def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tfidf_topk",
     oracle="""
     WITH toks AS (
-        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
         FROM documents
     ), tf AS (
         SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
@@ -767,7 +767,7 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_doc_chunk",
     oracle="""
     WITH toks AS (
-        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
         FROM documents
     ), starts AS (
         SELECT doc_id, t,

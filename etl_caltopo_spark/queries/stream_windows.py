@@ -289,14 +289,18 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("ts", "value")
     max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
     split = max_ts - timedelta(minutes=30)
+    # build the split as an NTZ expression: a naive-datetime literal is
+    # converted via the DRIVER system timezone while the NTZ ts column
+    # is session-tz coerced, shifting the phase boundary off-UTC hosts
+    split_lit = F.lit(split.isoformat(sep=" ")).cast("timestamp_ntz")
     tmp = tempfile.mkdtemp(prefix="q_wm_late_")
     try:
         src = os.path.join(tmp, "src")
         os.makedirs(src)
-        ev.filter(F.col("ts") >= F.lit(split)).coalesce(1).write.parquet(
+        ev.filter(F.col("ts") >= split_lit).coalesce(1).write.parquet(
             os.path.join(tmp, "b1")
         )
-        ev.filter(F.col("ts") < F.lit(split)).coalesce(1).write.parquet(
+        ev.filter(F.col("ts") < split_lit).coalesce(1).write.parquet(
             os.path.join(tmp, "b2")
         )
         schema = spark.read.parquet(os.path.join(tmp, "b1")).schema

@@ -373,6 +373,38 @@ def test_jpeg_roundtrip_fidelity_and_dirty_rows():
     assert decode_jpeg(bytes(sof2)) is None
 
 
+def test_jpeg_marker_robustness():
+    """Spec-valid decorations foreign encoders emit must not break the
+    marker scan: 0xFF fill bytes before a marker and standalone TEM
+    (0x01) markers are skipped; a DRI stream whose restart boundary is
+    missing its RST marker is malformed and returns None (dirty-row
+    policy) instead of decoding corrupt pixels."""
+    import numpy as np
+
+    from etl_caltopo_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    gray = (np.add.outer(np.arange(10), np.arange(14)) % 256).astype(np.uint8)
+    base = encode_jpeg(gray)
+    ref = decode_jpeg(base)
+
+    # 0xFF fill bytes before the SOF0 marker (B.1.1.2)
+    idx = base.find(b"\xff\xc0")
+    filled = base[:idx] + b"\xff\xff\xff" + base[idx:]
+    out = decode_jpeg(filled)
+    assert out is not None and np.array_equal(out, ref)
+
+    # standalone TEM marker between segments carries no length field
+    tem = base[:idx] + b"\xff\x01" + base[idx:]
+    out = decode_jpeg(tem)
+    assert out is not None and np.array_equal(out, ref)
+
+    # inject DRI(interval=1) into a stream with no RST markers: the
+    # first restart boundary has no RST → must be rejected, not decoded
+    dri = b"\xff\xdd\x00\x04\x00\x01"
+    with_dri = base[:idx] + dri + base[idx:]
+    assert decode_jpeg(with_dri) is None
+
+
 def test_codec_property_roundtrips():
     """Property tests: PNG roundtrips EXACTLY for arbitrary uint8
     images across all filters/color counts; JPEG preserves shape and

@@ -211,14 +211,27 @@ def test_stream_stream_left_outer_interval_join_vs_batch(spark, events_dir):
         )
         return views, clicks
 
+    # canonicalize timestamps to epoch micros BEFORE collect: batch rows
+    # carry NTZ (collected as naive wall-clock) while streamed rows carry
+    # TIMESTAMP (converted to the driver SYSTEM timezone on collect), so
+    # tuple equality on raw datetimes only holds on UTC hosts
+    def canon(df):
+        return df.select(
+            "user_id",
+            "view_id",
+            "click_id",
+            F.unix_micros(F.col("l_ts").cast("timestamp")).alias("l_us"),
+            F.unix_micros(F.col("r_ts").cast("timestamp")).alias("r_us"),
+        )
+
     batch_df = spark.read.parquet(f"{events_dir}/data")
     bv, bc = split_sides(batch_df)
     batch = [
         r.asDict()
-        for r in interval_join(bv, bc, "user_id", how="left_outer").collect()
+        for r in canon(interval_join(bv, bc, "user_id", how="left_outer")).collect()
     ]
     b_matched = {tuple(sorted(r.items())) for r in batch if r["click_id"] is not None}
-    b_nulls = {r["view_id"]: r["l_ts"] for r in batch if r["click_id"] is None}
+    b_nulls = {r["view_id"]: r["l_us"] for r in batch if r["click_id"] is None}
 
     schema = batch_df.schema
     s1 = stream_from_parquet_dir(spark, f"{events_dir}/data", schema)
@@ -230,7 +243,7 @@ def test_stream_stream_left_outer_interval_join_vs_batch(spark, events_dir):
         f"{events_dir}/ckpt_ssjoin_outer",
         output_mode="append",
     )
-    streamed = [r.asDict() for r in spark.table("t_ssjoin_outer").collect()]
+    streamed = [r.asDict() for r in canon(spark.table("t_ssjoin_outer")).collect()]
     s_matched = {tuple(sorted(r.items())) for r in streamed if r["click_id"] is not None}
     s_null_ids = {r["view_id"] for r in streamed if r["click_id"] is None}
 
@@ -239,9 +252,9 @@ def test_stream_stream_left_outer_interval_join_vs_batch(spark, events_dir):
     # every batch-null view whose window expired under the final
     # watermark (max click ts - 1h delay - 30min join interval) must
     # have been emitted as a streamed null
-    max_r = max(r["r_ts"] for r in batch if r["r_ts"] is not None)
-    horizon = max_r - timedelta(hours=1) - timedelta(minutes=30)
-    expired = {vid for vid, lts in b_nulls.items() if lts < horizon}
+    max_r = max(r["r_us"] for r in batch if r["r_us"] is not None)
+    horizon = max_r - int(timedelta(hours=1, minutes=30).total_seconds()) * 1_000_000
+    expired = {vid for vid, lus in b_nulls.items() if lus < horizon}
     assert expired <= s_null_ids and expired
 
 
