@@ -450,19 +450,35 @@ def q_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_sample",
-    oracle=None,
-    note="hash-based sampling uses Spark's xxhash64 (not in DuckDB); rows-only but stable.",
+    oracle="""
+    WITH h AS (
+        SELECT l_orderkey, l_linenumber,
+               (((CAST(l_orderkey AS BIGINT) * 8 + l_linenumber) % 2147483648)
+                * 1113114113) % 2147483648 AS h1
+        FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber
+    FROM h WHERE ((h1 // 65536) % 10) = 0
+    """,
 )
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~10% sample via key hashing — invariant to
     partitioning, cluster size and run order (unlike rand()-based
     TABLESAMPLE, which is only reproducible for a fixed partition
     layout).  This is the reproducible-sampling form a training-data
-    pipeline needs; rand()-based .sample() is exercised in tests."""
+    pipeline needs; rand()-based .sample() is exercised in tests.
+
+    The draw is an engine-portable Knuth multiplicative hash (odd
+    constant, mod 2^31 so the product stays under 2^62 for ANSI
+    arithmetic at any SF); the sample decision reads the HIGH bits
+    (bits 16-30) because a multiplicative hash mixes upward — the low
+    bits of key*odd retain the key's parity."""
     apply_runtime_conf(spark)
     li = load_table(spark, sf_dir, "lineitem")
+    combined = F.col("l_orderkey").cast("long") * F.lit(8) + F.col("l_linenumber")
+    h1 = (combined % F.lit(2147483648)) * F.lit(1113114113) % F.lit(2147483648)
     return li.filter(
-        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(10)) == 0
+        F.pmod(F.floor(h1 / F.lit(65536)), F.lit(10)) == 0
     ).select("l_orderkey", "l_linenumber")
 
 
@@ -521,12 +537,15 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_csv_roundtrip",
-    oracle=None,
-    note="CSV scan smoke (writes + re-reads a derived CSV; no oracle table).",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
 )
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CSV source/sink smoke: write a projection as CSV, read it back
-    with an explicit schema ([EXT] scan completion, SURVEY §2.3)."""
+    """CSV source/sink roundtrip: write the nation table as CSV, read
+    it back with an explicit schema ([EXT] scan completion, SURVEY
+    §2.3).  Graded against the nation parquet directly — the roundtrip
+    must be lossless, so the oracle is the source table itself."""
     import tempfile
 
     apply_runtime_conf(spark)

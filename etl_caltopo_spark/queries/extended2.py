@@ -297,18 +297,53 @@ def q_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_percentile_approx",
-    oracle=None,
-    note="t-digest/KLL sketch quantiles are engine-specific; rows-only.",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           TRUE AS median_rank_ok,
+           TRUE AS p99_rank_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
 )
 def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based quantiles (approx_percentile) — the scale path
     that replaces exact percentile sorting at 100 TB (pairs with
-    q_agg_approx's HLL)."""
+    q_agg_approx's HLL).
+
+    The sketch VALUES are engine-specific (Greenwald-Khanna vs
+    t-digest), so the graded output is a rank-error CERTIFICATE: the
+    returned quantile's empirical rank interval [count(<v)+1,
+    count(<=v)] must sit within eps=0.005 of the requested rank p*n
+    (the sketch guarantees 1/accuracy = 0.001; the slack covers
+    duplicate-value rank spread).  The oracle asserts the certificate
+    holds (TRUE per group) — a broken sketch flips the boolean and
+    fails the hash gate.  Raw approx values stay available via the
+    ungraded path in tests (test_extended_ops: quantile tolerance vs
+    DuckDB exact).  Two passes over lineitem, both codegen; the
+    sketch build is the same single shuffle as before."""
     apply_runtime_conf(spark)
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("median_price_approx"),
-        F.percentile_approx("l_extendedprice", 0.99, 1000).alias("p99_price_approx"),
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    appx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("m"),
+        F.percentile_approx("l_extendedprice", 0.99, 1000).alias("p99"),
+    )
+    j = li.join(F.broadcast(appx), "l_returnflag")
+    eps = 0.005
+
+    def rank_ok(v: str, p: float):
+        lo = F.sum((F.col("l_extendedprice") < F.col(v)).cast("long")) + 1
+        hi = F.sum((F.col("l_extendedprice") <= F.col(v)).cast("long"))
+        n = F.count("*")
+        return ((lo / n - F.lit(eps)) <= F.lit(p)) & (
+            F.lit(p) <= (hi / n + F.lit(eps))
+        )
+
+    return j.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        rank_ok("m", 0.5).alias("median_rank_ok"),
+        rank_ok("p99", 0.99).alias("p99_rank_ok"),
     )
 
 

@@ -488,21 +488,42 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_doc_rolling_hash",
-    oracle=None,
-    note="rolling hash uses xxhash64 token hashes (Spark-specific); rows-only.",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ), th AS (
+        SELECT doc_id,
+               list_transform(t, s ->
+                   CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS hs
+        FROM toks
+    )
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                       (acc, h) -> (acc * 31 + h) % 2147483647) AS rolling_fp
+    FROM th
+    """,
 )
 def q_doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive document fingerprint: polynomial rolling hash
     folded over token hashes (aggregate stays in codegen; arithmetic
     kept under 2^62 so ANSI mode can't overflow).  Distinguishes
-    reordered documents that a bag-of-words digest would collapse."""
+    reordered documents that a bag-of-words digest would collapse.
+
+    The per-token hash is the first 8 hex chars of md5 — engine
+    portable (md5 is bit-identical everywhere), unlike xxhash64 whose
+    seed/finalizer are Spark-specific.  acc < 2^31 and h < 2^32, so
+    acc*31 + h < 2^37 — no overflow even under ANSI arithmetic."""
     apply_runtime_conf(spark)
     docs = load_table(spark, sf_dir, "documents")
-    token_hashes = F.transform(text.tokens(F.col("text")), lambda t: F.xxhash64(t))
+    token_hashes = F.transform(
+        text.tokens(F.col("text")),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    )
     rolling = F.aggregate(
         token_hashes,
         F.lit(0).cast("long"),
-        lambda acc, h: (acc * 31 + F.pmod(h, F.lit(1_000_000_007))) % F.lit(2_147_483_647),
+        lambda acc, h: (acc * 31 + h) % F.lit(2_147_483_647),
     )
     return docs.select("doc_id", rolling.alias("rolling_fp"))
 

@@ -1,0 +1,125 @@
+"""Tests for the round-4 rows-only → hash-graded conversions: the
+portable-hash sample draw, the md5-based rolling fingerprint, and the
+approx-quantile rank certificate (VERDICT r3 item 1)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from etl_caltopo_spark.queries.extended import q_csv_roundtrip, q_sample
+from etl_caltopo_spark.queries.extended2 import q_percentile_approx
+from etl_caltopo_spark.queries.llm_pipeline import q_doc_rolling_hash
+
+
+def test_sample_rate_and_partition_invariance(spark, sf_dir):
+    """The multiplicative-hash draw lands near 10% and is bitwise
+    identical under any partition layout (the property rand()-based
+    TABLESAMPLE lacks)."""
+    out = q_sample(spark, sf_dir)
+    from etl_caltopo_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    n, total = out.count(), li.count()
+    assert 0.07 <= n / total <= 0.13, (n, total)
+
+    base = {tuple(r) for r in out.collect()}
+    combined = F.col("l_orderkey").cast("long") * F.lit(8) + F.col("l_linenumber")
+    h1 = (combined % F.lit(2147483648)) * F.lit(1113114113) % F.lit(2147483648)
+    reparted = (
+        li.repartition(7, "l_partkey")
+        .filter(F.pmod(F.floor(h1 / F.lit(65536)), F.lit(10)) == 0)
+        .select("l_orderkey", "l_linenumber")
+    )
+    assert {tuple(r) for r in reparted.collect()} == base
+
+
+def test_rolling_hash_is_order_sensitive_and_portable(spark, sf_dir):
+    """The fingerprint distinguishes reordered token streams (a
+    bag-of-words digest would collapse them) and matches a pure-python
+    replay of the md5-prefix polynomial — the portability contract the
+    DuckDB oracle relies on."""
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "doc_id int, text string",
+    )
+    df.createOrReplaceTempView("_rh_docs")
+
+    token_hashes = F.transform(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    )
+    rolling = F.aggregate(
+        token_hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 31 + h) % F.lit(2_147_483_647),
+    )
+    got = {r["doc_id"]: r["fp"] for r in df.select("doc_id", rolling.alias("fp")).collect()}
+    assert got[1] != got[2] and got[1] == got[3]
+
+    def replay(text: str) -> int:
+        acc = 0
+        for tok in text.strip().lower().split():
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+            acc = (acc * 31 + h) % 2_147_483_647
+        return acc
+
+    assert got[1] == replay("alpha beta gamma")
+    assert got[2] == replay("gamma beta alpha")
+
+
+def test_percentile_certificate_and_value_tolerance(spark, sf_dir):
+    """The graded certificate holds (every group TRUE) and the raw
+    approx quantiles sit within sketch tolerance of DuckDB's exact
+    quantiles — the bounded-error check behind the certificate."""
+    cert = {r["l_returnflag"]: r.asDict() for r in q_percentile_approx(spark, sf_dir).collect()}
+    assert cert and all(v["median_rank_ok"] and v["p99_rank_ok"] for v in cert.values())
+
+    from etl_caltopo_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    appx = {
+        r["l_returnflag"]: (r["m"], r["p99"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("m"),
+            F.percentile_approx("l_extendedprice", 0.99, 1000).alias("p99"),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    exact = {
+        flag: (m, p)
+        for flag, m, p in con.sql(
+            f"""
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.5),
+                   quantile_cont(l_extendedprice, 0.99)
+            FROM read_parquet('{sf_dir}/lineitem.parquet')
+            GROUP BY l_returnflag
+            """
+        ).fetchall()
+    }
+    for flag, (m, p) in appx.items():
+        em, ep = exact[flag]
+        # rank error <= eps translates to a value band; on this data a
+        # 2% relative band comfortably covers eps=0.005 of rank mass
+        assert abs(m - em) / em < 0.02, (flag, m, em)
+        assert abs(p - ep) / ep < 0.02, (flag, p, ep)
+
+
+def test_csv_roundtrip_is_lossless(spark, sf_dir):
+    """CSV write → read returns exactly the nation table."""
+    from etl_caltopo_spark.io import load_table
+
+    got = {tuple(r) for r in q_csv_roundtrip(spark, sf_dir).collect()}
+    want = {
+        tuple(r)
+        for r in load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect()
+    }
+    assert got == want and got
