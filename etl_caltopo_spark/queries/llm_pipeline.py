@@ -350,23 +350,22 @@ def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate clustering: connected components over the embedding
-    near-dup pair graph (iterative min-label propagation with
-    localCheckpoint; the oracle computes the same components by
-    recursive transitive closure).  This is the step that turns
+    """Duplicate clustering: per-block connected components over the
+    embedding near-dup graph (the oracle computes the same components
+    by recursive transitive closure).  This is the step that turns
     near-dup PAIRS into keep/drop decisions.
 
-    Candidate generation here is the label-blocked EXACT pass so the
-    recursive-CTE oracle can replay it; within-block fan-in is
-    quadratic, which holds at eval scale but not at 100 TB — the
-    production path is q_dedup_clusters_lsh, identical propagation
-    over hyperplane-LSH-bucketed candidates."""
+    Edges never span label blocks, so clustering runs as ONE
+    ``applyInPandas`` pass per block — a BLAS cosine matrix + local
+    union-find (``dedup.clusters_within_blocks``) — instead of an
+    exploded pair join feeding iterative min-label propagation.  One
+    shuffle on the block key, zero fixpoint rounds.  The within-block
+    quadratic is BLAS-bounded, which holds at eval scale; at 100 TB
+    the blocking key becomes the LSH bucket (q_dedup_clusters_lsh,
+    same operator)."""
     apply_runtime_conf(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = similarity.embedding_near_pairs(emb, "label", threshold=0.3)
-    return dedup.connected_components(
-        emb.select("vec_id"), pairs, id_col="vec_id", src_col="id_a", dst_col="id_b"
-    )
+    return dedup.clusters_within_blocks(emb, "label", threshold=0.3)
 
 
 @query(
@@ -385,13 +384,16 @@ def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact-cosine verification inside buckets keeps every emitted edge
     a true near-dup pair, so the resulting components are a provable
     REFINEMENT of q_dedup_clusters (never a merge across distinct
-    exact clusters).  Downstream min-label propagation is identical."""
+    exact clusters).  Clustering is the same per-block BLAS +
+    union-find pass (``dedup.clusters_within_blocks``) keyed on the
+    bucket instead of the label."""
     apply_runtime_conf(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = similarity.embedding_near_pairs_lsh(emb, threshold=0.3, n_planes=8, dim=64)
-    return dedup.connected_components(
-        emb.select("vec_id"), pairs, id_col="vec_id", src_col="id_a", dst_col="id_b"
+    bucketed = emb.withColumn(
+        "_bucket",
+        similarity.bucket_id(F.col("embedding"), similarity._hyperplane(8, 64)),
     )
+    return dedup.clusters_within_blocks(bucketed, "_bucket", threshold=0.3)
 
 
 @query(
@@ -714,10 +716,7 @@ def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs."""
     apply_runtime_conf(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = similarity.embedding_near_pairs(emb, "label", threshold=0.3)
-    comps = dedup.connected_components(
-        emb.select("vec_id"), pairs, id_col="vec_id", src_col="id_a", dst_col="id_b"
-    )
+    comps = dedup.clusters_within_blocks(emb, "label", threshold=0.3)
     return comps.groupBy("cluster_id").agg(
         F.max("vec_id").alias("keeper_id"),
         F.count("*").alias("n_members"),

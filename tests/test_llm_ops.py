@@ -55,6 +55,51 @@ def test_connected_components_clusters(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
 
 
+def test_clusters_within_blocks_matches_pairwise_cc(spark):
+    """The one-pass per-block BLAS + union-find clustering must equal
+    connected_components over the exploded near-pair graph — on a
+    dataset with multi-member chains, cross-block id interleaving
+    (min id of a component is NOT the min index), a zero vector, and
+    a singleton block."""
+    rows = [
+        # block A: 30/10/20 form a chain via the middle vector; min id 10
+        (30, "A", [1.0, 0.0, 0.0]),
+        (10, "A", [0.8, 0.6, 0.0]),
+        (20, "A", [0.0, 1.0, 0.0]),
+        # orthogonal loner in A + a zero vector (joins nothing)
+        (40, "A", [0.0, 0.0, 1.0]),
+        (50, "A", [0.0, 0.0, 0.0]),
+        # block B: pair; same-looking vectors as A must NOT merge across
+        (5, "B", [1.0, 0.0, 0.0]),
+        (6, "B", [1.0, 0.1, 0.0]),
+        # singleton block
+        (99, "C", [0.5, 0.5, 0.5]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in dedup.clusters_within_blocks(emb, "label", threshold=0.5).collect()
+    }
+    from etl_caltopo_spark.llm import similarity
+
+    # reference path can't see the zero vector (ANSI divide-by-zero in
+    # the pairwise cosine); the new operator treats it as edgeless
+    nonzero = emb.filter(F.col("vec_id") != 50)
+    pairs = similarity.embedding_near_pairs(nonzero, "label", threshold=0.5)
+    want = {
+        r["vec_id"]: r["cluster_id"]
+        for r in dedup.connected_components(
+            nonzero.select("vec_id"), pairs, id_col="vec_id"
+        ).collect()
+    }
+    want[50] = 50
+    assert got == want
+    assert got[30] == 10 and got[10] == 10 and got[20] == 10  # chain, min id
+    assert got[5] == 5 and got[6] == 5  # no cross-block merge
+    assert got[40] == 40 and got[50] == 50 and got[99] == 99
+
+
 def test_brute_force_topk_exact_neighbor(spark):
     emb = spark.createDataFrame(
         [
