@@ -180,6 +180,96 @@ def ivf_topk(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
+def exact_knn_candidates(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    n_candidates: int | None = None,
+    block_rows: int = 512,
+) -> DataFrame:
+    """EXACT leave-one-out kNN candidate pairs via blocked BLAS — the
+    scale-safe form of the all-pairs baseline when the reference side
+    fits per-executor (eval/validation sets by construction).
+
+    The reference matrix (ids, labels, row-vectors) is broadcast once;
+    each input partition streams through ``mapInPandas`` and scores
+    ``block_rows``-row query blocks against the whole reference with a
+    single float64 GEMM — no pair-row explosion, no shuffle, no
+    BroadcastNestedLoopJoin in the plan, work distributes over the
+    query partitions.  Each query emits its top ``n_candidates``
+    (default ``k + 64``) candidates ranked by (6-dp-floored cosine
+    desc, nid asc); the slack absorbs any ulp-level difference between
+    GEMM summation order and the engines' sequential fold, so the
+    caller re-scores the surviving pairs with the codegen
+    :func:`cosine` expression and the FINAL ranking is bit-identical
+    to the brute-force all-pairs plan (oracle-gradable).
+
+    Output columns: qid, qlabel, nid, nlabel, qv, nv.  Reference sets
+    beyond executor memory go to :func:`ivf_candidate_pairs` instead.
+    """
+    import numpy as np
+
+    spark = emb.sparkSession
+    base = emb.select(id_col, label_col, vec_col)
+    ref_rows = base.collect()  # reference side only — documented to fit
+    ref_ids = np.array([r[0] for r in ref_rows], dtype=np.int64)
+    ref_labels = [r[1] for r in ref_rows]
+    R = np.array([list(r[2]) for r in ref_rows], dtype=np.float64)
+    rnorm = np.sqrt(np.einsum("ij,ij->i", R, R))
+    bc = spark.sparkContext.broadcast((ref_ids, ref_labels, R, rnorm))
+    n_cand = min(len(ref_rows) - 1, n_candidates or (k + 64))
+
+    label_t = dict(base.dtypes)[label_col]
+    vec_t = dict(base.dtypes)[vec_col]
+    out_schema = (
+        f"qid bigint, qlabel {label_t}, nid bigint, nlabel {label_t}, "
+        f"qv {vec_t}, nv {vec_t}"
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        ids, labels, Rm, rn = bc.value
+        labels_arr = np.array(labels, dtype=object)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            qids = pdf[id_col].to_numpy(dtype=np.int64)
+            qlabels = pdf[label_col].to_numpy()
+            qvs = list(pdf[vec_col])
+            for s in range(0, len(pdf), block_rows):
+                e = min(s + block_rows, len(pdf))
+                Qb = Q[s:e]
+                qn = np.sqrt(np.einsum("ij,ij->i", Qb, Qb))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    C = (Qb @ Rm.T) / (qn[:, None] * rn[None, :])
+                # strict total order: (floored-cosine grid desc, nid asc);
+                # sentinels stay well inside int64 so -composite never
+                # overflows (negating int64-min is a no-op)
+                Ki = np.where(np.isfinite(C), np.floor(C * 1e6), -(2.0**21))
+                composite = Ki.astype(np.int64) * (1 << 40) - ids[None, :]
+                composite[ids[None, :] == qids[s:e, None]] = -(1 << 62)
+                top = np.argpartition(-composite, n_cand - 1, axis=1)[:, :n_cand]
+                order = np.argsort(-np.take_along_axis(composite, top, axis=1), axis=1)
+                top = np.take_along_axis(top, order, axis=1)
+                m = e - s
+                yield pd.DataFrame(
+                    {
+                        "qid": np.repeat(qids[s:e], n_cand),
+                        "qlabel": np.repeat(qlabels[s:e], n_cand),
+                        "nid": ids[top].ravel(),
+                        "nlabel": labels_arr[top].ravel(),
+                        "qv": [qvs[s + i] for i in range(m) for _ in range(n_cand)],
+                        "nv": [R[j].astype(np.float32) for j in top.ravel()],
+                    }
+                )
+
+    return base.mapInPandas(gen, out_schema)
+
+
 def ivf_candidate_pairs(
     emb: DataFrame,
     n_cells: int = 8,

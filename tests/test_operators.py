@@ -62,3 +62,20 @@ def test_top_k_per_group(spark):
     out = top_k_per_group(df, ["g"], [F.col("v").desc()], 2)
     got = sorted((r["g"], r["v"]) for r in out.collect())
     assert got == [("a", 2), ("a", 3), ("b", 9)]
+
+
+def test_skyline_sweep_matches_nested_loop_baseline(spark, sf_dir):
+    """The graded sweep skyline equals the test-only O(n²) anti-join
+    baseline row-for-row (both also share the DuckDB oracle)."""
+    from etl_caltopo_spark.queries import REGISTRY
+    from etl_caltopo_spark.queries.extended4 import skyline_nested_loop
+    from etl_caltopo_spark.io import load_table
+
+    sweep = {
+        tuple(r) for r in REGISTRY["q_skyline"].fn(spark, sf_dir).collect()
+    }
+    bnl = {
+        tuple(r)
+        for r in skyline_nested_loop(load_table(spark, sf_dir, "part")).collect()
+    }
+    assert sweep == bnl and len(sweep) > 0
