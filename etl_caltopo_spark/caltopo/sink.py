@@ -1,10 +1,13 @@
 """Sinks (ref task.ts:154-159: POST the FeatureCollection to the
 CloudTAK ETL API).
 
-The POST itself is driver-side and injectable, mirroring the
-reference's single submit per invocation; the parquet sink is the
-test/archive path.  For very large outputs, ``foreach_partition_post``
-ships batches from executors instead of collecting to the driver.
+The default entry point is :func:`submit`, which dispatches on output
+size: at reference scale (a map layer is O(10^2..10^4) features) it
+mirrors the Lambda's single driver-side POST; beyond
+``DRIVER_COLLECT_MAX`` features it switches to executor-side
+per-partition POSTs (``foreach_partition_post``) so nothing large is
+ever collected to the driver.  The parquet sink is the test/archive
+path.
 """
 
 from __future__ import annotations
@@ -80,3 +83,26 @@ def foreach_partition_post(df: DataFrame, url: str, poster: Poster) -> None:
             poster(url, json.dumps({"type": "FeatureCollection", "features": feats}))
 
     df.foreachPartition(handle)
+
+
+DRIVER_COLLECT_MAX = 10_000
+
+
+def submit(
+    df: DataFrame,
+    url: str,
+    poster: Poster,
+    driver_collect_max: int = DRIVER_COLLECT_MAX,
+) -> int:
+    """Default sink (R16, task.ts:154-159).  One count pass decides
+    the path: at-or-below ``driver_collect_max`` features, a single
+    driver-side POST (reference-faithful — the Lambda also submits the
+    whole collection at once); above it, executor-side per-partition
+    POSTs so the payload never materializes on the driver.  Returns
+    the feature count either way."""
+    n = df.count()
+    if n <= driver_collect_max:
+        post_feature_collection(df, url, poster)
+    else:
+        foreach_partition_post(df, url, poster)
+    return n

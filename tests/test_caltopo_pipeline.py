@@ -215,3 +215,44 @@ def test_schema_introspection():
     assert set(STAGE_SCHEMAS) == {"env", "envelope", "feature", "output_properties"}
     parsed = _json.loads(schema_json("input"))
     assert [f["name"] for f in parsed["fields"]] == ["ShareId", "DEBUG"]
+
+def test_submit_dispatches_on_size(spark, tmp_path):
+    """sink.submit is the default sink: one driver-side POST at
+    reference scale, executor-side partition POSTs above the
+    threshold — same feature multiset either way."""
+    import glob
+    import json as _json
+    import uuid
+
+    from etl_caltopo_spark.caltopo.sink import submit
+
+    df = run_pipeline(fixture_envelope_df(spark)).repartition(4)
+    expected = sorted(r["id"] for r in df.collect())
+
+    # small output → single driver POST
+    driver_posts = []
+
+    def driver_poster(url: str, body: str) -> None:
+        driver_posts.append(body)
+
+    n = submit(df, "https://example.test/layer", driver_poster)
+    assert n == len(expected)
+    assert len(driver_posts) == 1
+    fc = _json.loads(driver_posts[0])
+    assert sorted(f["id"] for f in fc["features"]) == expected
+
+    # above the threshold → per-partition executor POSTs
+    out_dir = tmp_path / "posts"
+    out_dir.mkdir()
+
+    def part_poster(url: str, body: str) -> None:
+        (out_dir / f"{uuid.uuid4().hex}.json").write_text(body)
+
+    n = submit(df, "https://example.test/layer", part_poster, driver_collect_max=5)
+    assert n == len(expected)
+    files = glob.glob(str(out_dir / "*.json"))
+    assert len(files) > 1  # partition path, not one driver payload
+    posted = []
+    for f in files:
+        posted += [feat["id"] for feat in _json.loads(open(f).read())["features"]]
+    assert sorted(posted) == expected
