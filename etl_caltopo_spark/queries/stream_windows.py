@@ -350,6 +350,103 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us
+    FROM events
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked dedup-in-stream as a REAL two-phase Structured
+    Streaming run whose emission set the SQL oracle hash-checks — the
+    graded complement to the rows-only q_stream_watermark_late.
+
+    Protocol: every event is delivered TWICE (at-least-once source
+    simulation).  Phase 1 streams the older half (both copies, one
+    file → deterministic batching), advancing the persisted watermark
+    to ~mid − 10 min.  Phase 2 restarts from the same checkpoint with
+    the newer half (both copies) PLUS a third delivery of the oldest
+    quarter — late rows far below the watermark.  The
+    dropDuplicatesWithinWatermark state collapses same-key copies
+    inside each phase, and the watermark drops the stale redelivery
+    before the operator, so the emitted multiset is EXACTLY one row
+    per source event: SELECT event_id, user_id, event_type, ts FROM
+    events — which is what the oracle grades, making the dedup + late
+    -drop semantics hash-checked, not just row-counted.  (The final
+    driver materialization is harness plumbing for the grader;
+    production streams keep the same plan and write to a durable
+    sink.)"""
+    apply_runtime_conf(spark)
+    import os
+    import shutil
+    import tempfile
+
+    from etl_caltopo_spark.streaming.ingest import (
+        stream_dedup_within_watermark,
+        stream_from_parquet_dir,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    span = bounds["hi"] - bounds["lo"]
+    mid = bounds["lo"] + span / 2
+    early = bounds["lo"] + span / 4
+    # NTZ-literal casts keep the phase boundaries timezone-independent
+    mid_lit = F.lit(mid.isoformat(sep=" ")).cast("timestamp_ntz")
+    early_lit = F.lit(early.isoformat(sep=" ")).cast("timestamp_ntz")
+    tmp = tempfile.mkdtemp(prefix="q_stream_dedup_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        older = ev.filter(F.col("ts") < mid_lit)
+        newer = ev.filter(F.col("ts") >= mid_lit)
+        stale = ev.filter(F.col("ts") < early_lit)
+        older.unionAll(older).coalesce(1).write.parquet(os.path.join(tmp, "b1"))
+        newer.unionAll(newer).unionAll(stale).coalesce(1).write.parquet(
+            os.path.join(tmp, "b2")
+        )
+        schema = spark.read.parquet(os.path.join(tmp, "b1")).schema
+        out_dir = os.path.join(tmp, "out")
+
+        def emit(batch_df: DataFrame, _epoch_id: int) -> None:
+            batch_df.write.mode("append").parquet(out_dir)
+
+        for i, bdir in enumerate(("b1", "b2")):
+            for f in os.listdir(os.path.join(tmp, bdir)):
+                if f.endswith(".parquet"):
+                    shutil.copy(
+                        os.path.join(tmp, bdir, f), os.path.join(src, f"{i}_{f}")
+                    )
+            deduped = stream_dedup_within_watermark(
+                stream_from_parquet_dir(spark, src, schema),
+                ["event_id"],
+                "ts",
+                "10 minutes",
+            )
+            q = (
+                deduped.writeStream.foreachBatch(emit)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        emitted = spark.read.parquet(out_dir)
+        out = spark.createDataFrame(emitted.collect(), emitted.schema)
+        return out.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            epoch_us(F.col("ts").cast("timestamp_ntz")).alias("ts_us"),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "q_click_attribution_outer",
     oracle="""
     SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id

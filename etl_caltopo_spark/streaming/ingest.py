@@ -66,6 +66,20 @@ def stream_dedup(
     return out
 
 
+def stream_dedup_within_watermark(
+    df: DataFrame, keys: list[str], ts_col: str, delay: str = "1 hour"
+) -> DataFrame:
+    """Stream dedup WITHOUT the event-time column in the key set:
+    ``dropDuplicatesWithinWatermark`` guarantees records whose event
+    times fall within ``delay`` of the first arrival are deduplicated,
+    and evicts key state once the watermark passes — the operator to
+    reach for when duplicates share a business key but not necessarily
+    an identical timestamp (retries, at-least-once sources).  Late
+    input older than the watermark is dropped before the operator."""
+    df, _ = as_event_time(df, ts_col)
+    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
 def run_available_now_to_memory(
     stream_df: DataFrame, query_name: str, checkpoint_dir: str, output_mode: str = "complete"
 ) -> None:

@@ -306,3 +306,16 @@ def test_streaming_incremental_rollup_equals_full_recompute(spark, events_dir, t
         for r in full.collect()
     }
     assert got == want and got
+
+
+def test_stream_dedup_emits_each_event_once(spark):
+    """q_stream_dedup's protocol: every event delivered 2-3x across
+    two phases (including a stale below-watermark redelivery) must be
+    emitted exactly once."""
+    from etl_caltopo_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    out = REGISTRY["q_stream_dedup"].fn(spark, sf)
+    ids = [r["event_id"] for r in out.select("event_id").collect()]
+    assert len(ids) == 1000  # one per source event
+    assert len(set(ids)) == 1000  # no duplicate emissions
