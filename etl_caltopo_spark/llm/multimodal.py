@@ -42,7 +42,7 @@ ASSET_SCHEMA = StructType(
     ]
 )
 
-#: schema appended by the (stubbed) feature extractor
+#: schema appended by the feature extractor
 FEATURE_SCHEMA = StructType(
     ASSET_SCHEMA.fields
     + [StructField("features", ArrayType(FloatType()), True)]
@@ -405,22 +405,31 @@ def decode_images(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(fn, schema=out_schema)
 
 
-def _fake_features(payload: pd.Series, dim: int = 8) -> pd.Series:
-    """Deterministic fake feature extractor standing in for the codec:
-    folds payload bytes into ``dim`` float accumulators.  Keeps the
-    batch shape/latency profile of a real extractor without the
-    dependency."""
+def image_histogram_features(payload: pd.Series, bins: int = 8) -> pd.Series:
+    """REAL image feature extractor: decode the payload with the
+    pure-python codecs (:func:`decode_image` — JPEG/PNG/PPM), then an
+    L1-normalized ``bins``-bin luminance histogram (Rec. 601 weights
+    for color, the single channel for gray).  Features sum to 1 and
+    lie in [0, 1].  Undecodable payloads yield None — the same
+    dirty-row policy as decode — so downstream filters see real
+    signal, not byte noise."""
     import numpy as np
 
+    weights = np.array([0.299, 0.587, 0.114])
+
     def one(b: bytes | None) -> list[float] | None:
-        if b is None:
+        img = decode_image(b)
+        if img is None:
             return None
-        arr = np.frombuffer(b, dtype=np.uint8)
-        if len(arr) == 0:
-            return [0.0] * dim
-        pad = (-len(arr)) % dim
-        arr = np.pad(arr, (0, pad)).reshape(-1, dim)
-        return (arr.mean(axis=0) / 255.0).astype(float).tolist()
+        a = np.asarray(img, dtype=np.float64)
+        if a.ndim == 2:
+            lum = a
+        elif a.shape[2] == 2:  # gray + alpha
+            lum = a[:, :, 0]
+        else:  # RGB / RGBA
+            lum = a[:, :, :3] @ weights
+        hist, _ = np.histogram(lum, bins=bins, range=(0.0, 256.0))
+        return (hist / lum.size).astype(np.float32).tolist()
 
     return payload.map(one)
 
@@ -463,16 +472,17 @@ def resize_stub(assets: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def extract_features(assets: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
-    """mapInPandas feature extraction over binary payloads.
-
-    Real contract: Arrow batches in, Arrow batches out, schema declared
-    up front; swap ``_fake_features`` for a real decoder without
-    touching the Spark plan."""
+    """mapInPandas feature extraction over binary payloads: Arrow
+    batches in, Arrow batches out, schema declared up front.  The
+    extractor is :func:`image_histogram_features` — a real decode +
+    luminance histogram over the pure-python codecs; swapping in a
+    heavier model embedding changes only the inner function, never the
+    Spark plan."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["features"] = _fake_features(pdf["payload"])
+            pdf["features"] = image_histogram_features(pdf["payload"])
             yield pdf
 
     return assets.mapInPandas(fn, schema=FEATURE_SCHEMA)

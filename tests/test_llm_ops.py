@@ -264,15 +264,34 @@ def test_multimodal_resize_contract(spark):
 
 
 def test_multimodal_feature_plumbing(spark):
-    docs = _docs(spark)
-    assets = multimodal.as_binary_assets(
-        docs, "doc_id", F.encode(F.col("text"), "utf-8"), "image"
-    )
-    feats = multimodal.extract_features(assets).collect()
-    assert all(len(r["features"]) == 8 for r in feats)
-    assert all(0.0 <= v <= 1.0 for r in feats for v in r["features"])
+    """extract_features computes REAL luminance histograms via the
+    pure-python decoders; the fixture images have hand-computable
+    histograms, and non-image payloads yield None (dirty-row
+    policy)."""
+    import numpy as np
+
+    # gray PNG: 4x4, 8 pixels at 10 (bin 0), 8 at 250 (bin 7)
+    gray = np.array([[10] * 4, [10] * 4, [250] * 4, [250] * 4], dtype=np.uint8)
+    # RGB PPM: 2x2 pure red → luminance 0.299*255 ≈ 76.2 → bin 2 (64..96)
+    red = np.zeros((2, 2, 3), dtype=np.uint8)
+    red[:, :, 0] = 255
+    rows = [
+        (1, bytearray(multimodal.encode_png(gray))),
+        (2, bytearray(multimodal.encode_ppm(red))),
+        (3, b"not an image at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    assets = multimodal.as_binary_assets(df, "doc_id", F.col("payload"), "image")
+    feats = {r["asset_id"]: r["features"] for r in multimodal.extract_features(assets).collect()}
+    assert feats[1] == [0.5, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.5]
+    assert feats[2] == [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    assert feats[3] is None
+    # every real histogram is a probability vector
+    for v in (feats[1], feats[2]):
+        assert abs(sum(v) - 1.0) < 1e-6 and all(0.0 <= x <= 1.0 for x in v)
     # n_bytes metadata matches the payload length
-    assert all(r["n_bytes"] == len(r["payload"]) for r in feats)
+    out = multimodal.extract_features(assets).collect()
+    assert all(r["n_bytes"] == len(r["payload"]) for r in out)
 
 
 def test_redact_pii_all_three_kinds(spark):
