@@ -79,13 +79,69 @@ def _hyperplane(n_planes: int, dim: int) -> list[list[float]]:
 
 
 def bucket_id(vec: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane LSH bucket: one sign bit per plane."""
+    """Random-hyperplane LSH bucket: one sign bit per plane.
+
+    Embeds the planes as literal arrays — ideal for codegen at small
+    n_planes × dim, but the expression tree grows with every literal;
+    use :func:`attach_bucket` (which switches to a broadcast relation
+    past ``_LITERAL_PLANE_BUDGET`` coefficients) instead of calling
+    this directly on large plane sets."""
     acc = F.lit(0)
     for i, plane in enumerate(planes):
         plane_col = F.array(*[F.lit(float(v)) for v in plane])
         bit = F.when(dot(vec, plane_col) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         acc = acc + bit
     return acc
+
+
+#: n_planes × dim above which hyperplanes move out of the plan into a
+#: broadcast relation (literal trees bloat plan serialization and
+#: codegen past this point)
+_LITERAL_PLANE_BUDGET = 512
+
+
+def attach_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    out_col: str = "_bucket",
+    literal_budget: int = _LITERAL_PLANE_BUDGET,
+) -> DataFrame:
+    """Add the hyperplane-LSH bucket column, keeping the plan bounded.
+
+    Small plane sets (n_planes × dim ≤ ``literal_budget``) inline as
+    literals (:func:`bucket_id` — zero joins, pure codegen).  Larger
+    sets are attached as ONE broadcast row of array<array<double>> and
+    folded with zip_with/aggregate, so plan size is O(1) in dim ×
+    planes instead of O(dim × planes) literal nodes.  Both paths fold
+    the dot product in the same sequential order, so bucket values are
+    identical."""
+    planes = _hyperplane(n_planes, dim)
+    if n_planes * dim <= literal_budget:
+        return df.withColumn(out_col, bucket_id(F.col(vec_col), planes))
+    spark = df.sparkSession
+    planes_df = spark.createDataFrame(
+        [([[float(x) for x in p] for p in planes],)],
+        "_planes array<array<double>>",
+    )
+    vec = _as_double(F.col(vec_col))
+    plane_dot = lambda p: F.aggregate(  # noqa: E731 — sequential fold, matches dot()
+        F.zip_with(vec, p, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    bits = F.zip_with(
+        F.col("_planes"),
+        F.sequence(F.lit(0), F.size(F.col("_planes")) - 1),
+        lambda p, i: F.when(
+            plane_dot(p) >= 0, F.pow(F.lit(2.0), i.cast("double"))
+        ).otherwise(F.lit(0.0)),
+    )
+    bucket = F.aggregate(bits, F.lit(0.0), lambda a, x: a + x).cast("long")
+    return (
+        df.crossJoin(F.broadcast(planes_df))
+        .withColumn(out_col, bucket)
+        .drop("_planes")
+    )
 
 
 def embedding_near_pairs(
@@ -131,8 +187,7 @@ def embedding_near_pairs_lsh(
     with high cosine share all sign bits with high probability), then
     verify exact cosine within buckets.  Probabilistic recall —
     rows-only, not an oracle query."""
-    planes = _hyperplane(n_planes, dim)
-    bucketed = emb.withColumn("_bucket", bucket_id(F.col(vec_col), planes))
+    bucketed = attach_bucket(emb, vec_col, n_planes, dim)
     return embedding_near_pairs(
         bucketed, "_bucket", threshold, id_col=id_col, vec_col=vec_col
     )
@@ -358,9 +413,8 @@ def lsh_bucket_topk(
     then exact cosine within it.  At scale the bucket column is
     precomputed and the table partitioned by it, turning ANN lookup
     into partition-pruned scan + local top-k."""
-    planes = _hyperplane(n_planes, dim)
-    bucketed = emb.withColumn("_bucket", bucket_id(F.col(vec_col), planes))
-    q = query.withColumn("_qbucket", bucket_id(F.col(query_vec_col), planes))
+    bucketed = attach_bucket(emb, vec_col, n_planes, dim)
+    q = attach_bucket(query, query_vec_col, n_planes, dim, out_col="_qbucket")
     candidates = bucketed.join(
         F.broadcast(q), F.col("_bucket") == F.col("_qbucket")
     )

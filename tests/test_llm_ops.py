@@ -620,3 +620,44 @@ def test_exact_knn_matches_bruteforce_baseline(spark, sf_dir):
         fround(similarity.cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
     )
     assert top5(gemm_scored) == top5(_knn_bruteforce_pairs(pts))
+
+
+def test_attach_bucket_broadcast_path_matches_literal(spark):
+    """Past the literal budget, hyperplanes move to a broadcast
+    relation — bucket values must be identical to the literal path,
+    and the plan must stop growing with dim × planes."""
+    import random
+
+    rng = random.Random(7)
+    dim, n_planes = 512, 16
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    lit_path = similarity.attach_bucket(
+        df, "embedding", n_planes, dim, literal_budget=10**9
+    )
+    bc_path = similarity.attach_bucket(
+        df, "embedding", n_planes, dim, literal_budget=0
+    )
+    lit = {r["vec_id"]: r["_bucket"] for r in lit_path.collect()}
+    bc = {r["vec_id"]: r["_bucket"] for r in bc_path.collect()}
+    assert lit == bc and len(set(lit.values())) > 1
+
+    # plan-size guard: the default path at 16x512 must not embed
+    # 8192 literal coefficients (plan stays orders smaller)
+    def plan_len(d):
+        return len(
+            d._sc._jvm.PythonSQLUtils.explainString(
+                d._jdf.queryExecution(), "extended"
+            )
+        )
+
+    assert similarity._LITERAL_PLANE_BUDGET < n_planes * dim
+    default_plan = plan_len(similarity.attach_bucket(df, "embedding", n_planes, dim))
+    assert default_plan < plan_len(lit_path) / 10
+    # small config (4x64) stays on the literal path: no join in plan
+    small = similarity.attach_bucket(df, "embedding", 4, 64)
+    small_plan = small._sc._jvm.PythonSQLUtils.explainString(
+        small._jdf.queryExecution(), "extended"
+    )
+    assert "Join" not in small_plan
