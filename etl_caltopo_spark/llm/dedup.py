@@ -99,17 +99,24 @@ def near_duplicates(
     probabilistic; this is the scale path, not an oracle query.
     """
     rows = n_hashes // bands
-    sig = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            shingles(F.col(text_col), shingle_n).alias("_sh"),
-        )
-        .withColumn("_hs", shingle_hashes(F.col("_sh")))
-        .select("_id", "_sh", *minhash_signature(F.col("_hs"), n_hashes))
-    )
-    # shingle sets are needed twice (band hashing + pair verification);
-    # cache the signature table instead of recomputing the shingling
-    sig = sig.persist()
+    spark = df.sparkSession
+    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    # the shingle+minhash pass is compute-bound per document: if the
+    # source arrives in fewer splits than cores (single small parquet
+    # file locally; unsplittable row group), fan out BEFORE the heavy
+    # compute.  At real scale the source has >= cores splits and this
+    # no-ops.
+    if src.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        src = src.repartition(spark.sparkContext.defaultParallelism)
+    # one string-hashing pass; cache the COMPACT result (id + distinct
+    # shingle hashes as array<long>, ~1 KB/doc) — consumed by band
+    # hashing once and by verification twice.  Never cache the shingle
+    # STRINGS: serializing them into storage memory measured ~8 s at
+    # sf0.1 vs ~0.2 s for the int arrays.
+    hashed = src.select(
+        "_id", shingle_hashes(shingles(F.col("_text"), shingle_n)).alias("_hs")
+    ).persist()
+    sig = hashed.select("_id", *minhash_signature(F.col("_hs"), n_hashes))
     band_cols = [
         F.hash(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
         for b in range(bands)
@@ -131,11 +138,13 @@ def near_duplicates(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # verification: re-attach shingle sets for the (few) candidates
-    sh = sig.select("_id", "_sh")
+    # verification: exact Jaccard over the distinct HASHED shingle sets
+    # (array_intersect/union are set-semantic either way; 8-byte longs
+    # compare ~10× cheaper than shingle strings, and xxhash64 collisions
+    # are negligible at any realistic shingle count)
     cand = (
-        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+        cand.join(hashed.select(F.col("_id").alias("id_a"), F.col("_hs").alias("sh_a")), "id_a")
+        .join(hashed.select(F.col("_id").alias("id_b"), F.col("_hs").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
@@ -144,13 +153,13 @@ def near_duplicates(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    # materialize the (small) verified pair set eagerly so the signature
+    # materialize the (small) verified pair set eagerly so the hash
     # cache can be dropped before returning — repeated calls in a
-    # long-lived session must not accumulate persisted signature tables.
+    # long-lived session must not accumulate persisted tables.
     # localCheckpoint blocks are released by the ContextCleaner once the
     # returned DataFrame goes out of scope, unlike cacheManager entries.
     verified = verified.localCheckpoint(eager=True)
-    sig.unpersist()
+    hashed.unpersist()
     return verified
 
 
