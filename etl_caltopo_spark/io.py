@@ -77,6 +77,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Repartition a source to core count when it arrives in fewer
+    splits than cores — used immediately before compute-bound per-row
+    stages (Python codecs via mapInPandas, heavy string shingling)
+    where one unsplittable parquet row group would otherwise serialize
+    the whole stage onto one task.  At scale, sources have >= cores
+    splits and this is a no-op; the repartition only ever pays for
+    shuffling the narrow projected input, not the computed output."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def read_json(spark: SparkSession, path: str, schema=None, mode: str = "FAILFAST") -> DataFrame:
     """JSON-lines scan with schema enforcement.
 

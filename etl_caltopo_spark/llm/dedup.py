@@ -98,16 +98,13 @@ def near_duplicates(
     Output: ``id_a`` < ``id_b``, ``jaccard`` (4 dp).  LSH recall is
     probabilistic; this is the scale path, not an oracle query.
     """
+    from etl_caltopo_spark.io import fan_out
+
     rows = n_hashes // bands
-    spark = df.sparkSession
-    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
-    # the shingle+minhash pass is compute-bound per document: if the
-    # source arrives in fewer splits than cores (single small parquet
-    # file locally; unsplittable row group), fan out BEFORE the heavy
-    # compute.  At real scale the source has >= cores splits and this
-    # no-ops.
-    if src.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
-        src = src.repartition(spark.sparkContext.defaultParallelism)
+    # the shingle+minhash pass is compute-bound per document: fan out
+    # before it if the source arrives in fewer splits than cores
+    # (no-op at scale — see io.fan_out)
+    src = fan_out(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")))
     # one string-hashing pass; cache the COMPACT result (id + distinct
     # shingle hashes as array<long>, ~1 KB/doc) — consumed by band
     # hashing once and by verification twice.  Never cache the shingle

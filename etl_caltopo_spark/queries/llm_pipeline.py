@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_caltopo_spark.functions.numeric import fround
-from etl_caltopo_spark.io import load_table
+from etl_caltopo_spark.io import fan_out, load_table
 from etl_caltopo_spark.llm import dedup, multimodal, similarity, text
 from etl_caltopo_spark.queries.registry import query
 from etl_caltopo_spark.session import apply_runtime_conf
@@ -422,7 +422,7 @@ def q_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.types import BinaryType, LongType, StructField, StructType
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id"))
     gen_schema = StructType(
         [
             StructField("asset_id", LongType(), False),
@@ -1316,7 +1316,7 @@ def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id"))
     gen_schema = StructType(
         [
             StructField("asset_id", LongType(), False),
@@ -1503,7 +1503,7 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.types import BinaryType, LongType, StructField, StructType
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id"))
     gen_schema = StructType(
         [
             StructField("asset_id", LongType(), False),
