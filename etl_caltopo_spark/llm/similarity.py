@@ -277,11 +277,7 @@ def exact_knn_candidates(
     n_cand = min(len(ref_rows) - 1, n_candidates or (k + 64))
 
     label_t = dict(base.dtypes)[label_col]
-    vec_t = dict(base.dtypes)[vec_col]
-    out_schema = (
-        f"qid bigint, qlabel {label_t}, nid bigint, nlabel {label_t}, "
-        f"qv {vec_t}, nv {vec_t}"
-    )
+    out_schema = f"qid bigint, qlabel {label_t}, nid bigint, nlabel {label_t}"
 
     def gen(batches):
         import pandas as pd
@@ -294,7 +290,6 @@ def exact_knn_candidates(
             Q = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
             qids = pdf[id_col].to_numpy(dtype=np.int64)
             qlabels = pdf[label_col].to_numpy()
-            qvs = list(pdf[vec_col])
             for s in range(0, len(pdf), block_rows):
                 e = min(s + block_rows, len(pdf))
                 Qb = Q[s:e]
@@ -310,19 +305,23 @@ def exact_knn_candidates(
                 top = np.argpartition(-composite, n_cand - 1, axis=1)[:, :n_cand]
                 order = np.argsort(-np.take_along_axis(composite, top, axis=1), axis=1)
                 top = np.take_along_axis(top, order, axis=1)
-                m = e - s
                 yield pd.DataFrame(
                     {
                         "qid": np.repeat(qids[s:e], n_cand),
                         "qlabel": np.repeat(qlabels[s:e], n_cand),
                         "nid": ids[top].ravel(),
                         "nlabel": labels_arr[top].ravel(),
-                        "qv": [qvs[s + i] for i in range(m) for _ in range(n_cand)],
-                        "nv": [R[j].astype(np.float32) for j in top.ravel()],
                     }
                 )
 
-    return base.mapInPandas(gen, out_schema)
+    # the pandas stage emits only (id, label) pairs — vectors re-attach
+    # JVM-side via two equi-joins (broadcast-able: the table fit on the
+    # driver to build the GEMM operand), avoiding per-pair Python
+    # array-object churn that dominates at large candidate counts
+    pairs = base.mapInPandas(gen, out_schema)
+    qv = emb.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    nv = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    return pairs.join(F.broadcast(qv), "qid").join(F.broadcast(nv), "nid")
 
 
 def ivf_candidate_pairs(

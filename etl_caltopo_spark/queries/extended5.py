@@ -324,14 +324,15 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle count of the co-purchase graph via the two-join
-    wedge-close pattern over ID-oriented edges (a < b < c counts each
-    triangle exactly once).  Both joins are shuffle hash joins on a
-    single node key; wedge fanout is bounded by per-node degree — at
-    scale, re-orient edges by (degree, id) instead of raw id so
-    high-degree hubs sit on the closing side (standard distributed
-    triangle-count trick), and count per-partition before the final
-    1-row agg."""
+    """Triangle count of the co-purchase graph via
+    operators.graph.triangle_count — degree-oriented compact-forward
+    (edges re-oriented low-(degree, id) → high, wedges built only at
+    the low end), which caps wedge fan-out at O(sqrt(|E|))² on any
+    hub distribution and bounds total work at O(|E|^1.5).  The count
+    is orientation-invariant, so the id-oriented 3-join stays the
+    oracle."""
+    from etl_caltopo_spark.operators.graph import triangle_count
+
     apply_runtime_conf(spark)
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.alias("a")
@@ -342,20 +343,14 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
-        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
-    )
-    e1 = edges.alias("e1")
-    e2 = edges.alias("e2")
-    e3 = edges.alias("e3")
-    tri = e1.join(e2, F.col("e1.pb") == F.col("e2.pa")).join(
-        e3,
-        (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
+        .localCheckpoint()
     )
     n_edges = edges.count()
-    return tri.agg(
+    return triangle_count(edges).select(
         F.lit(n_edges).cast("bigint").alias("n_edges"),
-        F.count("*").cast("bigint").alias("n_triangles"),
+        F.col("n_triangles"),
     )
 
 

@@ -94,15 +94,15 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_triangle_count): n_triangles, wedges Σ C(deg,2), and
     3·triangles/wedges.
 
-    Scale shape: the count is the canonical two-equi-join form over
-    the oriented edge list (u < v, so each triangle is counted once).
-    Both joins shuffle on a single node key; per-node fan-in during
-    the wedge join is deg(v)·deg(u) on the ORIENTED degrees, the
-    standard compact-forward bound (orientation by id here; a skewed
-    production graph orients low-degree → high-degree for the
-    O(E^1.5) guarantee — same plan, different orientation key).
-    Wedge and triangle counts are exact integers, so the only double
-    is the final coefficient (6-dp floor)."""
+    Scale shape: triangles via operators.graph.triangle_count —
+    degree-oriented compact-forward, so wedge fan per node is capped
+    at O(sqrt(|E|))² regardless of hub skew and total work is
+    O(|E|^1.5); the oracle stays the simple id-oriented 3-join (the
+    count is orientation-invariant).  Wedge and triangle counts are
+    exact integers, so the only double is the final coefficient
+    (6-dp floor)."""
+    from etl_caltopo_spark.operators.graph import degree_table, triangle_count
+
     apply_runtime_conf(spark)
     li = (
         load_table(spark, sf_dir, "lineitem")
@@ -118,22 +118,10 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
-        .localCheckpoint()  # edge list consumed three times
+        .localCheckpoint()  # edge list consumed by orientation + degrees
     )
-    e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    e2 = e.select(F.col("u").alias("y"), F.col("v").alias("z"))
-    e3 = e.select(F.col("u").alias("x"), F.col("v").alias("z"))
-    tri = (
-        e1.join(e2, "y")
-        .join(e3, ["x", "z"])
-        .agg(F.count("*").cast("bigint").alias("n_triangles"))
-    )
-    deg = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("d"))
-    )
+    tri = triangle_count(e)
+    deg = degree_table(e)
     wedges = deg.agg(
         F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("bigint"))
         .cast("bigint")

@@ -79,3 +79,25 @@ def test_skyline_sweep_matches_nested_loop_baseline(spark, sf_dir):
         for r in skyline_nested_loop(load_table(spark, sf_dir, "part")).collect()
     }
     assert sweep == bnl and len(sweep) > 0
+
+
+def test_degree_oriented_triangle_count(spark):
+    """operators.graph.triangle_count on known graphs: K4 has 4
+    triangles; adding a star hub (no closing edges) adds none; the
+    count must be orientation-invariant vs the naive id-oriented
+    3-join."""
+    from etl_caltopo_spark.operators.graph import triangle_count
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    star = [(5, i) for i in range(6, 12)]  # hub 5, leaves 6..11
+    bridge = [(4, 5)]
+    edges = spark.createDataFrame(k4 + star + bridge, "u long, v long")
+    got = triangle_count(edges).collect()[0]["n_triangles"]
+    assert got == 4
+
+    # naive id-oriented count agrees
+    e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = edges.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = edges.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    naive = e1.join(e2, "y").join(e3, ["x", "z"]).count()
+    assert naive == got
