@@ -83,6 +83,13 @@ PROBE_QUERIES = [
     "q_pagerank",
     "q_rolling_active_users",
     "q_dedup_incremental",
+    # round-4 additions: rewritten plans + new wave-9 ids
+    "q_knn_classify",
+    "q_clustering_coeff",
+    "q_triangle_count",
+    "q_domain_cap",
+    "q_image_decode_jpeg",
+    "q_stream_dedup",
 ]
 
 
