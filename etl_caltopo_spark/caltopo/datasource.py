@@ -32,11 +32,15 @@ from __future__ import annotations
 import json
 from collections.abc import Iterator
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 SCHEMA = "share_id string, body_json string"
@@ -103,6 +107,54 @@ class CalTopoStreamReader(SimpleDataSourceStreamReader):
         return iter(rows), {"since": since}
 
 
+@dataclass
+class _PostedChunk(WriterCommitMessage):
+    n_features: int = 0
+
+
+class CalTopoWriter(DataSourceWriter):
+    """Executor-side FeatureCollection POST as a native write format
+    (R16, ``task.ts:154-159``): each partition submits its own chunk —
+    ``df.write.format("caltopo").option("url", ...).mode("append")
+    .save()`` is the sink twin of ``sink.foreach_partition_post``,
+    with the write wired into Spark's commit protocol (a failed
+    partition retries alone; ``commit`` sees per-chunk feature
+    counts).  Rows must carry the transformed InputFeature columns
+    (the output of ``pipeline.run_pipeline``)."""
+
+    def __init__(self, options: dict) -> None:
+        self.url = options.get("url", "")
+        if not self.url:
+            raise ValueError("caltopo writer requires option url=<submit endpoint>")
+
+    def write(self, iterator) -> _PostedChunk:
+        from urllib.request import Request, urlopen
+
+        from etl_caltopo_spark.caltopo.sink import _row_to_feature
+
+        feats = [_row_to_feature(r) for r in iterator]
+        if feats:
+            payload = json.dumps(
+                {"type": "FeatureCollection", "features": feats}
+            ).encode("utf-8")
+            req = Request(
+                self.url,
+                data=payload,
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            with urlopen(req, timeout=30) as resp:
+                resp.read()
+        return _PostedChunk(n_features=len(feats))
+
+    def commit(self, messages) -> None:
+        # nothing to finalize server-side; counts surface for logging
+        return None
+
+    def abort(self, messages) -> None:  # pragma: no cover - best effort
+        return None
+
+
 class CalTopoDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -116,6 +168,9 @@ class CalTopoDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> CalTopoStreamReader:
         return CalTopoStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> CalTopoWriter:
+        return CalTopoWriter(self.options)
 
 
 def register(spark) -> None:

@@ -37,6 +37,16 @@ def fixture_server():
             self.end_headers()
             self.wfile.write(data)
 
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", "0"))
+            state.setdefault("posts", []).append(
+                json.loads(self.rfile.read(n).decode("utf-8"))
+            )
+            self.send_response(200)
+            self.send_header("Content-Length", "2")
+            self.end_headers()
+            self.wfile.write(b"ok")
+
         def log_message(self, *a):  # quiet
             pass
 
@@ -118,3 +128,27 @@ def test_stream_read_advances_since_offset(spark, fixture_server, tmp_path):
     q2.awaitTermination()
     later = [p for p in state["requests"] if "MAP-S" in p]
     assert any(p.endswith("/since/1000") for p in later), later
+
+
+def test_write_format_posts_feature_collections(spark, fixture_server):
+    """df.write.format("caltopo") submits one FeatureCollection POST
+    per non-empty partition from the EXECUTORS; the union of posted
+    features equals the pipeline output exactly once."""
+    url, state = fixture_server
+    register(spark)
+    from etl_caltopo_spark.caltopo.fixtures import fixture_envelope_df
+
+    out = run_pipeline(fixture_envelope_df(spark)).repartition(4)
+    expected = sorted(r["id"] for r in out.collect())
+    state["posts"] = []
+    (
+        out.write.format("caltopo")
+        .option("url", f"{url}/api/v1/layer/TEST/submit")
+        .mode("append")
+        .save()
+    )
+    posts = state["posts"]
+    assert len(posts) > 1  # partition-parallel submits, not one driver POST
+    posted = [f["id"] for fc in posts for f in fc["features"]]
+    assert sorted(posted) == expected
+    assert all(fc["type"] == "FeatureCollection" for fc in posts)
