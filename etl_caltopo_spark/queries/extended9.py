@@ -139,3 +139,191 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("global_clustering"),
     )
+
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_oracle() -> str:
+    """Unrolled 3-round BPE-merge oracle: each round counts weighted
+    adjacent symbol pairs over the word-type vocabulary, picks the
+    top pair (count desc, pair asc), greedily merges non-overlapping
+    occurrences left-to-right (parity within islands of consecutive
+    match positions), and renumbers.  Emits one row per round."""
+    head = r"""
+    WITH vocab AS (
+        SELECT tok AS word, CAST(count(*) AS BIGINT) AS wcount
+        FROM (
+            SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+            FROM documents
+        )
+        WHERE tok <> ''
+        GROUP BY tok
+    ), s0 AS (
+        SELECT word, CAST(i AS BIGINT) AS pos, substr(word, CAST(i AS INT), 1) AS sym
+        FROM vocab, UNNEST(range(1, length(word) + 1)) AS t(i)
+    )
+    """
+    rounds = []
+    for r in range(_BPE_ROUNDS):
+        rounds.append(f"""
+    , p{r} AS (
+        SELECT s.word, s.pos, s.sym,
+               lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) AS nxt
+        FROM s{r} s
+    ), top{r} AS (
+        SELECT p.sym AS a, p.nxt AS b,
+               CAST(sum(v.wcount) AS BIGINT) AS total
+        FROM p{r} p JOIN vocab v ON v.word = p.word
+        WHERE p.nxt IS NOT NULL
+        GROUP BY p.sym, p.nxt
+        ORDER BY total DESC, a, b LIMIT 1
+    ), m{r} AS (
+        SELECT p.word, p.pos,
+               row_number() OVER (PARTITION BY p.word ORDER BY p.pos) AS rn
+        FROM p{r} p CROSS JOIN top{r} t
+        WHERE p.sym = t.a AND p.nxt = t.b
+    ), keep{r} AS (
+        SELECT word, pos,
+               row_number() OVER (PARTITION BY word, pos - rn ORDER BY pos) AS island_rn
+        FROM m{r}
+        QUALIFY island_rn % 2 = 1
+    ), s{r + 1} AS (
+        SELECT word,
+               CAST(row_number() OVER (PARTITION BY word ORDER BY pos) AS BIGINT)
+                   AS pos,
+               sym
+        FROM (
+            SELECT p.word, p.pos,
+                   CASE WHEN k.pos IS NOT NULL THEN p.sym || p.nxt
+                        ELSE p.sym END AS sym
+            FROM p{r} p
+            LEFT JOIN keep{r} k ON k.word = p.word AND k.pos = p.pos
+            LEFT JOIN keep{r} d ON d.word = p.word AND d.pos = p.pos - 1
+            WHERE d.pos IS NULL
+        )
+    ), out{r} AS (
+        SELECT CAST({r + 1} AS BIGINT) AS merge_round, t.a AS pair_a, t.b AS pair_b,
+               CAST(coalesce(sum(v.wcount), 0) AS BIGINT) AS merge_count
+        FROM top{r} t
+        LEFT JOIN keep{r} k ON TRUE
+        LEFT JOIN vocab v ON v.word = k.word
+        GROUP BY t.a, t.b
+    )""")
+    tail = "\n    SELECT * FROM out0 UNION ALL SELECT * FROM out1 UNION ALL SELECT * FROM out2"
+    return head + "".join(rounds) + tail
+
+
+@query("q_bpe_merge", oracle=_bpe_oracle())
+def q_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE vocabulary construction, 3 greedy merge rounds,
+    under an EXACT oracle — the training-tokenizer primitive beyond
+    the single-round q_bpe_pairs count.
+
+    Algorithm (classic BPE on word types): the corpus collapses to a
+    (word, count) vocabulary; every word explodes to a character-
+    symbol sequence; each round (1) counts weighted adjacent symbol
+    pairs, (2) takes the global argmax (count desc, pair asc —
+    deterministic across engines), (3) merges its non-overlapping
+    occurrences greedily left-to-right — consecutive match positions
+    (possible only when a = b, e.g. 'aaa') form islands where odd
+    ranks merge and even ranks are consumed — and (4) renumbers the
+    symbols.
+
+    Scale shape: all per-round work shuffles on the word key (lead
+    window, island window, renumber window share the partitioning);
+    pair counting is a partial-aggregated groupBy bounded by the
+    symbol-pair vocabulary; only the 1-row argmax reaches the driver
+    (same pattern as q_pagerank's node count).  Rounds are unrolled,
+    each behind a localCheckpoint lineage cut."""
+    apply_runtime_conf(spark)
+    from etl_caltopo_spark.llm.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("wcount"))
+        .localCheckpoint()
+    )
+    syms = (
+        vocab.select(
+            "word",
+            F.posexplode(F.split(F.col("word"), "(?!^)")).alias("pos0", "sym"),
+        )
+        # Java split keeps a trailing empty element; drop it
+        .filter(F.col("sym") != "")
+        .select("word", (F.col("pos0") + 1).cast("bigint").alias("pos"), "sym")
+    )
+
+    out_rows = []
+    w_word = Window.partitionBy("word").orderBy("pos")
+    for r in range(_BPE_ROUNDS):
+        p = syms.withColumn("nxt", F.lead("sym").over(w_word))
+        top = (
+            p.filter(F.col("nxt").isNotNull())
+            .join(vocab, "word")
+            .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
+            .agg(F.sum("wcount").cast("bigint").alias("total"))
+            .orderBy(F.col("total").desc(), "a", "b")
+            .first()
+        )
+        a, b = top["a"], top["b"]
+        matches = p.filter((F.col("sym") == a) & (F.col("nxt") == b)).select(
+            "word", "pos", F.row_number().over(w_word).alias("rn")
+        )
+        keep = (
+            matches.withColumn(
+                "island_rn",
+                F.row_number().over(
+                    Window.partitionBy("word", F.col("pos") - F.col("rn")).orderBy(
+                        "pos"
+                    )
+                ),
+            )
+            .filter(F.col("island_rn") % 2 == 1)
+            .select("word", "pos")
+            .localCheckpoint()
+        )
+        merged_count = (
+            keep.join(vocab, "word").agg(F.sum("wcount").cast("bigint")).collect()[0][0]
+        )
+        out_rows.append((r + 1, a, b, int(merged_count or 0)))
+        k = keep.select(
+            F.col("word").alias("kword"), F.col("pos").alias("kpos")
+        )
+        d = keep.select(
+            F.col("word").alias("dword"), (F.col("pos") + 1).alias("dpos")
+        )
+        syms = (
+            p.join(
+                k,
+                (F.col("word") == F.col("kword")) & (F.col("pos") == F.col("kpos")),
+                "left",
+            )
+            .join(
+                d,
+                (F.col("word") == F.col("dword")) & (F.col("pos") == F.col("dpos")),
+                "left",
+            )
+            .filter(F.col("dpos").isNull())
+            .select(
+                "word",
+                "pos",
+                F.when(
+                    F.col("kpos").isNotNull(), F.concat(F.col("sym"), F.col("nxt"))
+                )
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+            .select(
+                "word",
+                F.row_number().over(w_word).cast("bigint").alias("pos"),
+                "sym",
+            )
+            .localCheckpoint()
+        )
+    return spark.createDataFrame(
+        out_rows, "merge_round bigint, pair_a string, pair_b string, merge_count bigint"
+    )

@@ -661,3 +661,50 @@ def test_attach_bucket_broadcast_path_matches_literal(spark):
         small._jdf.queryExecution(), "extended"
     )
     assert "Join" not in small_plan
+
+
+def test_bpe_merge_matches_greedy_reference(spark):
+    """q_bpe_merge's 3 rounds must equal a pure-Python greedy BPE over
+    the same word-type vocabulary (left-to-right non-overlapping
+    merges, argmax by (count desc, pair asc))."""
+    from collections import Counter
+
+    from etl_caltopo_spark.io import load_table
+    from etl_caltopo_spark.llm.text import tokens as tok_expr
+    from etl_caltopo_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    words = [
+        r["w"]
+        for r in docs.select(F.explode(tok_expr(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .collect()
+    ]
+    vocab = Counter(words)
+
+    seqs = {w: list(w) for w in vocab}
+    want = []
+    for r in range(3):
+        counts: Counter = Counter()
+        for w, seq in seqs.items():
+            for i in range(len(seq) - 1):
+                counts[(seq[i], seq[i + 1])] += vocab[w]
+        (a, b), _ = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merged = 0
+        for w, seq in seqs.items():
+            new, i, m = [], 0, 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    new.append(a + b)
+                    i += 2
+                    m += 1
+                else:
+                    new.append(seq[i])
+                    i += 1
+            seqs[w] = new
+            merged += m * vocab[w]
+        want.append((r + 1, a, b, merged))
+
+    got = sorted(tuple(r) for r in REGISTRY["q_bpe_merge"].fn(spark, sf).collect())
+    assert got == sorted(want)
