@@ -461,14 +461,65 @@ def sample_frames(
 
 
 def resize_stub(assets: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize contract: same schema out, plus target dims in typed
-    metadata.  The pixel work is a codec concern (stubbed); the Spark
-    side — schema evolution, no shuffle, columnar pass-through — is
-    the part that matters for the plan."""
+    """Metadata-only resize annotation (kept for plan-shape tests):
+    same schema out plus target dims in typed metadata.  The REAL
+    pixel path is :func:`resize_images`."""
     return assets.withColumn(
         "resize_to",
         F.struct(F.lit(width).alias("width"), F.lit(height).alias("height")),
     )
+
+
+def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image resize over binary payloads: decode via the
+    pure-python codecs (JPEG/PNG/PPM), nearest-neighbor sample to
+    (width, height), re-encode as PNG.  Arrow-batched mapInPandas,
+    map-only (no shuffle); undecodable payloads carry a null resized
+    payload under the dirty-row policy.  Output: asset_id,
+    media_type, resized (PNG bytes), width, height."""
+    import numpy as np
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("media_type", StringType(), True),
+            StructField("resized", BinaryType(), True),
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+        ]
+    )
+
+    def one(b: bytes | None) -> bytes | None:
+        img = decode_image(b)
+        if img is None:
+            return None
+        a = np.asarray(img)
+        ys = (np.arange(height) * a.shape[0] // height).clip(0, a.shape[0] - 1)
+        xs = (np.arange(width) * a.shape[1] // width).clip(0, a.shape[1] - 1)
+        small = a[ys][:, xs]
+        return encode_png(small.astype(np.uint8))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["payload"].map(one)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "resized": resized,
+                    "width": [None if r is None else width for r in resized],
+                    "height": [None if r is None else height for r in resized],
+                }
+            )
+
+    return assets.mapInPandas(fn, schema=out_schema)
 
 
 def extract_features(assets: DataFrame, batch_size_hint: int = 1024) -> DataFrame:

@@ -708,3 +708,22 @@ def test_bpe_merge_matches_greedy_reference(spark):
 
     got = sorted(tuple(r) for r in REGISTRY["q_bpe_merge"].fn(spark, sf).collect())
     assert got == sorted(want)
+
+
+def test_resize_images_real_pixels(spark):
+    """resize_images decodes, nearest-neighbor samples, re-encodes:
+    resizing the 4x4 gradient to 2x2 picks known source pixels; junk
+    payloads carry null resized bytes."""
+    import numpy as np
+
+    # gradient: pixel (y, x) = 10*y + x
+    src = (10 * np.arange(4)[:, None] + np.arange(4)[None, :]).astype(np.uint8)
+    rows = [(1, bytearray(multimodal.encode_png(src))), (2, b"junk")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    assets = multimodal.as_binary_assets(df, "doc_id", F.col("payload"), "image")
+    out = {r["asset_id"]: r for r in multimodal.resize_images(assets, 2, 2).collect()}
+    assert out[2]["resized"] is None and out[2]["width"] is None
+    assert out[1]["width"] == 2 and out[1]["height"] == 2
+    back = multimodal.decode_png(bytes(out[1]["resized"]))
+    # nearest-neighbor with floor sampling: rows/cols 0 and 2
+    assert back.tolist() == [[0, 2], [20, 22]]
