@@ -327,3 +327,130 @@ def q_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out_rows, "merge_round bigint, pair_a string, pair_b string, merge_count bigint"
     )
+
+
+@query(
+    "q_length_buckets",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ), ranked AS (
+        SELECT *,
+               CAST((row_number() OVER (PARTITION BY source
+                                        ORDER BY n_tokens, doc_id) - 1) // 32
+                    AS BIGINT) AS batch_id
+        FROM d
+    )
+    SELECT source, batch_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           floor((1 - CAST(sum(n_tokens) AS DOUBLE)
+                      / (count(*) * max(n_tokens))) * 1000000) / 1000000
+               AS padding_frac
+    FROM ranked
+    GROUP BY source, batch_id
+    """,
+)
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed training batches: within each source, documents
+    sort by token count and chunk into 32-doc batches, so each batch
+    pads to its own max length instead of the corpus max — the
+    dynamic-batching step that cuts padding waste in LM training.
+    Output per batch: size, max/sum tokens, and the padding fraction
+    1 − sum/(n·max) (6-dp floor over exact integers).
+
+    Scale shape: ONE shuffle on the source key; ranking is per-source
+    (row_number over the source partition — never a global sort), and
+    the batch aggregation reuses the same partitioning.  At 100 TB
+    the source key is already the ingest partition, making the window
+    map-side."""
+    apply_runtime_conf(spark)
+    from etl_caltopo_spark.llm.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    ranked = d.withColumn(
+        "batch_id", ((F.row_number().over(w) - 1) / 32).cast("bigint")
+    )
+    g = ranked.groupBy("source", "batch_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+    )
+    return g.select(
+        "source",
+        "batch_id",
+        "n_docs",
+        "max_tokens",
+        "sum_tokens",
+        fround(
+            F.lit(1)
+            - F.col("sum_tokens").cast("double")
+            / (F.col("n_docs") * F.col("max_tokens")),
+            6,
+        ).alias("padding_frac"),
+    )
+
+
+@query(
+    "q_temperature_mix",
+    oracle=r"""
+    WITH s AS (
+        SELECT source,
+               CAST(sum(len(string_split_regex(trim(lower(text)), '\s+')))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+        GROUP BY source
+    ), w AS (
+        SELECT source, n_tokens,
+               pow(CAST(n_tokens AS DOUBLE), 0.5) AS raw_w,
+               sum(pow(CAST(n_tokens AS DOUBLE), 0.5)) OVER () AS total_w
+        FROM s
+    )
+    SELECT source, n_tokens,
+           floor(raw_w / total_w * 1000000) / 1000000 AS mix_weight,
+           CAST(floor(raw_w / total_w * 1000000000) AS BIGINT)
+               AS budget_tokens
+    FROM w
+    """,
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted corpus mixture (the T5/multilingual
+    up-sampling rule): per-source sampling weight ∝ token_count^(1/T)
+    with T = 2, normalized, and the resulting token budget for a
+    1B-token run.  Up-weights small sources relative to proportional
+    sampling without letting any source dominate.
+
+    Scale shape: one partial-aggregated groupBy on the source key; the
+    normalization is a window over the |sources|-row aggregate (tiny);
+    the corpus is read once.  pow(x, 0.5) is IEEE sqrt — identical in
+    both engines; weights are 6-dp floored, budgets exact integer
+    floors."""
+    apply_runtime_conf(spark)
+    from etl_caltopo_spark.llm.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    raw_w = F.pow(F.col("n_tokens").cast("double"), 0.5)
+    w = s.select(
+        "source",
+        "n_tokens",
+        raw_w.alias("raw_w"),
+        F.sum(raw_w).over(Window.partitionBy()).alias("total_w"),
+    )
+    frac = F.col("raw_w") / F.col("total_w")
+    return w.select(
+        "source",
+        "n_tokens",
+        fround(frac, 6).alias("mix_weight"),
+        F.floor(frac * 1_000_000_000).cast("bigint").alias("budget_tokens"),
+    )
