@@ -454,3 +454,73 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(frac, 6).alias("mix_weight"),
         F.floor(frac * 1_000_000_000).cast("bigint").alias("budget_tokens"),
     )
+
+
+@query(
+    "q_ngram_novelty",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        FROM documents
+    ), big2 AS (
+        -- index the token list directly: no reliance on unnest
+        -- enumeration order
+        SELECT doc_id, ts[CAST(i AS INT)] AS a, ts[CAST(i AS INT) + 1] AS b
+        FROM d, UNNEST(range(1, len(ts))) AS t(i)
+        WHERE ts[CAST(i AS INT)] <> '' AND ts[CAST(i AS INT) + 1] <> ''
+    ), freq AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM big2 GROUP BY a, b
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN f.c <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rare,
+           floor(CAST(sum(CASE WHEN f.c <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) * 1000000) / 1000000 AS novelty
+    FROM big2 g JOIN freq f ON f.a = g.a AND f.b = g.b
+    GROUP BY g.doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram novelty: the fraction of a document's
+    bigram OCCURRENCES whose corpus-wide frequency is ≤ 2 — the
+    integer-exact cousin of an n-gram-LM perplexity filter (high
+    novelty ≈ text the corpus LM has never seen: either valuable
+    fresh data or garbage; both ends get human review in a curation
+    pipeline).  No transcendentals, so the score is hash-gradable
+    where a log-prob would be libm-dependent.
+
+    Scale shape: one explode + lead window partitioned by doc_id, a
+    partial-aggregated bigram frequency table (bounded by vocabulary²
+    observed, not corpus size), and an equi-join of occurrences to
+    frequencies shuffled on the bigram key.  At 100 TB the frequency
+    table is the broadcast side once pruned to rare entries — an
+    anti-join form of the same plan."""
+    apply_runtime_conf(spark)
+    from etl_caltopo_spark.llm.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+        )
+        .filter(F.col("tok") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.select("doc_id", F.col("tok").alias("a"), F.lead("tok").over(w).alias("b"))
+        .filter(F.col("b").isNotNull())
+    )
+    freq = big.groupBy("a", "b").agg(F.count("*").cast("bigint").alias("c"))
+    rare = F.when(F.col("c") <= 2, 1).otherwise(0)
+    return (
+        big.join(freq, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum(rare).cast("bigint").alias("n_rare"),
+            fround(
+                F.sum(rare).cast("double") / F.count("*"), 6
+            ).alias("novelty"),
+        )
+    )
