@@ -524,3 +524,83 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+@query(
+    "q_span_corrupt",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        FROM documents
+    ), blocks AS (
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS block_id,
+               CAST(least(3, len(ts) - i * 3) AS BIGINT) AS block_len,
+               (((doc_id * 1000003 + i) % 2147483648) * 2654435761)
+                   % 4294967296 AS draw
+        FROM d, UNNEST(range(0, (len(ts) + 2) // 3)) AS t(i)
+        WHERE len(ts) > 0 AND ts[1] <> ''
+    )
+    SELECT doc_id,
+           CAST(sum(block_len) AS BIGINT) AS n_tokens,
+           CAST(coalesce(sum(CASE WHEN draw % 100 < 15 THEN block_len END), 0)
+               AS BIGINT) AS n_masked,
+           CAST(coalesce(sum(CASE WHEN draw % 100 < 15 THEN 1 END), 0)
+               AS BIGINT) AS n_spans,
+           floor(CAST(coalesce(sum(CASE WHEN draw % 100 < 15 THEN block_len END),
+                               0) AS DOUBLE)
+                 / sum(block_len) * 1000000) / 1000000 AS corruption_rate
+    FROM blocks
+    GROUP BY doc_id
+    """,
+)
+def q_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption statistics for seq2seq (T5-style) pretraining
+    prep: each document's tokens chunk into 3-token blocks and ~15%
+    of blocks are selected as mask spans by an engine-portable Knuth
+    multiplicative hash of (doc_id, block) — block alignment makes
+    spans non-overlapping BY CONSTRUCTION (no sequential greedy scan),
+    and the hash draw replaces RNG state so the same spans come out on
+    every engine, run, and executor.  Output per doc: token count,
+    masked tokens, span count, corruption rate (6-dp floor over exact
+    integers).
+
+    Scale shape: pure map work (sequence + explode per doc) plus one
+    partial-aggregated groupBy on doc_id; no joins, no windows."""
+    apply_runtime_conf(spark)
+    from etl_caltopo_spark.llm.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tokens(F.col("text")).alias("ts")).filter(
+        (F.size("ts") > 0) & (F.element_at("ts", 1) != "")
+    )
+    n_blocks = F.floor((F.size("ts") + 2) / 3).cast("long")
+    blocks = d.select(
+        "doc_id",
+        F.size("ts").alias("n_ts"),
+        F.explode(F.sequence(F.lit(0), n_blocks - 1)).alias("block_id"),
+    )
+    draw = (
+        ((F.col("doc_id") * 1000003 + F.col("block_id")) % F.lit(2147483648))
+        * F.lit(2654435761)
+    ) % F.lit(4294967296)
+    blocks = blocks.select(
+        "doc_id",
+        F.least(F.lit(3), F.col("n_ts") - F.col("block_id") * 3)
+        .cast("bigint")
+        .alias("block_len"),
+        (draw % 100 < 15).alias("masked"),
+    )
+    masked_len = F.when(F.col("masked"), F.col("block_len"))
+    return blocks.groupBy("doc_id").agg(
+        F.sum("block_len").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.sum(masked_len), F.lit(0)).cast("bigint").alias("n_masked"),
+        F.coalesce(F.sum(F.when(F.col("masked"), 1)), F.lit(0))
+        .cast("bigint")
+        .alias("n_spans"),
+        fround(
+            F.coalesce(F.sum(masked_len), F.lit(0)).cast("double")
+            / F.sum("block_len"),
+            6,
+        ).alias("corruption_rate"),
+    )
