@@ -447,6 +447,91 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_stateful_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-state streaming (applyInPandasWithState) graded by
+    hash: per-user running (count, sum) totals carried in the state
+    store across a REAL two-phase availableNow run, with the final
+    per-key emission checked against the batch GROUP BY oracle.
+
+    Protocol: phase 1 streams the older half of events, accumulating
+    one (n, total) tuple per user in state; phase 2 restarts from the
+    same checkpoint with the newer half, so phase-2 emissions must
+    resume from phase-1 state (a user seen in both halves emits a
+    running total that spans the restart — that's what proves the
+    state store round-trip, not just in-memory accumulation).  Update
+    -mode emissions are appended per batch; the last emission per key
+    (the one with the largest n_events — emissions for a key are
+    strictly increasing in n) is the user's final total, which must
+    equal SELECT user_id, count(*), round(sum(value),2) over the whole
+    table.  State is O(1) per key (two scalars) and the grouping key
+    is the shuffle key, so the operator holds at 100 TB; the driver
+    materialization at the end is harness plumbing for the grader."""
+    apply_runtime_conf(spark)
+    import os
+    import shutil
+    import tempfile
+
+    from etl_caltopo_spark.streaming.ingest import stream_from_parquet_dir
+    from etl_caltopo_spark.streaming.stateful import running_user_totals
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value", "ts")
+    bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) / 2
+    mid_lit = F.lit(mid.isoformat(sep=" ")).cast("timestamp_ntz")
+    tmp = tempfile.mkdtemp(prefix="q_stream_stateful_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        ev.filter(F.col("ts") < mid_lit).coalesce(1).write.parquet(
+            os.path.join(tmp, "b1")
+        )
+        ev.filter(F.col("ts") >= mid_lit).coalesce(1).write.parquet(
+            os.path.join(tmp, "b2")
+        )
+        schema = spark.read.parquet(os.path.join(tmp, "b1")).schema
+        out_dir = os.path.join(tmp, "out")
+
+        def emit(batch_df: DataFrame, _epoch_id: int) -> None:
+            batch_df.write.mode("append").parquet(out_dir)
+
+        for i, bdir in enumerate(("b1", "b2")):
+            for f in os.listdir(os.path.join(tmp, bdir)):
+                if f.endswith(".parquet"):
+                    shutil.copy(
+                        os.path.join(tmp, bdir, f), os.path.join(src, f"{i}_{f}")
+                    )
+            totals = running_user_totals(
+                stream_from_parquet_dir(spark, src, schema).drop("ts")
+            )
+            q = (
+                totals.writeStream.foreachBatch(emit)
+                .outputMode("update")
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        emitted = spark.read.parquet(out_dir)
+        out = spark.createDataFrame(emitted.collect(), emitted.schema)
+        # last emission per key = the row with the largest running count
+        return out.groupBy("user_id").agg(
+            F.max("n_events").alias("n_events"),
+            F.round(F.max_by("total_value", "n_events"), 2).alias("total_value"),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "q_click_attribution_outer",
     oracle="""
     SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id

@@ -308,6 +308,42 @@ def test_streaming_incremental_rollup_equals_full_recompute(spark, events_dir, t
     assert got == want and got
 
 
+def test_stream_stateful_totals_resume_across_restart(spark):
+    """q_stream_stateful_totals: state persisted in phase 1 must carry
+    into phase 2's emissions (checkpoint resume), so every user's
+    final running total equals the whole-table batch GROUP BY."""
+    from etl_caltopo_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    out = REGISTRY["q_stream_stateful_totals"].fn(spark, sf)
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"]) for r in out.collect()
+    }
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    want = {
+        r["user_id"]: (r["n"], round(r["t"], 2))
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert got == want and got
+    # the protocol is only meaningful if state actually spans the
+    # restart: some user must have events in both time halves
+    mid = ev.selectExpr(
+        "min(ts) + (max(ts) - min(ts)) / 2 AS m"
+    ).collect()[0]["m"]
+    both = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max((F.col("ts") < F.lit(mid)).cast("int")).alias("lo"),
+            F.max((F.col("ts") >= F.lit(mid)).cast("int")).alias("hi"),
+        )
+        .filter((F.col("lo") == 1) & (F.col("hi") == 1))
+        .count()
+    )
+    assert both > 0
+
+
 def test_stream_dedup_emits_each_event_once(spark):
     """q_stream_dedup's protocol: every event delivered 2-3x across
     two phases (including a stale below-watermark redelivery) must be
