@@ -1,0 +1,279 @@
+"""Tenth extended wave: statistical quality filtering and semantic dedup.
+
+Reference basis: all [EXT+] — the three corpus-curation primitives
+large-scale training-data pipelines run between crawl and tokenizer:
+
+- ``q_lm_score`` is CCNet-style language-model quality filtering: score
+  each document by the cross-entropy of a bigram LM trained on the
+  corpus itself (documents far from the corpus distribution — gibberish,
+  boilerplate, wrong-language residue — score high and get dropped or
+  down-weighted);
+- ``q_span_dup_rate`` is the per-document signal of substring-level
+  dedup (Lee et al., "Deduplicating Training Data Makes Language Models
+  Better"): the fraction of a document's 8-token spans that appear
+  verbatim in at least one other document — the per-doc complement of
+  the corpus-level ``q_repeated_spans`` ranking;
+- ``q_semdedup`` is SemDeDup (Abbas et al. 2023): cluster embeddings
+  with a coarse quantizer, then drop within-cluster semantic duplicates
+  above a cosine threshold, keeping one representative.  The clusters
+  are what bound the pairwise step — the quadratic never leaves a cell.
+
+Numeric policy (HANDOFF.md): counts stay integers until one final
+double expression; log-sums use the q_word_entropy 4-dp floor; cosine
+uses the q_centroid_assign 6-dp floor on both engines before any
+threshold comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_caltopo_spark.functions.numeric import fround
+from etl_caltopo_spark.io import load_table
+from etl_caltopo_spark.llm import dedup, similarity, text
+from etl_caltopo_spark.queries.registry import query
+from etl_caltopo_spark.session import apply_runtime_conf
+
+
+@query(
+    "q_lm_score",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ), big AS (
+        SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i + 1 AS INT)] AS w2
+        FROM toks, UNNEST(range(1, len(t))) AS u(i)
+        WHERE len(t) >= 2
+    ), m AS (
+        SELECT doc_id, w1, w2, count(*) AS m FROM big GROUP BY 1, 2, 3
+    ), c12 AS (
+        SELECT w1, w2, sum(m) AS c12 FROM m GROUP BY 1, 2
+    ), c1 AS (
+        SELECT w1, sum(m) AS c1 FROM m GROUP BY 1
+    ), vocab AS (
+        SELECT count(DISTINCT w) AS v
+        FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+              FROM documents)
+        WHERE w <> ''
+    )
+    SELECT m.doc_id,
+           CAST(sum(m.m) AS BIGINT) AS n_bigrams,
+           floor(sum(m.m * (ln(c1.c1 + vocab.v) - ln(c12.c12 + 1))) / sum(m.m)
+                 * 10000) / 10000 AS cross_entropy
+    FROM m
+    JOIN c12 ON m.w1 = c12.w1 AND m.w2 = c12.w2
+    JOIN c1 ON m.w1 = c1.w1, vocab
+    GROUP BY m.doc_id
+    """,
+)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score (CCNet-style perplexity filtering):
+    train add-one-smoothed bigram counts on the corpus itself, then
+    score each document by the mean negative log-likelihood (nats) of
+    its bigrams — P(w2|w1) = (c12 + 1) / (c1 + V) where c1 is the
+    left-context count and V the unigram vocabulary size.  Out-of-
+    distribution documents score high; corpus filters threshold on it.
+
+    Scale shape: everything aggregates integer counts first (partial
+    aggregation on every shuffle), with exactly one log expression per
+    surviving (doc, bigram) type.  The model "training" is two
+    corpus-level count tables — c12 keyed by bigram, c1 keyed by
+    unigram — joined back to per-doc counts on those same keys, so the
+    two joins are plain shuffle equi-joins that AQE can skew-split on
+    stopword bigrams; c1 (vocab-sized) broadcasts at any scale, and V
+    is a broadcast scalar.  No Python anywhere; per-doc sums absorb
+    summation-order drift with the 4-dp floor (q_word_entropy
+    policy)."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", text.tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    m = big.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("m"))
+    c12 = m.groupBy("w1", "w2").agg(F.sum("m").alias("c12"))
+    c1 = m.groupBy("w1").agg(F.sum("m").alias("c1"))
+    vocab = (
+        docs.select(F.explode(text.tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    per = (
+        m.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+    )
+    return per.groupBy("doc_id").agg(
+        F.sum("m").cast("bigint").alias("n_bigrams"),
+        fround(
+            F.sum(
+                F.col("m")
+                * (F.log(F.col("c1") + F.col("v")) - F.log(F.col("c12") + 1))
+            )
+            / F.sum("m"),
+            4,
+        ).alias("cross_entropy"),
+    )
+
+
+@query(
+    "q_span_dup_rate",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 7, 1) + 1),
+                   i -> array_to_string(t[i:i+7], ' ')
+               ))) AS span
+        FROM toks
+    ), df AS (
+        SELECT span, count(*) AS df FROM sh GROUP BY span
+    )
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
+           floor((sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) / count(*))
+                 * 1000000) / 1000000 AS dup_rate
+    FROM sh JOIN df ON sh.span = df.span
+    GROUP BY sh.doc_id
+    """,
+)
+def q_span_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document span-duplication rate: the fraction of a document's
+    distinct 8-token spans that appear verbatim in at least one OTHER
+    document — the per-doc decision signal of substring-level dedup
+    (drop or trim documents whose content is mostly shared boilerplate),
+    complementing the corpus-level ``q_repeated_spans`` ranking.
+
+    Scale shape: an inverted index on the span itself — distinct spans
+    explode map-side, ONE shuffle keyed by span builds document
+    frequency with partial aggregation, and the join back to per-doc
+    spans rides the same key (AQE splits boilerplate-span skew).  Cost
+    scales with the shared-span tail, never |docs|²; at 100 TB the span
+    column would carry a 64-bit hash, with text resolved only for
+    survivors — here the text is carried so the oracle replays it
+    exactly.  The rate is one exact integer division, 6-dp floor."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(dedup.shingles(F.col("text"), n=8)).alias("span")
+    )
+    # shingles() is per-doc distinct, so count(*) per span == doc frequency
+    df = sh.groupBy("span").agg(F.count("*").alias("df"))
+    shared = (F.col("df") >= 2).cast("long")
+    return (
+        sh.join(df, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.sum(shared).cast("bigint").alias("n_shared"),
+            fround(F.sum(shared) / F.count("*"), 6).alias("dup_rate"),
+        )
+    )
+
+
+@query(
+    "q_semdedup",
+    oracle="""
+    WITH c AS (
+        SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id < 8
+    ), p AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id >= 8
+    ), s AS (
+        SELECT p.vec_id, c.centroid_id,
+               floor(list_dot_product(v, cv) /
+                     (sqrt(list_dot_product(v, v)) *
+                      sqrt(list_dot_product(cv, cv))) * 1000000) / 1000000
+                   AS cos_sim
+        FROM p, c
+    ), cells AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos_sim DESC, centroid_id) AS rn
+            FROM s)
+        WHERE rn = 1
+    ), dup AS (
+        SELECT DISTINCT cb.vec_id AS dup_id
+        FROM cells ca
+        JOIN p a ON ca.vec_id = a.vec_id
+        JOIN cells cb ON ca.centroid_id = cb.centroid_id
+                     AND ca.vec_id < cb.vec_id
+        JOIN p b ON cb.vec_id = b.vec_id
+        WHERE floor(list_dot_product(a.v, b.v) /
+                    (sqrt(list_dot_product(a.v, a.v)) *
+                     sqrt(list_dot_product(b.v, b.v))) * 1000000) / 1000000
+              >= 0.3
+    )
+    SELECT vec_id, centroid_id FROM cells
+    WHERE vec_id NOT IN (SELECT dup_id FROM dup)
+    """,
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic deduplication: assign
+    every point to its nearest centroid (the q_centroid_assign E-step,
+    broadcast centroids, ties to the lowest centroid id), then inside
+    each cell drop every point that has a lower-id neighbour with
+    cosine ≥ 0.3 (the synthetic clusters are loose — q_dedup_embed
+    calibration), keeping the surviving representatives.  The
+    pair-pruning rule (drop j iff ∃ i<j in-cell with cos ≥ τ) is
+    order-free and deterministic — no greedy chain — so DuckDB replays
+    it exactly.
+
+    Scale shape: the assignment pass is map-only against broadcast
+    centroids; the pairwise step is an equi-join on the cell id, so the
+    quadratic is bounded by the largest cell (SemDeDup's design point —
+    at 100 TB the quantizer's k grows to cap cell sizes, or the
+    hyperplane-LSH bucket variant replaces the cell key).  Vectors
+    re-attach to the pair join by id (never carried through the
+    window), and cosine floors at 6 dp on both engines before the
+    threshold test so boundary ulps can't flip membership."""
+    apply_runtime_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    pts = emb.filter(F.col("vec_id") >= 8).select("vec_id", "embedding")
+    scored = pts.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "centroid_id",
+        fround(similarity.cosine(F.col("embedding"), F.col("cv")), 6).alias(
+            "cos_sim"
+        ),
+    )
+    # argmax per point as a partial-aggregating max_by (ties to the
+    # lowest centroid id) — combiner-friendly, no per-point window sort
+    cells = scored.groupBy("vec_id").agg(
+        F.max_by(
+            "centroid_id", F.struct(F.col("cos_sim"), -F.col("centroid_id"))
+        ).alias("centroid_id")
+    )
+    a = cells.join(pts, "vec_id").select(
+        "centroid_id", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = cells.join(pts, "vec_id").select(
+        "centroid_id", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    dup = (
+        a.join(b, ["centroid_id"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(fround(similarity.cosine(F.col("va"), F.col("vb")), 6) >= 0.3)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return cells.join(dup, "vec_id", "left_anti")
