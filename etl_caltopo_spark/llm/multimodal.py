@@ -2,12 +2,14 @@
 
 Media are opaque ``binary`` columns with typed metadata, processed by
 Arrow-batched ``mapInPandas`` so each executor sees columnar batches,
-never row-at-a-time Python.  Four decode paths are fully real:
+never row-at-a-time Python.  Six decode paths are fully real:
 baseline JPEG (SOF0 huffman/DCT, pure numpy —
 ``etl_caltopo_spark.llm.jpeg``), PNG (8-bit gray/RGB/±alpha, stdlib
 zlib + all five scanline unfilters — ``encode_png``/``decode_png``),
-binary PPM (P6) via pure numpy (``encode_ppm``/``decode_ppm``), and
-RIFF/WAVE PCM16 audio via pure struct+numpy
+binary PPM (P6) via pure numpy (``encode_ppm``/``decode_ppm``),
+24-bit BMP (``encode_bmp``/``decode_bmp``), GIF87a/89a with a full
+pure-python LZW (``encode_gif``/``decode_gif``), and RIFF/WAVE PCM16
+audio via pure struct+numpy
 (``encode_wav``/``decode_wav``/``decode_audio``).  ``decode_image``
 magic-sniffs and dispatches; formats still needing an external codec
 (WebP/MP3/video) return None under the dirty-row policy but run in
@@ -67,10 +69,11 @@ def decode_image(payload: bytes):
     """General image decode dispatcher — magic-sniffs the payload and
     routes to a REAL pure-python decoder: baseline JPEG
     (:mod:`etl_caltopo_spark.llm.jpeg`), PNG (:func:`decode_png`,
-    zlib is stdlib), or binary PPM (:func:`decode_ppm`).  Formats
-    without a pure-python decoder here (WebP/AVIF/...) and any
-    undecodable payload return None — dirty rows flow through as
-    nulls instead of failing the job, the same policy as try_*
+    zlib is stdlib), binary PPM (:func:`decode_ppm`), BMP
+    (:func:`decode_bmp`), or GIF (:func:`decode_gif`, pure-python
+    LZW).  Formats without a pure-python decoder here (WebP/AVIF/...)
+    and any undecodable payload return None — dirty rows flow through
+    as nulls instead of failing the job, the same policy as try_*
     expressions."""
     if payload is None:
         return None
@@ -82,6 +85,10 @@ def decode_image(payload: bytes):
         from etl_caltopo_spark.llm.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     return None
 
 
@@ -257,6 +264,260 @@ def decode_ppm(payload: bytes):
     if len(raster) < w * h * 3:
         return None
     return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_bmp(pixels) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a 24-bit uncompressed
+    BMP (BITMAPINFOHEADER, bottom-up, BGR rows padded to 4 bytes) —
+    pure struct+numpy, the fixture generator for the real decode
+    path."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    rows = bytearray()
+    pad = b"\x00" * (stride - w * 3)
+    for r in range(h - 1, -1, -1):  # bottom-up
+        rows += arr[r, :, ::-1].tobytes() + pad  # RGB → BGR
+    data = bytes(rows)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 0, 0, 0, 0)
+    return header + dib + data
+
+
+def decode_bmp(payload: bytes):
+    """REAL decoder: 24-bit uncompressed BMP (BITMAPINFOHEADER) →
+    (H, W, 3) uint8 RGB numpy array.  Handles both bottom-up
+    (positive height, the common case) and top-down (negative height)
+    row orders and the 4-byte row padding.  Palette, 16/32-bit,
+    RLE-compressed, or truncated payloads return None (dirty-row
+    policy)."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    try:
+        (offset,) = struct.unpack("<I", payload[10:14])
+        dib_size, w, h_signed, planes, bpp, compression = struct.unpack(
+            "<IiiHHI", payload[14:34]
+        )
+    except struct.error:
+        return None
+    if dib_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        return None
+    h = abs(h_signed)
+    if w <= 0 or h == 0:
+        return None
+    stride = (w * 3 + 3) & ~3
+    raster = payload[offset : offset + stride * h]
+    if len(raster) < stride * h:
+        return None
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    rgb = bgr[:, :, ::-1]
+    return rgb.copy() if h_signed < 0 else rgb[::-1].copy()
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int):
+    """GIF-variant LZW decompression (LSB-first variable-width codes,
+    clear/end codes, 12-bit cap) → index bytes, or None on a corrupt
+    stream."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev = None
+    bitpos, total_bits = 0, len(data) * 8
+    while bitpos + code_size <= total_bits and len(out) < n_pixels:
+        byte_idx = bitpos >> 3
+        chunk = int.from_bytes(data[byte_idx : byte_idx + 4], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:  # first code after a clear: emit as-is
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            if len(table) < 4096:
+                table.append(entry)
+        else:
+            return None
+        out += entry
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return bytes(out[:n_pixels]) if len(out) >= n_pixels else None
+
+
+def encode_gif(pixels, interlaced: bool = False) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array with ≤256 distinct colors
+    as a GIF89a (global color table, real variable-width LZW using the
+    clear-code-before-overflow strategy, optional interlaced row
+    order) — the fixture generator for the real decode path, pure
+    numpy + bit packing."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    colors, inv = np.unique(arr.reshape(-1, 3), axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("GIF palette limited to 256 colors")
+    bits = max(1, (len(colors) - 1).bit_length())
+    n_entries = 1 << bits
+    palette = np.zeros((n_entries, 3), dtype=np.uint8)
+    palette[: len(colors)] = colors
+    idx = inv.reshape(h, w)
+    if interlaced:
+        order = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        idx = idx[order]
+    mcs = max(2, bits)
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    code_size = mcs + 1
+    max_lits = (1 << mcs) - 2  # keep the decoder's table below 2^(mcs+1)
+    bitbuf, nbits, packed = 0, 0, bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            packed.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    emit(clear)
+    count = 0
+    for v in idx.ravel():
+        if count == max_lits:
+            emit(clear)
+            count = 0
+        emit(int(v))
+        count += 1
+    emit(end)
+    if nbits:
+        packed.append(bitbuf & 0xFF)
+    blocks = bytearray()
+    for i in range(0, len(packed), 255):
+        chunk = packed[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    lsd_packed = 0x80 | ((bits - 1) << 4) | (bits - 1)
+    img_packed = 0x40 if interlaced else 0x00
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, lsd_packed, 0, 0)
+        + palette.tobytes()
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, w, h, img_packed)
+        + bytes([mcs])
+        + bytes(blocks)
+        + b"\x00"
+        + b"\x3b"
+    )
+
+
+def decode_gif(payload: bytes):
+    """REAL decoder: GIF87a/89a first frame → (H, W, 3) uint8 RGB
+    numpy array.  Pure-python LZW (variable code width, clear/end
+    codes, the KwKwK case, 12-bit cap), global and local color
+    tables, interlaced row deinterlacing, extension blocks skipped.
+    Truncated or corrupt streams return None (dirty-row policy)."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        sw, sh, lsd_packed, _bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
+        pos = 13
+        gct = None
+        if lsd_packed & 0x80:
+            n = 2 << (lsd_packed & 0x07)
+            gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8)
+            if gct.size < 3 * n:
+                return None
+            gct = gct.reshape(n, 3)
+            pos += 3 * n
+        while pos < len(payload):
+            block = payload[pos]
+            pos += 1
+            if block == 0x3B:  # trailer
+                return None
+            if block == 0x21:  # extension: label then sub-blocks
+                pos += 1
+                while pos < len(payload) and payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+                continue
+            if block != 0x2C:
+                return None
+            left, top, w, h, img_packed = struct.unpack(
+                "<HHHHB", payload[pos : pos + 9]
+            )
+            pos += 9
+            table = gct
+            if img_packed & 0x80:
+                n = 2 << (img_packed & 0x07)
+                table = np.frombuffer(
+                    payload[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(n, 3)
+                pos += 3 * n
+            if table is None or w == 0 or h == 0:
+                return None
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            indices = _gif_lzw_decode(mcs, bytes(data), w * h)
+            if indices is None:
+                return None
+            idx = np.frombuffer(indices, dtype=np.uint8)
+            if idx.max(initial=0) >= len(table):
+                return None
+            rows = idx.reshape(h, w)
+            if img_packed & 0x40:  # interlaced: undo the 4-pass order
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                out = np.empty_like(rows)
+                out[order] = rows
+                rows = out
+            return table[rows]
+    except (struct.error, IndexError, ValueError):
+        return None
+    return None
 
 
 def encode_wav(samples, sample_rate: int = 8000) -> bytes:

@@ -277,3 +277,107 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return cells.join(dup, "vec_id", "left_anti")
+
+
+@query(
+    "q_image_formats",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS asset_id,
+           CASE doc_id % 4 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
+                           WHEN 2 THEN 'bmp' ELSE 'gif' END AS fmt,
+           CAST(8 + (doc_id % 5) * 4 AS BIGINT) AS width,
+           CAST(6 + (doc_id % 3) * 6 AS BIGINT) AS height,
+           CAST(CAST((8 + (doc_id % 5) * 4 - 1) / 2.0
+                     + (6 + (doc_id % 3) * 6 - 1) AS REAL) AS DOUBLE) AS mean_r,
+           CAST(CAST((8 + (doc_id % 5) * 4 - 1) / 2.0
+                     + (6 + (doc_id % 3) * 6 - 1) + 85 AS REAL) AS DOUBLE) AS mean_g,
+           CAST(CAST((8 + (doc_id % 5) * 4 - 1) / 2.0
+                     + (6 + (doc_id % 3) * 6 - 1) + 170 AS REAL) AS DOUBLE) AS mean_b
+    FROM documents
+    """,
+)
+def q_image_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-codec image decode parity: deterministic gradient images
+    (pixel (x, y, c) = x + 2y + 85c) are encoded per document into a
+    format cycling over binary PPM, PNG (scanline filter cycling),
+    24-bit BMP, and GIF (palette + LZW, interlaced for every other
+    GIF row) — then carried as opaque binary assets and decoded back
+    through the magic-sniffing dispatcher inside ONE Arrow-batched
+    mapInPandas pass.  The oracle is the closed form of the gradient
+    mean (identical for every codec), so a bug in any one of the four
+    encoders OR decoders breaks the hash.
+
+    Scale shape: generate → decode is map-only (fan_out first so the
+    compute-bound codec work spreads across cores despite the
+    single-split local source); no shuffle anywhere.  The gradient
+    has ≤ w + 2h distinct colors, within GIF's 256-entry palette."""
+    apply_runtime_conf(spark)
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, LongType, StringType, StructField, StructType
+
+    from etl_caltopo_spark.io import fan_out
+    from etl_caltopo_spark.llm import multimodal
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id"))
+    gen_schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("fmt", StringType(), False),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            fmts, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 8 + (d % 5) * 4
+                h = 6 + (d % 3) * 6
+                x = np.arange(w, dtype=np.uint16)[None, :, None]
+                y = np.arange(h, dtype=np.uint16)[:, None, None]
+                c = np.arange(3, dtype=np.uint16)[None, None, :]
+                img = (x + 2 * y + 85 * c).astype(np.uint8)
+                k = d % 4
+                if k == 0:
+                    fmts.append("ppm")
+                    payloads.append(multimodal.encode_ppm(img))
+                elif k == 1:
+                    fmts.append("png")
+                    payloads.append(
+                        multimodal.encode_png(img, filter_type=d % 5)
+                    )
+                elif k == 2:
+                    fmts.append("bmp")
+                    payloads.append(multimodal.encode_bmp(img))
+                else:
+                    fmts.append("gif")
+                    payloads.append(
+                        multimodal.encode_gif(img, interlaced=bool(d % 8 == 3))
+                    )
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "fmt": fmts, "payload": payloads}
+            )
+
+    raw = docs.mapInPandas(gen, schema=gen_schema)
+    assets = multimodal.as_binary_assets(raw, "asset_id", F.col("payload"), "image")
+    decoded = multimodal.decode_images(assets)
+    # fmt is a pure function of asset_id — derive it arithmetically
+    # instead of joining back to raw (which would re-run the generator)
+    fmt = F.element_at(
+        F.array(F.lit("ppm"), F.lit("png"), F.lit("bmp"), F.lit("gif")),
+        (F.col("asset_id") % 4 + 1).cast("int"),
+    )
+    return decoded.select(
+        "asset_id",
+        fmt.alias("fmt"),
+        "width",
+        "height",
+        F.element_at("mean_rgb", 1).cast("double").alias("mean_r"),
+        F.element_at("mean_rgb", 2).cast("double").alias("mean_g"),
+        F.element_at("mean_rgb", 3).cast("double").alias("mean_b"),
+    )

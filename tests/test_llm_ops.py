@@ -727,3 +727,60 @@ def test_resize_images_real_pixels(spark):
     back = multimodal.decode_png(bytes(out[1]["resized"]))
     # nearest-neighbor with floor sampling: rows/cols 0 and 2
     assert back.tolist() == [[0, 2], [20, 22]]
+
+
+def test_bmp_roundtrip_and_orientations():
+    import struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(13, 7, 3), dtype=np.uint8)  # odd w → padding
+    assert np.array_equal(multimodal.decode_bmp(multimodal.encode_bmp(img)), img)
+    assert multimodal.decode_image(multimodal.encode_bmp(img)).shape == (13, 7, 3)
+    # top-down variant: negative height, rows stored first-to-last
+    b = bytearray(multimodal.encode_bmp(img[::-1]))
+    (h,) = struct.unpack("<i", bytes(b[22:26]))
+    b[22:26] = struct.pack("<i", -h)
+    assert np.array_equal(multimodal.decode_bmp(bytes(b)), img)
+    # dirty rows: truncated raster, wrong bpp
+    assert multimodal.decode_bmp(multimodal.encode_bmp(img)[:30]) is None
+    assert multimodal.decode_bmp(None) is None
+
+
+def test_gif_roundtrip_lzw_interlace_palette():
+    import base64
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, size=(17, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 17, size=(23, 31))]
+    assert np.array_equal(multimodal.decode_gif(multimodal.encode_gif(img)), img)
+    assert np.array_equal(
+        multimodal.decode_gif(multimodal.encode_gif(img, interlaced=True)), img
+    )
+    assert multimodal.decode_image(multimodal.encode_gif(img)).shape == img.shape
+    # large image: many clear codes + multi-sub-block chunking
+    big = pal[rng.integers(0, 17, size=(64, 100))]
+    assert np.array_equal(multimodal.decode_gif(multimodal.encode_gif(big)), big)
+    # full 256-color palette → 8-bit min code size, 9-bit codes
+    pal256 = np.array(
+        [[i, 255 - i, (i * 7) % 256] for i in range(256)], dtype=np.uint8
+    )
+    img256 = pal256[rng.integers(0, 256, size=(10, 40))]
+    assert np.array_equal(
+        multimodal.decode_gif(multimodal.encode_gif(img256)), img256
+    )
+    # real-world fixture NOT produced by our encoder: the canonical 1x1
+    # transparent GIF (graphic control extension + real LZW stream)
+    tiny = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    out = multimodal.decode_gif(tiny)
+    assert out is not None and out.shape == (1, 1, 3)
+    assert tuple(out[0, 0]) == (0, 0, 0)
+    # dirty rows
+    assert multimodal.decode_gif(tiny[:20]) is None
+    assert multimodal.decode_gif(b"GIF89a") is None
+    assert multimodal.decode_gif(None) is None
