@@ -381,3 +381,86 @@ def q_image_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("mean_rgb", 2).cast("double").alias("mean_g"),
         F.element_at("mean_rgb", 3).cast("double").alias("mean_b"),
     )
+
+
+@query(
+    "q_video_frames",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS asset_id,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST(8 + (doc_id % 5) * 4 AS BIGINT) AS width,
+           CAST(6 + (doc_id % 3) * 6 AS BIGINT) AS height,
+           CAST(CAST((8 + (doc_id % 5) * 4 - 1) / 2.0
+                     + (6 + (doc_id % 3) * 6 - 1) + 9 * f AS REAL) AS DOUBLE)
+               AS mean_r,
+           CAST(CAST((8 + (doc_id % 5) * 4 - 1) / 2.0
+                     + (6 + (doc_id % 3) * 6 - 1) + 9 * f + 85 AS REAL) AS DOUBLE)
+               AS mean_g,
+           CAST(CAST((8 + (doc_id % 5) * 4 - 1) / 2.0
+                     + (6 + (doc_id % 3) * 6 - 1) + 9 * f + 170 AS REAL) AS DOUBLE)
+               AS mean_b
+    FROM documents, UNNEST(range(0, 1 + doc_id % 3)) AS u(f)
+    """,
+)
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame video decode over REAL uncompressed AVI payloads:
+    deterministic gradient frame stacks (pixel (x, y, c) in frame f =
+    x + 2y + 85c + 9f, all < 256) are packed into RIFF/AVI containers
+    per document, carried as opaque binary assets, and decoded back
+    frame-by-frame (RIFF walk → DIB rasters) inside one Arrow-batched
+    mapInPandas — emitting a row per frame with per-channel means the
+    closed-form oracle hash-checks.  A bug in the container writer,
+    the chunk walker, the BGR/bottom-up raster handling, or the frame
+    explode breaks the hash.
+
+    Scale shape: generate → decode is map-only with no shuffle; the
+    per-frame explode happens inside the same Arrow batch (rows out >
+    rows in is native to mapInPandas).  fan_out first so codec work
+    spreads across cores despite the single-split local source."""
+    apply_runtime_conf(spark)
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from etl_caltopo_spark.io import fan_out
+    from etl_caltopo_spark.llm import multimodal
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id"))
+    gen_schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 8 + (d % 5) * 4
+                h = 6 + (d % 3) * 6
+                n = 1 + d % 3
+                x = np.arange(w, dtype=np.uint16)[None, None, :, None]
+                y = np.arange(h, dtype=np.uint16)[None, :, None, None]
+                c = np.arange(3, dtype=np.uint16)[None, None, None, :]
+                f = np.arange(n, dtype=np.uint16)[:, None, None, None]
+                stack = (x + 2 * y + 85 * c + 9 * f).astype(np.uint8)
+                payloads.append(multimodal.encode_avi(stack, fps=10))
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
+
+    raw = docs.mapInPandas(gen, schema=gen_schema)
+    assets = multimodal.as_binary_assets(raw, "asset_id", F.col("payload"), "video")
+    decoded = multimodal.decode_video(assets)
+    return decoded.select(
+        "asset_id",
+        "frame_idx",
+        "width",
+        "height",
+        F.col("mean_r").cast("double").alias("mean_r"),
+        F.col("mean_g").cast("double").alias("mean_g"),
+        F.col("mean_b").cast("double").alias("mean_b"),
+    )

@@ -784,3 +784,31 @@ def test_gif_roundtrip_lzw_interlace_palette():
     assert multimodal.decode_gif(tiny[:20]) is None
     assert multimodal.decode_gif(b"GIF89a") is None
     assert multimodal.decode_gif(None) is None
+
+
+def test_avi_roundtrip_and_decode_video(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, size=(4, 9, 7, 3), dtype=np.uint8)
+    fps, dec = multimodal.decode_avi(multimodal.encode_avi(frames, fps=12))
+    assert fps == 12 and np.array_equal(dec, frames)
+    # dirty rows: truncation, wrong RIFF form
+    assert multimodal.decode_avi(multimodal.encode_avi(frames)[:50]) is None
+    assert multimodal.decode_avi(b"RIFF\x04\x00\x00\x00WAVE") is None
+    assert multimodal.decode_avi(None) is None
+    # Spark path: one row per frame + a null row for the dirty payload
+    pdf = spark.createDataFrame(
+        [
+            (1, "video", bytearray(multimodal.encode_avi(frames)), 0),
+            (2, "video", bytearray(b"junk"), 0),
+        ],
+        schema=multimodal.ASSET_SCHEMA,
+    )
+    out = multimodal.decode_video(pdf).orderBy("asset_id", "frame_idx").collect()
+    assert len(out) == 5
+    assert [r["frame_idx"] for r in out[:4]] == [0, 1, 2, 3]
+    assert out[0]["width"] == 7 and out[0]["height"] == 9
+    exp = frames[2].mean(axis=(0, 1))
+    assert abs(out[2]["mean_g"] - exp[1]) < 1e-3
+    assert out[4]["frame_idx"] is None and out[4]["mean_r"] is None
