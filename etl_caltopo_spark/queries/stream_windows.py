@@ -532,6 +532,114 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_interval_join",
+    oracle="""
+    SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+           CAST(epoch_us(v.ts) AS BIGINT) AS view_ts_us,
+           CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_us
+    FROM events v
+    JOIN events c
+      ON v.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= v.ts
+     AND c.ts <= v.ts + INTERVAL '30 minutes'
+    WHERE v.event_type = 'view'
+    """,
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join graded by hash: click attribution
+    (views ⋈ same-user clicks within 30 minutes) run as a REAL
+    two-phase availableNow stream-stream join whose emission multiset
+    must equal the batch SQL join exactly.
+
+    Protocol: both sides stream from their own directory; phase 1
+    delivers the even event_ids of each side, phase 2 restarts from
+    the same checkpoint with the odd ones — a parity split, so a
+    large share of matches pair a phase-1 row with a phase-2 row and
+    can only emit if the join state survived the restart (that's what
+    the protocol proves beyond the single-run equivalence test; the
+    parity-cross pytest pins it).  Because parity delivery is not
+    time-ordered, the watermark is set beyond the data span so no
+    legitimate phase-2 row is late-dropped and no matchable state is
+    evicted — the state-BOUNDING behaviour of the normal 1-hour
+    watermark is separately proven by the interval-join streaming
+    tests; here the graded property is exactness of the emission
+    multiset.  Timestamps return as NTZ-derived epoch micros so the
+    grade is timezone-independent."""
+    apply_runtime_conf(spark)
+    import os
+    import shutil
+    import tempfile
+
+    from etl_caltopo_spark.streaming.ingest import stream_from_parquet_dir
+    from etl_caltopo_spark.streaming.joins import interval_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("view_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("r_ts"), F.col("event_id").alias("click_id")
+    )
+    tmp = tempfile.mkdtemp(prefix="q_stream_ssjoin_")
+    try:
+        dirs = {}
+        for side, df, idc in (("v", views, "view_id"), ("c", clicks, "click_id")):
+            src = os.path.join(tmp, f"src_{side}")
+            os.makedirs(src)
+            df.filter(F.col(idc) % 2 == 0).coalesce(1).write.parquet(
+                os.path.join(tmp, f"{side}1")
+            )
+            df.filter(F.col(idc) % 2 == 1).coalesce(1).write.parquet(
+                os.path.join(tmp, f"{side}2")
+            )
+            dirs[side] = src
+        v_schema = spark.read.parquet(os.path.join(tmp, "v1")).schema
+        c_schema = spark.read.parquet(os.path.join(tmp, "c1")).schema
+        out_dir = os.path.join(tmp, "out")
+
+        def emit(batch_df: DataFrame, _epoch_id: int) -> None:
+            batch_df.write.mode("append").parquet(out_dir)
+
+        for phase in ("1", "2"):
+            for side in ("v", "c"):
+                bdir = os.path.join(tmp, f"{side}{phase}")
+                for f in os.listdir(bdir):
+                    if f.endswith(".parquet"):
+                        shutil.copy(
+                            os.path.join(bdir, f),
+                            os.path.join(dirs[side], f"{phase}_{f}"),
+                        )
+            joined = interval_join(
+                stream_from_parquet_dir(spark, dirs["v"], v_schema),
+                stream_from_parquet_dir(spark, dirs["c"], c_schema),
+                "user_id",
+                watermark="3650 days",  # beyond the span: no late drops
+            )
+            q = (
+                joined.writeStream.foreachBatch(emit)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        emitted = spark.read.parquet(out_dir)
+        out = spark.createDataFrame(emitted.collect(), emitted.schema)
+        return out.select(
+            "view_id",
+            "click_id",
+            "user_id",
+            epoch_us(F.col("l_ts").cast("timestamp_ntz")).alias("view_ts_us"),
+            epoch_us(F.col("r_ts").cast("timestamp_ntz")).alias("click_ts_us"),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "q_click_attribution_outer",
     oracle="""
     SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id

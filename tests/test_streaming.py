@@ -355,3 +355,29 @@ def test_stream_dedup_emits_each_event_once(spark):
     ids = [r["event_id"] for r in out.select("event_id").collect()]
     assert len(ids) == 1000  # one per source event
     assert len(set(ids)) == 1000  # no duplicate emissions
+
+
+def test_stream_interval_join_crosses_restart(spark):
+    """q_stream_interval_join's parity protocol must produce matches
+    whose two sides arrived in DIFFERENT phases — i.e. the join state
+    demonstrably survived the checkpoint restart — and the emission
+    multiset must equal the batch join."""
+    from etl_caltopo_spark.queries import REGISTRY
+    from etl_caltopo_spark.streaming.joins import interval_join
+
+    sf = "/root/testdata/sf0.001"
+    out = REGISTRY["q_stream_interval_join"].fn(spark, sf).collect()
+    got = sorted((r["view_id"], r["click_id"]) for r in out)
+    ev = load_table(spark, sf, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("view_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("r_ts"), F.col("event_id").alias("click_id")
+    )
+    batch = interval_join(views, clicks, "user_id").collect()
+    want = sorted((r["view_id"], r["click_id"]) for r in batch)
+    assert got == want and got
+    # at least one match pairs an even (phase-1) id with an odd
+    # (phase-2) id — the state-survival witness
+    assert any((a % 2) != (b % 2) for a, b in got)
