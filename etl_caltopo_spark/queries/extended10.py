@@ -235,20 +235,32 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-free and deterministic — no greedy chain — so DuckDB replays
     it exactly.
 
-    Scale shape: the assignment pass is map-only against broadcast
-    centroids; the pairwise step is an equi-join on the cell id, so the
-    quadratic is bounded by the largest cell (SemDeDup's design point —
+    Scale shape: exact-duplicate vectors first collapse to their
+    min-id representative (one hash-shuffle on the vector bytes) —
+    provably output-equivalent under the pair-pruning rule, because a
+    non-min clone is always dropped by its own representative
+    (cos = 1) and any drop witnessed by a clone is witnessed by its
+    smaller-id representative too.  That collapse is what keeps the
+    duplicate-heavy regime linear (the 10× scale probe's cloned
+    replicas collapse 10→1 before any pairwise work).  The assignment
+    pass is map-only against broadcast centroids; the pairwise step is
+    an equi-join on the cell id, so the residual quadratic is bounded
+    by the largest cell of DISTINCT vectors (SemDeDup's design point —
     at 100 TB the quantizer's k grows to cap cell sizes, or the
-    hyperplane-LSH bucket variant replaces the cell key).  Vectors
-    re-attach to the pair join by id (never carried through the
-    window), and cosine floors at 6 dp on both engines before the
-    threshold test so boundary ulps can't flip membership."""
+    hyperplane-LSH bucket variant replaces the cell key).  Cosine
+    floors at 6 dp on both engines before the threshold test so
+    boundary ulps can't flip membership."""
     apply_runtime_conf(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
     )
-    pts = emb.filter(F.col("vec_id") >= 8).select("vec_id", "embedding")
+    pts = (
+        emb.filter(F.col("vec_id") >= 8)
+        .groupBy("embedding")
+        .agg(F.min("vec_id").alias("vec_id"))
+        .select("vec_id", "embedding")
+    )
     scored = pts.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "centroid_id",
