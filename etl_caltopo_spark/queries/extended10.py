@@ -476,3 +476,168 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mean_g").cast("double").alias("mean_g"),
         F.col("mean_b").cast("double").alias("mean_b"),
     )
+
+
+@query(
+    "q_cdc_chunk",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS i, ts[CAST(i AS INT)] AS tok
+        FROM d, UNNEST(range(1, len(ts) + 1)) AS u(i)
+        WHERE len(ts) > 0 AND ts[1] <> ''
+    ), h AS (
+        SELECT doc_id, i,
+               ((list_sum(list_transform(string_split(tok, ''), c -> ascii(c)))
+                 * 2654435761 + length(tok) * 1000003) % 4294967296) % 8 = 0
+                   AS b
+        FROM pos
+    ), c AS (
+        SELECT doc_id,
+               coalesce(sum(CASE WHEN b THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS chunk_id
+        FROM h
+    ), k AS (
+        SELECT doc_id, chunk_id, count(*) AS clen FROM c GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(clen) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(max(clen) AS BIGINT) AS max_chunk_len,
+           floor((sum(clen) / count(*)) * 1000000) / 1000000 AS avg_chunk_len
+    FROM k GROUP BY doc_id
+    """,
+)
+def q_cdc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the FastCDC/rolling-boundary family,
+    token-level): a chunk boundary falls AFTER any token whose
+    portable fingerprint ≡ 0 (mod 8) — so boundaries depend only on
+    local content, and an insertion early in a document shifts chunk
+    boundaries only until the next content boundary resynchronizes
+    (the property that makes chunk-level dedup robust to edits, which
+    fixed-size q_doc_chunk lacks; pinned in tests).  Expected chunk
+    length is 8 tokens.
+
+    The fingerprint is the engine-portable multiplicative hash of the
+    token's code-point sum and length (the q_span_corrupt hash
+    family) — deterministic in both engines, no RNG state.
+
+    Scale shape: one explode and ONE shuffle keyed by doc_id (the
+    running boundary count is a per-doc window; partial aggregation
+    collapses the chunk rollup on the same key), then a doc-keyed
+    final aggregate.  Per-token hashing is pure codegen Column
+    expressions — no Python."""
+    apply_runtime_conf(spark)
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", text.tokens(F.col("text")).alias("ts")).filter(
+        (F.size("ts") > 0) & (F.element_at("ts", 1) != "")
+    )
+    pos = toks.select(
+        "doc_id", F.posexplode("ts").alias("i0", "tok")
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "tok")
+    code_sum = F.aggregate(
+        F.transform(F.split(F.col("tok"), ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    fp = (code_sum * 2654435761 + F.length("tok") * 1000003) % 4294967296
+    b = (fp % 8 == 0).cast("long")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = pos.select(
+        "doc_id", F.coalesce(F.sum(b).over(w), F.lit(0)).alias("chunk_id")
+    )
+    k = chunked.groupBy("doc_id", "chunk_id").agg(F.count("*").alias("clen"))
+    return k.groupBy("doc_id").agg(
+        F.sum("clen").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.max("clen").cast("bigint").alias("max_chunk_len"),
+        fround(F.sum("clen") / F.count("*"), 6).alias("avg_chunk_len"),
+    )
+
+
+@query(
+    "q_pq_encode",
+    oracle="""
+    WITH cb AS (
+        SELECT vec_id AS code, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id < 4
+    ), p AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id >= 4
+    ), sub AS (
+        SELECT p.vec_id, CAST(s AS BIGINT) AS subspace, cb.code,
+               floor((list_dot_product(v[CAST(s*8+1 AS INT):CAST(s*8+8 AS INT)],
+                                       v[CAST(s*8+1 AS INT):CAST(s*8+8 AS INT)])
+                      - 2 * list_dot_product(v[CAST(s*8+1 AS INT):CAST(s*8+8 AS INT)],
+                                             cv[CAST(s*8+1 AS INT):CAST(s*8+8 AS INT)])
+                      + list_dot_product(cv[CAST(s*8+1 AS INT):CAST(s*8+8 AS INT)],
+                                         cv[CAST(s*8+1 AS INT):CAST(s*8+8 AS INT)]))
+                     * 1000000) / 1000000 AS d2
+        FROM p, UNNEST(range(0, 8)) AS t(s), cb
+    ), r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id, subspace ORDER BY d2, code) AS rn
+        FROM sub
+    )
+    SELECT vec_id, subspace, code, d2 AS qerr FROM r WHERE rn = 1
+    """,
+)
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (the PQ half of IVF-PQ, the
+    standard billion-scale ANN index): split each 64-d embedding into
+    8 contiguous 8-d subvectors and assign each to its nearest entry
+    of that subspace's codebook (here the slices of vec_id < 4, a
+    deterministic stand-in for trained sub-centroids), emitting one
+    (vec_id, subspace, code, qerr) row per subvector — the 8-byte code
+    word that replaces a 256-byte vector on the wire.
+
+    Exactness chain: squared distance is composed from three
+    sequential-fold dot products (‖a‖² − 2a·b + ‖b‖², the
+    similarity.dot pattern that matches DuckDB's list_dot_product
+    fold), floored at 6 dp BEFORE the argmin so a boundary ulp can't
+    flip code assignment; ties break to the lowest code.
+
+    Scale shape: the codebook broadcasts (k × dim doubles); the
+    subspace explode and per-(point, subspace) argmin are map-side —
+    the min collapses via partial aggregation on data already keyed by
+    the point, so the only exchange is the final per-point shuffle,
+    carrying 8 code rows per vector, not the vectors."""
+    apply_runtime_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("code"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    pts = emb.filter(F.col("vec_id") >= 4).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sub = pts.select(
+        "vec_id", "v", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("subspace")
+    ).crossJoin(F.broadcast(cb))
+    a = F.slice("v", F.col("subspace") * 8 + 1, 8)
+    b = F.slice("cv", F.col("subspace") * 8 + 1, 8)
+    d2 = fround(
+        similarity.dot(a, a) - 2 * similarity.dot(a, b) + similarity.dot(b, b), 6
+    )
+    scored = sub.select(
+        "vec_id",
+        F.col("subspace").cast("bigint").alias("subspace"),
+        "code",
+        d2.alias("d2"),
+    )
+    best = scored.groupBy("vec_id", "subspace").agg(
+        F.min(F.struct("d2", "code")).alias("m")
+    )
+    return best.select(
+        "vec_id", "subspace", F.col("m.code").alias("code"), F.col("m.d2").alias("qerr")
+    )

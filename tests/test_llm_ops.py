@@ -812,3 +812,40 @@ def test_avi_roundtrip_and_decode_video(spark):
     exp = frames[2].mean(axis=(0, 1))
     assert abs(out[2]["mean_g"] - exp[1]) < 1e-3
     assert out[4]["frame_idx"] is None and out[4]["mean_r"] is None
+
+
+def test_cdc_chunk_resynchronizes_after_insertion(spark):
+    """The content-defined property: inserting one token early in a
+    document perturbs only the chunk containing the insertion — every
+    boundary after it stays anchored to the same tokens (fixed-size
+    chunking would shift ALL later boundaries)."""
+    from pyspark.sql import Window
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india " \
+           "juliett kilo lima mike november oscar papa quebec romeo " \
+           "sierra tango uniform victor whiskey xray yankee zulu"
+    edited = base.replace("alpha bravo", "alpha INSERTED bravo", 1)
+
+    def boundaries(text_val):
+        df = spark.createDataFrame([(1, text_val)], "doc_id long, text string")
+        toks = df.select(
+            "doc_id", F.posexplode(F.split(F.trim(F.lower("text")), r"\s+")).alias("i0", "tok")
+        )
+        code_sum = F.aggregate(
+            F.transform(F.split(F.col("tok"), ""), lambda c: F.ascii(c).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        fp = (code_sum * 2654435761 + F.length("tok") * 1000003) % 4294967296
+        rows = toks.select("i0", "tok", (fp % 8 == 0).alias("b")).collect()
+        return [(r["i0"], r["tok"]) for r in rows if r["b"]]
+
+    b0 = boundaries(base)
+    b1 = boundaries(edited)
+    # boundary TOKENS identical (hash depends only on the token), and
+    # every boundary at/after the insertion shifts by exactly one
+    # position while earlier ones are untouched
+    assert [t for _, t in b0] == [t for _, t in b1]
+    for (i0, t0), (i1, t1) in zip(b0, b1):
+        assert t0 == t1
+        assert i1 - i0 == (0 if i0 < 1 else 1)
