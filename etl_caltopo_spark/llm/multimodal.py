@@ -10,9 +10,11 @@ binary PPM (P6) via pure numpy (``encode_ppm``/``decode_ppm``),
 24-bit BMP (``encode_bmp``/``decode_bmp``), GIF87a/89a with a full
 pure-python LZW (``encode_gif``/``decode_gif``), and RIFF/WAVE PCM16
 audio via pure struct+numpy
-(``encode_wav``/``decode_wav``/``decode_audio``).  ``decode_image``
-magic-sniffs and dispatches; formats still needing an external codec
-(WebP/MP3/video) return None under the dirty-row policy but run in
+(``encode_wav``/``decode_wav``/``decode_audio``), plus uncompressed
+AVI video (``encode_avi``/``decode_avi``/``decode_video``).
+``decode_image`` magic-sniffs and dispatches; formats still needing
+an external codec (WebP/MP3, compressed video) return None under the
+dirty-row policy but run in
 the identical Spark-side contract (schemas, batch shapes,
 partitioning), all tested (tests/test_llm_ops.py).
 """
