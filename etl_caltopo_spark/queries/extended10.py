@@ -641,3 +641,118 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.select(
         "vec_id", "subspace", F.col("m.code").alias("code"), F.col("m.d2").alias("qerr")
     )
+
+
+@query(
+    "q_global_shuffle",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               (((doc_id * 1000003) % 2147483648) * 2654435761) % 4294967296
+                   AS hv
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(hv % 16 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hv % 16 ORDER BY hv, doc_id)
+               AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-shard assignment:
+    every document gets a pseudo-random but reproducible (shard,
+    position) under the portable multiplicative hash — the
+    shuffle-then-shard step every epoch-0 data loader needs, with no
+    RNG state so any engine (and any retry) reproduces the same
+    order.
+
+    Scale shape: NOT a global sort — the shard id is the hash residue,
+    so the only exchange is one shuffle on the shard key and the
+    position is a within-shard window (range-partitioned sort per
+    shard, exactly how a distributed sort-by-key would place rows).
+    16 shards here; at 100 TB the shard count scales with the target
+    file count and the plan is unchanged."""
+    apply_runtime_conf(spark)
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hv = ((F.col("doc_id") * 1000003) % 2147483648) * 2654435761 % 4294967296
+    h = docs.select("doc_id", hv.alias("hv"), (hv % 16).alias("shard"))
+    w = Window.partitionBy("shard").orderBy("hv", "doc_id")
+    return h.select(
+        "doc_id",
+        F.col("shard").cast("bigint").alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+@query(
+    "q_dedup_containment",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(ts) - 3, 1) + 1),
+                   i -> array_to_string(ts[i:i+3], ' ')
+               ))) AS shingle
+        FROM t
+    ), keep AS (
+        SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50
+    ), fsh AS (
+        SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)
+    ), size_a AS (
+        SELECT doc_id, count(*) AS n FROM fsh GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM fsh a JOIN fsh b
+          ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           floor((shared / n) * 1000000) / 1000000 AS containment
+    FROM pairs JOIN size_a ON id_a = size_a.doc_id
+    WHERE floor((shared / n) * 1000000) / 1000000 >= 0.5
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: C(A→B) = |S(A) ∩ S(B)| / |S(A)|
+    over 4-token shingles — the signal Jaccard misses when one
+    document is a near-SUBSET of another (quotes, excerpts, page
+    wrappers around syndicated articles); pairs with C ≥ 0.5 are
+    (contained, container) candidates in both directions.
+
+    Scale shape: an inverted shingle index, NOT an all-pairs join —
+    stop-shingles (document frequency > 50) are dropped first, which
+    is both the standard boilerplate guard and the skew cap: the
+    per-shingle join fan-out is bounded by 50², and the one wide
+    exchange is keyed by the shingle.  Pair aggregation and the size
+    join ride doc-id keys with partial aggregation.  Exact integer
+    division, 6-dp floor on both engines before the threshold."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(dedup.shingles(F.col("text"), n=4)).alias("shingle")
+    )
+    keep = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= 50
+    )
+    fsh = sh.join(keep.select("shingle"), "shingle")
+    size_a = fsh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = fsh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = fsh.select(F.col("doc_id").alias("id_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    cont = fround(F.col("shared") / F.col("n"), 6)
+    return (
+        pairs.join(size_a.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .select("id_a", "id_b", cont.alias("containment"))
+        .filter(F.col("containment") >= 0.5)
+    )
