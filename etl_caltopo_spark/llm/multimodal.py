@@ -8,12 +8,13 @@ baseline JPEG (SOF0 huffman/DCT, pure numpy —
 zlib + all five scanline unfilters — ``encode_png``/``decode_png``),
 binary PPM (P6) via pure numpy (``encode_ppm``/``decode_ppm``),
 24-bit BMP (``encode_bmp``/``decode_bmp``), GIF87a/89a with a full
-pure-python LZW (``encode_gif``/``decode_gif``), and RIFF/WAVE PCM16
-audio via pure struct+numpy
-(``encode_wav``/``decode_wav``/``decode_audio``), plus uncompressed
-AVI video (``encode_avi``/``decode_avi``/``decode_video``).
+pure-python LZW (``encode_gif``/``decode_gif``), RIFF/WAVE audio in both
+PCM16 and compressed IMA ADPCM forms (``encode_wav`` /
+``encode_adpcm_wav`` / ``decode_wav`` / ``decode_audio``; the ADPCM
+nibble decoder is bit-exact vs stdlib audioop's reference), plus
+uncompressed AVI video (``encode_avi``/``decode_avi``/``decode_video``).
 ``decode_image`` magic-sniffs and dispatches; formats still needing
-an external codec (WebP/MP3, compressed video) return None under the
+an external codec (WebP/MP3, compressed video frames) return None under the
 dirty-row policy but run in
 the identical Spark-side contract (schemas, batch shapes,
 partitioning), all tested (tests/test_llm_ops.py).
@@ -544,12 +545,128 @@ def encode_wav(samples, sample_rate: int = 8000) -> bytes:
     )
 
 
+#: IMA/DVI ADPCM step-size and index-adaptation tables (public spec)
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41,
+    45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190,
+    209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724,
+    796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272,
+    2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+    7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+    20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_decode_core(nibbles, pred: int = 0, index: int = 0):
+    """IMA/DVI ADPCM nibble decoder (bit-exact vs the classic Intel/
+    DVI reference implementation — cross-checked against stdlib
+    audioop.adpcm2lin in tests).  Returns (samples, pred, index)."""
+    out = []
+    for n in nibbles:
+        step = _IMA_STEPS[index]
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        pred = pred - diff if n & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + _IMA_INDEX[n & 7]))
+        out.append(pred)
+    return out, pred, index
+
+
+def _ima_encode_core(samples, pred: int = 0, index: int = 0):
+    """IMA/DVI ADPCM nibble encoder (the reference quantizer: greedy
+    per-nibble bit allocation against the current step size).  Returns
+    (nibbles, pred, index)."""
+    nibbles = []
+    for s in samples:
+        step = _IMA_STEPS[index]
+        delta = int(s) - pred
+        n = 8 if delta < 0 else 0
+        delta = abs(delta)
+        if delta >= step:
+            n |= 4
+            delta -= step
+        if delta >= step >> 1:
+            n |= 2
+            delta -= step >> 1
+        if delta >= step >> 2:
+            n |= 1
+        # reconstruct exactly as the decoder will
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        pred = pred - diff if n & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + _IMA_INDEX[n & 7]))
+        nibbles.append(n)
+    return nibbles, pred, index
+
+
+def encode_adpcm_wav(samples, sample_rate: int = 8000, block_samples: int = 505) -> bytes:
+    """Encode a 1-D int16 array as an IMA ADPCM WAV (wFormatTag 0x11,
+    mono): each block carries a 4-byte state header (predictor int16 +
+    step index) whose predictor IS the block's first sample, followed
+    by 4-bit codes packed low-nibble-first — 4:1 compression vs PCM16.
+    The fixture generator for the real compressed-audio decode path."""
+    import struct
+
+    import numpy as np
+
+    arr = [int(x) for x in np.asarray(samples, dtype="<i2")]
+    block_align = 4 + (block_samples - 1 + 1) // 2
+    index = 0
+    blocks = []
+    for start in range(0, len(arr), block_samples):
+        chunk = arr[start : start + block_samples]
+        index_at_start = index  # the header carries the PRE-block state
+        nibbles, _pred, index = _ima_encode_core(chunk[1:], chunk[0], index)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        packed = bytes(
+            nibbles[i] | (nibbles[i + 1] << 4) for i in range(0, len(nibbles), 2)
+        )
+        body = struct.pack("<hBB", chunk[0], index_at_start, 0) + packed
+        blocks.append(body.ljust(block_align, b"\x00"))
+    data = b"".join(blocks)
+    byte_rate = (sample_rate * block_align + block_samples - 1) // block_samples
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate, byte_rate, block_align, 4, 2,
+        block_samples,
+    )
+    fact = struct.pack("<I", len(arr))  # true sample count (last block is padded)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 40 + len(fmt) + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"fact"
+        + struct.pack("<I", len(fact))
+        + fact
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
 def decode_wav(payload: bytes):
-    """REAL decoder: RIFF/WAVE PCM16 mono → (sample_rate, int16 numpy
-    array).  WAV is a length-prefixed container, not a compressed
-    codec, so pure numpy/struct suffice.  Returns None for None /
-    non-WAV / non-PCM16 payloads (dirty rows become nulls, same
-    policy as decode_ppm)."""
+    """REAL decoder: RIFF/WAVE mono → (sample_rate, int16 numpy
+    array).  Two stream formats: PCM16 (wFormatTag 1 — a raw
+    length-prefixed container) and IMA ADPCM (wFormatTag 0x11 — a
+    genuinely compressed 4-bit codec, decoded block-by-block with the
+    reference Intel/DVI algorithm, :func:`_ima_decode_core`).
+    Returns None for None / non-WAV / other formats (dirty rows
+    become nulls, same policy as decode_ppm)."""
     import struct
 
     import numpy as np
@@ -559,21 +676,56 @@ def decode_wav(payload: bytes):
     if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     # walk the chunk list: fmt then data (other chunks skipped)
-    pos, rate, bits, channels, data = 12, None, None, None, None
+    pos, data, fmt_body, n_samples = 12, None, None, None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + clen]
         if cid == b"fmt " and len(body) >= 16:
-            fmt, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
-            if fmt != 1:  # PCM only
-                return None
+            fmt_body = body
+        elif cid == b"fact" and len(body) >= 4:
+            (n_samples,) = struct.unpack("<I", body[:4])
         elif cid == b"data":
             data = body
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
-    if rate is None or data is None or bits != 16 or channels != 1:
+    if fmt_body is None or data is None:
         return None
-    return rate, np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2")
+    fmt, channels, rate, _, block_align, bits = struct.unpack(
+        "<HHIIHH", fmt_body[:16]
+    )
+    if channels != 1:
+        return None
+    if fmt == 1 and bits == 16:
+        return rate, np.frombuffer(
+            data[: len(data) - (len(data) % 2)], dtype="<i2"
+        )
+    if fmt == 0x11 and bits == 4 and block_align > 4:
+        if len(fmt_body) >= 20:
+            (samples_per_block,) = struct.unpack("<H", fmt_body[18:20])
+        else:
+            samples_per_block = (block_align - 4) * 2 + 1
+        out = []
+        for start in range(0, len(data), block_align):
+            block = data[start : start + block_align]
+            if len(block) < 4:
+                break
+            pred, index, _r = struct.unpack("<hBB", block[:4])
+            if index > 88:
+                return None
+            out.append(pred)  # the header predictor is sample 0
+            nibbles = []
+            for byte in block[4:]:
+                nibbles.append(byte & 0x0F)
+                nibbles.append(byte >> 4)
+            nibbles = nibbles[: samples_per_block - 1]
+            samples, _p, _i = _ima_decode_core(nibbles, pred, index)
+            out.extend(samples)
+        if not out:
+            return None
+        if n_samples is not None:
+            out = out[:n_samples]
+        return rate, np.asarray(out, dtype="<i2")
+    return None
 
 
 def encode_avi(frames, fps: int = 10) -> bytes:

@@ -756,3 +756,73 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", cont.alias("containment"))
         .filter(F.col("containment") >= 0.5)
     )
+
+
+@query(
+    "q_audio_adpcm",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS asset_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(777 + (doc_id % 5) * 101 AS BIGINT) AS n_samples,
+           CAST(CAST((777 + (doc_id % 5) * 101) / 8.0 AS REAL) AS DOUBLE)
+               AS duration_ms
+    FROM documents
+    """,
+)
+def q_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-audio decode over REAL IMA ADPCM WAV payloads:
+    deterministic waveforms are 4-bit ADPCM-encoded per document
+    (4:1 vs PCM16), carried as opaque binary assets, and decoded back
+    (block headers, nibble codes, fact-chunk truncation of the padded
+    final block) inside one Arrow-batched mapInPandas.  The oracle
+    checks the structural closed form — sample count (NOT
+    block-aligned, so the fact-chunk path must work) and duration —
+    while waveform fidelity (SNR > 25 dB) and bit-exactness of the
+    nibble decoder against stdlib audioop's reference implementation
+    are pinned in tests/test_llm_ops.py (the codec is lossy, so
+    content has no cross-engine closed form).
+
+    Scale shape: generate → decode is map-only, no shuffle; fan_out
+    spreads the codec work across cores."""
+    apply_runtime_conf(spark)
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from etl_caltopo_spark.io import fan_out
+    from etl_caltopo_spark.llm import multimodal
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id"))
+    gen_schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 777 + (d % 5) * 101
+                t = np.arange(n)
+                sig = (
+                    3000 * np.sin(t / (15.0 + d % 7))
+                    + 1000 * np.sin(t / 5.0 + d)
+                ).astype(np.int16)
+                payloads.append(multimodal.encode_adpcm_wav(sig, 8000))
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
+
+    raw = docs.mapInPandas(gen, schema=gen_schema)
+    assets = multimodal.as_binary_assets(raw, "asset_id", F.col("payload"), "audio")
+    decoded = multimodal.decode_audio(assets)
+    return decoded.select(
+        "asset_id",
+        "sample_rate",
+        "n_samples",
+        F.col("duration_ms").cast("double").alias("duration_ms"),
+    )

@@ -849,3 +849,36 @@ def test_cdc_chunk_resynchronizes_after_insertion(spark):
     for (i0, t0), (i1, t1) in zip(b0, b1):
         assert t0 == t1
         assert i1 - i0 == (0 if i0 < 1 else 1)
+
+
+def test_adpcm_roundtrip_snr_and_audioop_reference():
+    import struct
+    import warnings
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    t = np.arange(4000)
+    sig = (3000 * np.sin(t / 20.0) + 1500 * np.sin(t / 7.0)).astype(np.int16)
+    enc = multimodal.encode_adpcm_wav(sig, 8000)
+    sr, dec = multimodal.decode_wav(enc)
+    assert sr == 8000 and len(dec) == len(sig)  # fact chunk trims padding
+    err = dec.astype(np.float64) - sig.astype(np.float64)
+    snr = 10 * np.log10((sig.astype(np.float64) ** 2).mean() / (err**2).mean())
+    assert snr > 25, snr
+    # every block's first sample is carried verbatim in the header
+    assert dec[0] == sig[0] and dec[505] == sig[505] and dec[1010] == sig[1010]
+    # 4-bit codes ≈ 4:1 vs PCM16
+    assert len(enc) < len(multimodal.encode_wav(sig)) / 3
+    # nibble decoder is bit-exact vs stdlib audioop's Intel/DVI reference
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        import audioop
+    nibs = [int(x) for x in rng.integers(0, 16, size=2000)]
+    data = bytes((nibs[i] << 4) | nibs[i + 1] for i in range(0, 2000, 2))
+    pcm, _ = audioop.adpcm2lin(data, 2, None)
+    ref = list(struct.unpack(f"<{len(pcm) // 2}h", pcm))
+    mine, _, _ = multimodal._ima_decode_core(nibs)
+    assert mine == ref
+    # dirty rows
+    assert multimodal.decode_wav(enc[:30]) is None
