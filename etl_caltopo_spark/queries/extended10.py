@@ -826,3 +826,121 @@ def q_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_samples",
         F.col("duration_ms").cast("double").alias("duration_ms"),
     )
+
+
+def _kmeans_oracle(iters: int = 3) -> str:
+    """Unrolled DuckDB oracle for ``q_kmeans_converge`` (the
+    q_bpe_merge pattern: the iterative algorithm's exact fixed-round
+    unrolling as chained CTEs)."""
+
+    def d2(vc: str) -> str:
+        return (
+            f"floor((list_dot_product(v, v) - 2 * list_dot_product(v, {vc})"
+            f" + list_dot_product({vc}, {vc})) * 1000000) / 1000000"
+        )
+
+    sql = """
+    WITH p AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id >= 8
+    ), cent0 AS (
+        SELECT vec_id AS centroid_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> floor(x * 10000) / 10000) AS cv
+        FROM embeddings WHERE vec_id < 8
+    )"""
+    for i in range(iters):
+        sql += f""", s{i} AS (
+        SELECT p.vec_id, p.v, c.centroid_id, {d2('c.cv')} AS d2
+        FROM p, cent{i} c
+    ), a{i} AS (
+        SELECT vec_id, v, centroid_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
+            FROM s{i})
+        WHERE rn = 1
+    ), m{i} AS (
+        SELECT centroid_id, CAST(j - 1 AS INTEGER) AS dim,
+               CAST(count(*) AS BIGINT) AS n_points,
+               floor(sum(CAST(floor(v[CAST(j AS INT)] * 10000) AS BIGINT))
+                     / (count(*) * 10000.0) * 10000) / 10000 AS new_mean
+        FROM a{i}, unnest(range(1, len(v) + 1)) AS u(j)
+        GROUP BY 1, 2
+    ), cent{i + 1} AS (
+        SELECT centroid_id, list(new_mean ORDER BY dim) AS cv
+        FROM m{i} GROUP BY centroid_id
+    )"""
+    sql += f"""
+    SELECT centroid_id, dim, n_points, new_mean FROM m{iters - 1}"""
+    return sql
+
+
+@query("q_kmeans_converge", oracle=_kmeans_oracle())
+def q_kmeans_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three full Lloyd iterations of Euclidean k-means (assign →
+    re-center → repeat), exact across engines: centroids live on a
+    4-dp grid (initial slices floor-quantized; every M-step mean is
+    computed in exact integer ten-thousandths before one final 4-dp
+    floor), squared distances are composed from sequential-fold dot
+    products floored at 6 dp before each argmin, and ties break to the
+    lowest centroid id — so the whole iterative trajectory, not just
+    one step, is deterministic and the unrolled oracle hash-checks
+    iteration 3's (centroid, dim, n_points, new_mean) table.  Extends
+    the single-step pair q_centroid_assign / q_kmeans_update to the
+    convergence loop that trains IVF coarse quantizers.
+
+    Scale shape per iteration: broadcast the k×64 centroid table,
+    map-side argmin per point (partial-agg min, no window), posexplode
+    to (centroid, dim) integer components, ONE partial-agg shuffle of
+    k×64 groups; the centroid rebuild aggregates k rows.  Iterations
+    chain lazily — Catalyst sees one DAG, and at 100 TB each
+    iteration is one scan + one tiny shuffle (or the loop
+    localCheckpoints per round to cut lineage)."""
+    apply_runtime_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.filter(F.col("vec_id") >= 8).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * 10000) / 10000,
+        ).alias("cv"),
+    )
+    cent_tab = None
+    for _ in range(3):
+        d2 = fround(
+            similarity.dot(F.col("v"), F.col("v"))
+            - 2 * similarity.dot(F.col("v"), F.col("cv"))
+            + similarity.dot(F.col("cv"), F.col("cv")),
+            6,
+        )
+        scored = pts.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "centroid_id", d2.alias("d2")
+        )
+        best = scored.groupBy("vec_id").agg(
+            F.min(F.struct("d2", "centroid_id")).alias("m")
+        )
+        assigned = best.select(
+            "vec_id", F.col("m.centroid_id").alias("centroid_id")
+        ).join(pts, "vec_id")
+        comp = assigned.select(
+            "centroid_id", F.posexplode("v").alias("dim", "x")
+        ).select(
+            "centroid_id",
+            F.col("dim").cast("int").alias("dim"),
+            F.floor(F.col("x") * 10000).cast("bigint").alias("q"),
+        )
+        n = F.count("*")
+        cent_tab = comp.groupBy("centroid_id", "dim").agg(
+            n.cast("bigint").alias("n_points"),
+            fround(F.sum("q") / (n * 10000.0), 4).alias("new_mean"),
+        )
+        cents = cent_tab.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "new_mean"))),
+                lambda s: s["new_mean"],
+            ).alias("cv")
+        )
+    return cent_tab
