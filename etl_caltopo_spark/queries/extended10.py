@@ -944,3 +944,100 @@ def q_kmeans_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cv")
         )
     return cent_tab
+
+
+@query(
+    "q_hash_embed",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+'))
+                   AS tok
+        FROM documents
+    ), b AS (
+        SELECT doc_id,
+               ((list_sum(list_transform(string_split(tok, ''), c -> ascii(c)))
+                 * 2654435761 + length(tok) * 1000003) % 4294967296) % 16
+                   AS bucket
+        FROM toks WHERE tok <> ''
+    ), counts AS (
+        SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY 1, 2
+    ), dense AS (
+        SELECT d.doc_id, g.bucket, coalesce(counts.c, 0) AS c
+        FROM (SELECT DISTINCT doc_id FROM b) d
+        CROSS JOIN (SELECT unnest(range(0, 16)) AS bucket) g
+        LEFT JOIN counts ON counts.doc_id = d.doc_id
+                        AND counts.bucket = g.bucket
+    ), normed AS (
+        SELECT doc_id, bucket, c,
+               sqrt(sum(c * c) OVER (PARTITION BY doc_id)) AS l2
+        FROM dense
+    )
+    SELECT doc_id,
+           floor(l2 * 1000000) / 1000000 AS l2_norm,
+           string_agg(
+               CAST(floor(c / l2 * 1000000) / 1000000 AS VARCHAR),
+               ',' ORDER BY bucket) AS vec
+    FROM normed
+    GROUP BY doc_id, l2
+    """,
+)
+def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing document embeddings (the hashing-trick
+    vectorizer): every token hashes into one of 16 buckets with the
+    engine-portable multiplicative hash, bucket counts become a dense
+    vector, and L2 normalization yields a cheap unit embedding — the
+    classic no-model stand-in for learned embeddings that corpus
+    pipelines use for clustering/dedup triage when GPU embedding of
+    100 TB is too expensive.  Collisions are the accepted trade
+    (Weinberger et al.'s hashing trick).
+
+    Exactness chain: bucket counts are exact integers; ‖v‖² is an
+    exact integer sum; sqrt and division are IEEE-correctly-rounded
+    on identical inputs; components floor at 6 dp into the output
+    string (the q_embed_quantize policy).
+
+    Scale shape: explode → ONE partial-agg shuffle keyed by
+    (doc, bucket) → per-doc windowless rollup via a second doc-keyed
+    aggregation; the dense 16-bucket frame is a generated tiny
+    dimension (broadcast).  No Python anywhere."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(text.tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    code_sum = F.aggregate(
+        F.transform(F.split(F.col("tok"), ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    bucket = (
+        (code_sum * 2654435761 + F.length("tok") * 1000003) % 4294967296
+    ) % 16
+    counts = (
+        toks.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    grid = spark.range(16).select(F.col("id").cast("long").alias("bucket"))
+    dense = (
+        counts.select("doc_id")
+        .distinct()
+        .crossJoin(F.broadcast(grid))
+        .join(counts, ["doc_id", "bucket"], "left")
+        .select("doc_id", "bucket", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    per = dense.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("l2"),
+        F.array_sort(F.collect_list(F.struct("bucket", "c"))).alias("parts"),
+    )
+    comp = F.transform(
+        F.col("parts"),
+        lambda s: F.floor(s["c"] / F.col("l2") * 1000000) / 1000000,
+    )
+    return per.select(
+        "doc_id",
+        fround(F.col("l2"), 6).alias("l2_norm"),
+        F.array_join(F.transform(comp, lambda x: x.cast("string")), ",").alias(
+            "vec"
+        ),
+    )
