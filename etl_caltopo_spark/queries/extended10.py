@@ -1041,3 +1041,165 @@ def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec"
         ),
     )
+
+
+@query(
+    "q_ann_recall_eval",
+    oracle="""
+    WITH c AS (
+        SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id < 8
+    ), q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id >= 8 AND vec_id < 18
+    ), p AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id >= 18
+    ), cells AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT p.vec_id, c.centroid_id,
+                   floor(list_dot_product(v, cv) /
+                         (sqrt(list_dot_product(v, v)) *
+                          sqrt(list_dot_product(cv, cv))) * 1000000) / 1000000
+                       AS cos_sim,
+                   row_number() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY floor(list_dot_product(v, cv) /
+                                      (sqrt(list_dot_product(v, v)) *
+                                       sqrt(list_dot_product(cv, cv)))
+                                      * 1000000) / 1000000 DESC, c.centroid_id
+                   ) AS rn
+            FROM p, c)
+        WHERE rn = 1
+    ), qcells AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT q.query_id, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY floor(list_dot_product(qv, cv) /
+                                      (sqrt(list_dot_product(qv, qv)) *
+                                       sqrt(list_dot_product(cv, cv)))
+                                      * 1000000) / 1000000 DESC, c.centroid_id
+                   ) AS rn
+            FROM q, c)
+        WHERE rn <= 2
+    ), scored AS (
+        SELECT q.query_id, p.vec_id, cells.centroid_id,
+               floor(list_dot_product(qv, v) /
+                     (sqrt(list_dot_product(qv, qv)) *
+                      sqrt(list_dot_product(v, v))) * 1000000) / 1000000
+                   AS cos_sim
+        FROM q, p JOIN cells ON p.vec_id = cells.vec_id
+    ), exact_top AS (
+        SELECT query_id, vec_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+            FROM scored)
+        WHERE rn <= 10
+    ), ivf_top AS (
+        SELECT query_id, vec_id FROM (
+            SELECT s.*, row_number() OVER (
+                PARTITION BY s.query_id ORDER BY s.cos_sim DESC, s.vec_id
+            ) AS rn
+            FROM scored s JOIN qcells
+              ON s.query_id = qcells.query_id
+             AND s.centroid_id = qcells.centroid_id)
+        WHERE rn <= 10
+    )
+    SELECT e.query_id,
+           CAST(count(i.vec_id) AS BIGINT) AS n_hits,
+           floor(count(i.vec_id) / 10.0 * 1000000) / 1000000 AS recall_at_10
+    FROM exact_top e
+    LEFT JOIN ivf_top i
+      ON e.query_id = i.query_id AND e.vec_id = i.vec_id
+    GROUP BY e.query_id
+    """,
+)
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index QA as a first-class query: recall@10 of the
+    deterministic IVF path (8 fixed coarse cells, probe the 2 nearest)
+    against the exact brute-force top-10, per query point — the
+    evaluation every production ANN deployment runs before trusting an
+    approximate index, and the graded complement to the rows-only
+    q_sim_topk_ivf family (whose trained-quantizer recall is pinned
+    only in pytest).  Ten held-out query vectors; everything —
+    cell assignment, probe choice, both top-10s — floors cosine at
+    6 dp with id tie-breaks, so both engines replay the identical
+    index and the recall table hash-matches.
+
+    Scale shape: centroids and the 10 queries broadcast; the exact
+    baseline is the eval's deliberate O(|queries| × n) cost on a
+    SAMPLE of queries (standard practice — you never brute-force the
+    full workload); the IVF side reuses the same scored pairs
+    restricted by the probed-cell equi-join.  Top-10s are per-query
+    partial heaps, never global sorts."""
+    apply_runtime_conf(spark)
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    queries = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 18)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    pts = emb.filter(F.col("vec_id") >= 18).select("vec_id", "embedding")
+
+    def argtop(df, part, order_col, tie, n, keep):
+        w = Window.partitionBy(part).orderBy(F.col(order_col).desc(), F.col(tie))
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n)
+            .select(*keep)
+        )
+
+    cell_scored = pts.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "centroid_id",
+        fround(similarity.cosine(F.col("embedding"), F.col("cv")), 6).alias(
+            "cos_sim"
+        ),
+    )
+    cells = argtop(
+        cell_scored, "vec_id", "cos_sim", "centroid_id", 1,
+        ["vec_id", "centroid_id"],
+    )
+    q_scored = queries.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "centroid_id",
+        fround(similarity.cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    qcells = argtop(
+        q_scored, "query_id", "cos_sim", "centroid_id", 2,
+        ["query_id", "centroid_id"],
+    )
+    scored = (
+        pts.join(cells, "vec_id")
+        .crossJoin(F.broadcast(queries))
+        .select(
+            "query_id",
+            "vec_id",
+            "centroid_id",
+            fround(
+                similarity.cosine(F.col("qv"), F.col("embedding")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    exact_top = argtop(
+        scored, "query_id", "cos_sim", "vec_id", 10, ["query_id", "vec_id"]
+    )
+    ivf_top = argtop(
+        scored.join(F.broadcast(qcells), ["query_id", "centroid_id"]),
+        "query_id", "cos_sim", "vec_id", 10, ["query_id", "vec_id"],
+    )
+    joined = exact_top.join(
+        ivf_top.select(
+            F.col("query_id").alias("iq"), F.col("vec_id").alias("iv")
+        ),
+        (F.col("query_id") == F.col("iq")) & (F.col("vec_id") == F.col("iv")),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("iv").cast("bigint").alias("n_hits"),
+        fround(F.count("iv") / 10.0, 6).alias("recall_at_10"),
+    )
