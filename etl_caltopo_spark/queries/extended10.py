@@ -1,6 +1,6 @@
-"""Tenth extended wave: statistical quality filtering and semantic dedup.
+"""Tenth extended wave: corpus curation, codecs-as-queries, ANN index ops.
 
-Reference basis: all [EXT+] — the three corpus-curation primitives
+Reference basis: all [EXT+] — the curation and indexing primitives
 large-scale training-data pipelines run between crawl and tokenizer:
 
 - ``q_lm_score`` is CCNet-style language-model quality filtering: score
@@ -16,7 +16,13 @@ large-scale training-data pipelines run between crawl and tokenizer:
 - ``q_semdedup`` is SemDeDup (Abbas et al. 2023): cluster embeddings
   with a coarse quantizer, then drop within-cluster semantic duplicates
   above a cosine threshold, keeping one representative.  The clusters
-  are what bound the pairwise step — the quadratic never leaves a cell.
+  are what bound the pairwise step — the quadratic never leaves a cell;
+- the rest of the wave: four-codec image parity and AVI/ADPCM decode
+  gradings (``q_image_formats``/``q_video_frames``/``q_audio_adpcm``),
+  asymmetric containment dedup, content-defined chunking,
+  deterministic shuffle-sharding, feature-hashing embeddings,
+  PQ encoding, three-iteration exact Lloyd k-means, and a graded IVF
+  recall@10 evaluation.
 
 Numeric policy (HANDOFF.md): counts stay integers until one final
 double expression; log-sums use the q_word_entropy 4-dp floor; cosine

@@ -364,3 +364,33 @@ def test_train_test_split_pure_map_plus_agg(spark, sf_dir):
     plan = plan_of(REGISTRY["q_train_test_split"].fn(spark, sf_dir))
     assert n_exchanges(plan) == 1
     assert "ReadSchema: struct<doc_id:bigint,n_chars:bigint>" in plan
+
+
+def test_lm_score_broadcasts_vocab_scalar(spark, sf_dir):
+    import re
+
+    plan = plan_of(REGISTRY["q_lm_score"].fn(spark, sf_dir))
+    # the V scalar joins via BroadcastNestedLoopJoin (single-row build
+    # side) — and that must be the ONLY nested-loop in the plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+
+
+def test_global_shuffle_has_no_global_sort(spark, sf_dir):
+    plan = plan_of(REGISTRY["q_global_shuffle"].fn(spark, sf_dir))
+    # shard-keyed window, never a rangepartitioning (global sort) exchange
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_pq_encode_broadcasts_codebook(spark, sf_dir):
+    plan = plan_of(REGISTRY["q_pq_encode"].fn(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    # argmin is a partial-aggregating min, not a per-key window sort
+    assert "Window" not in plan
+
+
+def test_semdedup_collapses_exact_duplicates_first(spark, sf_dir):
+    df = REGISTRY["q_semdedup"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    # the min-id representative collapse is a hash aggregate keyed on
+    # the embedding itself; no BNL beyond the centroid broadcasts
+    assert "HashAggregate" in plan
