@@ -1209,3 +1209,147 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("iv").cast("bigint").alias("n_hits"),
         fround(F.count("iv") / 10.0, 6).alias("recall_at_10"),
     )
+
+
+#: portable MinHash family: h_i(x) = (a_i·x + b_i) mod p over the
+#: Mersenne prime p = 2^31 − 1; coefficients are fixed literals so
+#: both engines replay the identical family (no RNG, no engine hash)
+_MH_P = 2147483647
+_MH_A = (131, 1031, 8101, 65537, 524287, 100003, 999983, 4493)
+_MH_B = (7, 911, 5021, 30011, 70001, 110017, 2029, 65111)
+
+
+def _minhash_oracle() -> str:
+    hcols = ", ".join(
+        f"min(({a} * x + {b}) % {_MH_P}) AS h{i}"
+        for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
+    )
+    band_case = (
+        f"CASE b.band_idx WHEN 0 THEN h0 * {_MH_P} + h1 "
+        f"WHEN 1 THEN h2 * {_MH_P} + h3 "
+        f"WHEN 2 THEN h4 * {_MH_P} + h5 "
+        f"ELSE h6 * {_MH_P} + h7 END"
+    )
+    eq_sum = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(8)
+    )
+    return rf"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(ts) - 2, 1) + 1),
+                   i -> array_to_string(ts[i:i+2], ' ')
+               ))) AS shingle
+        FROM t
+    ), fp AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(1, length(shingle) + 1),
+                   j -> ascii(shingle[CAST(j AS INT)])
+                        * (((j * 2654435761) + 40503) % 65536))) % {_MH_P}
+                   AS BIGINT) AS x
+        FROM sh
+    ), sig AS (
+        SELECT doc_id, {hcols} FROM fp GROUP BY doc_id
+    ), banded AS (
+        SELECT doc_id, b.band_idx, {band_case} AS band_val
+        FROM sig, (SELECT unnest(range(0, 4)) AS band_idx) b
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        FROM banded a JOIN banded c
+          ON a.band_idx = c.band_idx AND a.band_val = c.band_val
+         AND a.doc_id < c.doc_id
+    )
+    SELECT id_a, id_b, ({eq_sum}) / 8.0 AS est_sim
+    FROM pairs
+    JOIN sig sa ON sa.doc_id = id_a
+    JOIN sig sb ON sb.doc_id = id_b
+    """
+
+
+@query("q_dedup_minhash_portable", oracle=_minhash_oracle())
+def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH near-duplicate candidates, HASH-GRADED: the
+    graded answer to the rows-only q_dedup_near family.  The usual
+    obstacle — MinHash is only deterministic within one engine's hash
+    function — disappears by building the whole stack from the
+    engine-portable family: shingle fingerprints are position-weighted
+    code-point sums mod the Mersenne prime 2³¹−1, the 8 MinHash
+    permutations are fixed-literal universal hashes (aᵢ·x + bᵢ) mod p,
+    and the 4×2 banding key packs two signature components into one
+    63-bit integer.  Both engines therefore derive the IDENTICAL
+    signatures, candidate pairs, and estimated similarities
+    (n_equal/8 — exact eighths, no float drift).  The xxhash64-based
+    q_dedup_near remains the production path (stronger hash); this id
+    grades the full LSH MECHANISM — fingerprint → signature → band →
+    candidate join — end to end.
+
+    Scale shape: identical to q_dedup_near — per-doc distinct shingles
+    explode map-side, signatures collapse via partial-agg min (8
+    integer columns, never the shingle strings), and candidate
+    generation is an equi-join keyed on (band_idx, band_value); cost
+    rides the collision tail, never |docs|²."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(dedup.shingles(F.col("text"), n=3)).alias("shingle")
+    )
+    code_weighted = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.length("shingle")),
+            lambda jj: F.ascii(F.col("shingle").substr(jj, F.lit(1))).cast("long")
+            * ((jj.cast("long") * 2654435761 + 40503) % 65536),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    fp = sh.select("doc_id", (code_weighted % _MH_P).alias("x"))
+    sig = fp.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % _MH_P).alias(f"h{i}")
+            for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
+        ]
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band_idx"),
+                (F.col(f"h{2 * b}") * _MH_P + F.col(f"h{2 * b + 1}")).alias(
+                    "band_val"
+                ),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", "b.band_idx", "b.band_val"
+    )
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("c"),
+            (F.col("a.band_idx") == F.col("c.band_idx"))
+            & (F.col("a.band_val") == F.col("c.band_val"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("c.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(8)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(8)]
+    )
+    n_eq = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(8)
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", (n_eq / 8.0).alias("est_sim"))
+    )
