@@ -1353,3 +1353,66 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "id_b")
         .select("id_a", "id_b", (n_eq / 8.0).alias("est_sim"))
     )
+
+
+@query(
+    "q_dp_count",
+    oracle="""
+    WITH g AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    ), u AS (
+        SELECT event_type, n,
+               ((CAST(list_sum(list_transform(
+                     range(1, length(event_type) + 1),
+                     j -> ascii(event_type[CAST(j AS INT)])
+                          * (((j * 2654435761) + 40503) % 65536)))
+                 AS BIGINT) * 2654435761) % 4294967296 + 0.5) / 4294967296.0
+                   AS draw
+        FROM g
+    )
+    SELECT event_type, n,
+           floor((n + CASE WHEN draw >= 0.5
+                           THEN -1.0 * ln(1 - 2 * (draw - 0.5))
+                           ELSE  1.0 * ln(1 - 2 * (0.5 - draw)) END)
+                 * 10000) / 10000 AS noisy_count
+    FROM u
+    """,
+)
+def q_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy-shaped count release: per-group counts
+    plus Laplace(1/ε) noise (ε = 1) drawn by inverse CDF —
+    z = −sign(v)·ln(1 − 2|v|)·(1/ε) for v = u − ½ — the mechanism a
+    pipeline uses to publish statistics about a private corpus.
+    HONESTY NOTE: the uniform draw here is a deterministic portable
+    hash of the group key so both engines replay the identical
+    release and the oracle can hash-grade the MECHANISM (inverse-CDF
+    transform, sensitivity-1 count shape); a production release draws
+    fresh randomness per query — determinism is a grading harness
+    property, not a DP property.
+
+    Scale shape: one partial-agg shuffle for the counts; the noise is
+    a scalar expression per surviving group.  ln on exact rational
+    inputs + 4-dp floor (q_word_entropy libm policy)."""
+    apply_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
+    code_weighted = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.length("event_type")),
+            lambda jj: F.ascii(F.col("event_type").substr(jj, F.lit(1))).cast(
+                "long"
+            )
+            * ((jj.cast("long") * 2654435761 + 40503) % 65536),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    draw = ((code_weighted * 2654435761) % 4294967296 + 0.5) / 4294967296.0
+    v = draw - 0.5
+    z = F.when(v >= 0, -1.0 * F.log(1 - 2 * v)).otherwise(
+        1.0 * F.log(1 - 2 * (-v))
+    )
+    return g.select(
+        "event_type", "n", fround(F.col("n") + z, 4).alias("noisy_count")
+    )
