@@ -77,3 +77,45 @@ def test_avi_roundtrip_any_shape(n, h, w, fps, seed):
     got_fps, dec = mm.decode_avi(mm.encode_avi(frames, fps=fps))
     assert got_fps == fps
     assert np.array_equal(dec, frames)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    kind=st.sampled_from(["png", "ppm", "bmp", "gif", "jpeg", "wav", "adpcm", "avi"]),
+    seed=st.integers(0, 2**31 - 1),
+    n_flips=st.integers(1, 8),
+)
+def test_decoders_never_raise_on_corruption(kind, seed, n_flips):
+    """Dirty-row policy under fuzzing: flipping random bytes in a valid
+    payload must yield either None or a well-formed result — decoders
+    NEVER raise (an exception would kill the whole Spark task, not one
+    row)."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(9, 11, 3), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(12, 3), dtype=np.uint8)
+    sig = np.cumsum(rng.integers(-200, 201, size=700)).clip(-30000, 30000).astype(np.int16)
+    frames = rng.integers(0, 256, size=(2, 6, 5, 3), dtype=np.uint8)
+    payloads = {
+        "png": lambda: mm.encode_png(img, filter_type=int(seed) % 5),
+        "ppm": lambda: mm.encode_ppm(img),
+        "bmp": lambda: mm.encode_bmp(img),
+        "gif": lambda: mm.encode_gif(pal[rng.integers(0, 12, size=(9, 11))]),
+        "jpeg": lambda: b"\xff\xd8\xff\xe0" + bytes(rng.integers(0, 256, size=400, dtype=np.uint8).tolist()),
+        "wav": lambda: mm.encode_wav(sig),
+        "adpcm": lambda: mm.encode_adpcm_wav(sig),
+        "avi": lambda: mm.encode_avi(frames),
+    }
+    buf = bytearray(payloads[kind]())
+    for _ in range(n_flips):
+        pos = int(rng.integers(0, len(buf)))
+        buf[pos] = int(rng.integers(0, 256))
+    corrupted = bytes(buf)
+    if kind in ("wav", "adpcm"):
+        out = mm.decode_wav(corrupted)
+        assert out is None or (isinstance(out, tuple) and len(out) == 2)
+    elif kind == "avi":
+        out = mm.decode_avi(corrupted)
+        assert out is None or (isinstance(out, tuple) and out[1].ndim == 4)
+    else:
+        out = mm.decode_image(corrupted)
+        assert out is None or (out.ndim in (2, 3) and out.dtype == np.uint8)
