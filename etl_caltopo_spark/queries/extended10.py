@@ -1554,14 +1554,14 @@ def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _embed_lsh_oracle() -> str:
     from etl_caltopo_spark.llm.similarity import _hyperplane
 
-    planes = _hyperplane(4, 64)
+    planes = _hyperplane(8, 64)
     lits = [
         "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]" for p in planes
     ]
     bucket = " + ".join(
         f"(CASE WHEN list_dot_product(v, {lits[i]}) >= 0 THEN {1 << i} "
         f"ELSE 0 END)"
-        for i in range(4)
+        for i in range(8)
     )
     cos = (
         "floor(list_dot_product(a.v, b.v) / "
@@ -1596,8 +1596,11 @@ def q_embed_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification cosine floors at 6 dp as usual.  Completes the
     graded-LSH trifecta (MinHash, SimHash, hyperplane).
 
-    Scale shape: bucket assignment is map-only codegen (4 literal
-    planes, under the similarity._LITERAL_PLANE_BUDGET); candidate
+    Scale shape: bucket assignment is map-only codegen (8 literal
+    planes → 256 buckets, under similarity._LITERAL_PLANE_BUDGET, so
+    the within-bucket quadratic is cut 256-fold vs unblocked — the
+    recall/cost dial is the plane count, measured at 10× in
+    SCALING.md); candidate
     generation is an equi-join on the bucket id; exact cosine runs
     only within buckets — the same plan q_dedup_embed_lsh ships,
     now with its outputs hash-checked."""
@@ -1606,7 +1609,7 @@ def q_embed_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     bucketed = similarity.attach_bucket(
-        emb, vec_col="v", n_planes=4, dim=64, out_col="bucket"
+        emb, vec_col="v", n_planes=8, dim=64, out_col="bucket"
     ).select("vec_id", "v", F.col("bucket").cast("bigint").alias("bucket"))
     a = bucketed.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket"
