@@ -1624,3 +1624,79 @@ def q_embed_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= 0.3)
         .select("id_a", "id_b", "bucket", cos.alias("cos_sim"))
     )
+
+
+@query(
+    "q_hll_portable",
+    oracle="""
+    WITH h AS (
+        SELECT DISTINCT
+               (((user_id * 1000003) % 2147483648) * 2654435761) % 4294967296
+                   AS hv
+        FROM events
+    ), r AS (
+        SELECT hv >> 28 AS bucket, hv & 268435455 AS w FROM h
+    ), regs AS (
+        SELECT bucket,
+               max(CASE WHEN w = 0 THEN 29
+                        ELSE 28 - CAST(floor(log2(w)) AS INT) END) AS mx
+        FROM r GROUP BY bucket
+    ), agg AS (
+        SELECT sum(pow(2.0, -mx)) AS s, count(*) AS nz FROM regs
+    )
+    SELECT CAST(regs.bucket AS BIGINT) AS bucket,
+           CAST(regs.mx AS BIGINT) AS max_rank,
+           floor(CASE WHEN (0.673 * 256 / s) <= 40 AND nz < 16
+                      THEN 16 * ln(16.0 / (16 - nz))
+                      ELSE 0.673 * 256 / s END * 10000) / 10000 AS estimate
+    FROM regs, agg
+    """,
+)
+def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch, HASH-GRADED — the graded
+    mechanism twin of the rows-only q_agg_approx / q_hll_mergeable
+    (whose engine sketches are incomparable): m = 16 registers over
+    the portable multiplicative hash of user_id, register rank =
+    leading-zero count of the low 28 bits + 1, harmonic-mean estimate
+    with the standard small-range (linear-counting) correction.  The
+    whole register TABLE hash-matches across engines — not just the
+    scalar — because the register sum Σ2^−mx is a sum of dyadic
+    rationals (exact in double regardless of order), log2 is exact at
+    the only integer boundaries (powers of two), and the estimate
+    floors at 4 dp.  Estimate quality (±1.04/√m ≈ 26% at m = 16) is
+    pinned against the true count in tests.
+
+    Scale shape: THE mergeable-sketch pattern — map-side partial max
+    per register, one 16-group shuffle, no distinct-set
+    materialization beyond the initial hash dedup (which at 100 TB
+    is itself replaced by feeding raw values straight into the
+    register max, the standard HLL property that duplicates are
+    absorbed by max())."""
+    apply_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    hv = (
+        ((F.col("user_id") * 1000003) % 2147483648) * 2654435761 % 4294967296
+    )
+    h = ev.select(hv.alias("hv")).distinct()
+    r = h.select(
+        F.shiftright("hv", 28).alias("bucket"),
+        F.col("hv").bitwiseAND(F.lit(268435455)).alias("w"),
+    )
+    rank = F.when(F.col("w") == 0, F.lit(29)).otherwise(
+        28 - F.floor(F.log2("w")).cast("int")
+    )
+    regs = r.groupBy("bucket").agg(F.max(rank).alias("mx"))
+    agg = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("s"),
+        F.count("*").alias("nz"),
+    )
+    raw = 0.673 * 256 / F.col("s")
+    est = F.when(
+        (raw <= 40) & (F.col("nz") < 16),
+        16 * F.log(16.0 / (16 - F.col("nz"))),
+    ).otherwise(raw)
+    return regs.crossJoin(F.broadcast(agg)).select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("mx").cast("bigint").alias("max_rank"),
+        fround(est, 4).alias("estimate"),
+    )

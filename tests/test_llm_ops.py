@@ -882,3 +882,39 @@ def test_adpcm_roundtrip_snr_and_audioop_reference():
     assert mine == ref
     # dirty rows
     assert multimodal.decode_wav(enc[:30]) is None
+
+
+def test_hll_portable_estimate_quality(spark):
+    """The portable-HLL estimate must land within the standard m=16
+    error envelope (~26% std; assert a generous 50% bound) of the true
+    distinct count at both test scales."""
+    from etl_caltopo_spark.queries import REGISTRY
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = REGISTRY["q_hll_portable"].fn(spark, sf).collect()
+        est = rows[0]["estimate"]
+        truth = (
+            load_table(spark, sf, "events")
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        assert abs(est - truth) / truth < 0.5, (sf, est, truth)
+        # registers must agree with a direct python replay of the hash
+        ids = {
+            r["user_id"]
+            for r in load_table(spark, sf, "events")
+            .select("user_id")
+            .distinct()
+            .collect()
+        }
+        import math
+
+        regs = {}
+        for i in ids:
+            hv = (((i * 1000003) % 2147483648) * 2654435761) % 4294967296
+            b, w = hv >> 28, hv & ((1 << 28) - 1)
+            rank = 29 if w == 0 else 28 - int(math.floor(math.log2(w)))
+            regs[b] = max(regs.get(b, 0), rank)
+        got = {r["bucket"]: r["max_rank"] for r in rows}
+        assert got == regs
