@@ -888,6 +888,7 @@ def test_hll_portable_estimate_quality(spark):
     """The portable-HLL estimate must land within the standard m=16
     error envelope (~26% std; assert a generous 50% bound) of the true
     distinct count at both test scales."""
+    from etl_caltopo_spark.io import load_table
     from etl_caltopo_spark.queries import REGISTRY
 
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
