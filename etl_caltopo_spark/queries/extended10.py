@@ -1700,3 +1700,255 @@ def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mx").cast("bigint").alias("max_rank"),
         fround(est, 4).alias("estimate"),
     )
+
+
+@query(
+    "q_cms_portable",
+    oracle=r"""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+    ), fx AS (
+        SELECT tok,
+               CAST(list_sum(list_transform(range(1, length(tok) + 1),
+                   j -> ascii(tok[CAST(j AS INT)])
+                        * (((j * 2654435761) + 40503) % 65536))) % 2147483647
+                   AS BIGINT) AS x
+        FROM toks WHERE tok <> ''
+    ), cells AS (
+        SELECT r.i AS row_idx,
+               ((CASE r.i WHEN 0 THEN 131 WHEN 1 THEN 1031
+                          WHEN 2 THEN 8101 ELSE 65537 END * x
+                 + CASE r.i WHEN 0 THEN 7 WHEN 1 THEN 911
+                            WHEN 2 THEN 5021 ELSE 30011 END)
+                % 2147483647) % 64 AS col_idx,
+               count(*) AS c
+        FROM fx, (SELECT unnest(range(0, 4)) AS i) r
+        GROUP BY 1, 2
+    ), truth AS (
+        SELECT tok, x, count(*) AS n FROM fx GROUP BY tok, x
+        ORDER BY n DESC, tok LIMIT 10
+    )
+    SELECT truth.tok, CAST(truth.n AS BIGINT) AS true_count,
+           CAST(min(cells.c) AS BIGINT) AS cms_estimate
+    FROM truth JOIN cells
+      ON cells.col_idx = ((CASE cells.row_idx
+                               WHEN 0 THEN 131 WHEN 1 THEN 1031
+                               WHEN 2 THEN 8101 ELSE 65537 END * truth.x
+                           + CASE cells.row_idx
+                                 WHEN 0 THEN 7 WHEN 1 THEN 911
+                                 WHEN 2 THEN 5021 ELSE 30011 END)
+                          % 2147483647) % 64
+    GROUP BY truth.tok, truth.n
+    """,
+)
+def q_cms_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch, HASH-GRADED: a 4×64 counter table over the
+    portable hash family summarizes corpus token frequencies in 256
+    integers; point queries (here: the top-10 true-frequency tokens)
+    read the min over the 4 hashed cells — the classic streaming
+    heavy-hitter sketch whose one-sided error (estimate ≥ truth,
+    overshoot ≤ εN with ε = e/w) the oracle can check exactly because
+    every counter is an exact integer under the shared hash family.
+    Output carries both the true and sketched counts, so the grade
+    pins the overestimate structure itself.
+
+    Scale shape: the sketch build is one explode + a 256-group
+    partial-agg shuffle (the mergeable-sketch pattern: per-partition
+    sketches sum cell-wise); point queries join the tiny cell table
+    by computed cell id.  At 100 TB the counter table is still 256
+    longs."""
+    apply_runtime_conf(spark)
+    A = (131, 1031, 8101, 65537)
+    B = (7, 911, 5021, 30011)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(text.tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    code_weighted = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.length("tok")),
+            lambda jj: F.ascii(F.col("tok").substr(jj, F.lit(1))).cast("long")
+            * ((jj.cast("long") * 2654435761 + 40503) % 65536),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    fx = toks.select("tok", (code_weighted % 2147483647).alias("x"))
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("row_idx"),
+                (((F.lit(a) * F.col("x") + F.lit(b)) % 2147483647) % 64).alias(
+                    "col_idx"
+                ),
+            )
+            for i, (a, b) in enumerate(zip(A, B))
+        ]
+    )
+    cells = (
+        fx.select(F.explode(rows).alias("r"))
+        .select("r.row_idx", "r.col_idx")
+        .groupBy("row_idx", "col_idx")
+        .agg(F.count("*").alias("c"))
+    )
+    truth = (
+        fx.groupBy("tok", "x")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(10)
+    )
+    probes = truth.select(
+        "tok", "n", F.explode(rows).alias("r")
+    ).select("tok", "n", "r.row_idx", "r.col_idx")
+    return (
+        probes.join(F.broadcast(cells), ["row_idx", "col_idx"])
+        .groupBy("tok", "n")
+        .agg(F.min("c").cast("bigint").alias("cms_estimate"))
+        .select(
+            "tok",
+            F.col("n").cast("bigint").alias("true_count"),
+            "cms_estimate",
+        )
+    )
+
+
+@query(
+    "q_bloom_portable",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, source,
+               string_split_regex(trim(lower(text)), '\s+') AS ts
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(ts) - 3, 1) + 1),
+                   i -> array_to_string(ts[i:i+3], ' ')
+               ))) AS shingle
+        FROM t
+    ), fx AS (
+        SELECT doc_id, source, shingle,
+               CAST(list_sum(list_transform(range(1, length(shingle) + 1),
+                   j -> ascii(shingle[CAST(j AS INT)])
+                        * (((j * 2654435761) + 40503) % 65536))) % 2147483647
+                   AS BIGINT) AS x
+        FROM sh
+    ), bits AS (
+        SELECT DISTINCT
+               ((CASE r.i WHEN 0 THEN 131 WHEN 1 THEN 1031
+                          WHEN 2 THEN 8101 ELSE 65537 END * x
+                 + CASE r.i WHEN 0 THEN 7 WHEN 1 THEN 911
+                            WHEN 2 THEN 5021 ELSE 30011 END)
+                % 2147483647) % 4096 AS pos
+        FROM fx, (SELECT unnest(range(0, 4)) AS i) r
+        WHERE source = 'src0'
+    ), probe AS (
+        SELECT doc_id, shingle, r.i AS k,
+               ((CASE r.i WHEN 0 THEN 131 WHEN 1 THEN 1031
+                          WHEN 2 THEN 8101 ELSE 65537 END * x
+                 + CASE r.i WHEN 0 THEN 7 WHEN 1 THEN 911
+                            WHEN 2 THEN 5021 ELSE 30011 END)
+                % 2147483647) % 4096 AS pos
+        FROM fx, (SELECT unnest(range(0, 4)) AS i) r
+        WHERE source <> 'src0'
+    ), pass AS (
+        SELECT probe.doc_id, probe.shingle,
+               CASE WHEN count(bits.pos) = 4 THEN 1 ELSE 0 END AS bloom_hit
+        FROM probe LEFT JOIN bits ON probe.pos = bits.pos
+        GROUP BY probe.doc_id, probe.shingle
+    ), exact AS (
+        SELECT DISTINCT shingle FROM sh WHERE source = 'src0'
+    )
+    SELECT pass.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(bloom_hit) AS BIGINT) AS n_bloom_hits,
+           CAST(sum(CASE WHEN exact.shingle IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_true_hits
+    FROM pass LEFT JOIN exact ON pass.shingle = exact.shingle
+    GROUP BY pass.doc_id
+    """,
+)
+def q_bloom_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination prefilter, HASH-GRADED: the
+    benchmark side's ('src0') distinct 4-token shingles populate a
+    4096-bit / 4-hash Bloom filter under the portable hash family;
+    every training-side shingle probes it, and the per-document
+    output carries probed shingles, Bloom hits, and exact hits — so
+    the oracle pins the filter's one-sided guarantee structurally
+    (bloom_hits ≥ true_hits, never a false negative) INCLUDING the
+    exact false-positive cells, not just a rate.  This is the cheap
+    first pass in front of the exact inverted-index join of
+    q_decontaminate: at 100 TB the 4096-bit filter broadcasts to
+    every executor and eliminates the shuffle for the overwhelming
+    non-matching majority.
+
+    Scale shape: filter build aggregates to ≤4096 distinct positions
+    (broadcast); probes are map-side against the broadcast position
+    set; the per-(doc, shingle) all-4-positions check collapses via
+    partial aggregation on the doc key."""
+    apply_runtime_conf(spark)
+    A = (131, 1031, 8101, 65537)
+    B = (7, 911, 5021, 30011)
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.explode(dedup.shingles(F.col("text"), n=4)).alias("shingle"),
+    )
+    code_weighted = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.length("shingle")),
+            lambda jj: F.ascii(F.col("shingle").substr(jj, F.lit(1))).cast(
+                "long"
+            )
+            * ((jj.cast("long") * 2654435761 + 40503) % 65536),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    fx = sh.select(
+        "doc_id", "source", "shingle", (code_weighted % 2147483647).alias("x")
+    )
+    poss = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("k"),
+                (((F.lit(a) * F.col("x") + F.lit(b)) % 2147483647) % 4096).alias(
+                    "pos"
+                ),
+            )
+            for i, (a, b) in enumerate(zip(A, B))
+        ]
+    )
+    bits = (
+        fx.filter(F.col("source") == "src0")
+        .select(F.explode(poss).alias("r"))
+        .select("r.pos")
+        .distinct()
+    )
+    probe = (
+        fx.filter(F.col("source") != "src0")
+        .select("doc_id", "shingle", F.explode(poss).alias("r"))
+        .select("doc_id", "shingle", "r.pos")
+    )
+    passed = (
+        probe.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("doc_id", "shingle")
+        .agg((F.count("hit") == 4).cast("int").alias("bloom_hit"))
+    )
+    exact = (
+        sh.filter(F.col("source") == "src0")
+        .select("shingle")
+        .distinct()
+        .withColumn("true_hit", F.lit(1))
+    )
+    return (
+        passed.join(F.broadcast(exact), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum("bloom_hit").cast("bigint").alias("n_bloom_hits"),
+            F.count("true_hit").cast("bigint").alias("n_true_hits"),
+        )
+    )
