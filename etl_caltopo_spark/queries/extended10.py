@@ -1211,6 +1211,25 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _portable_string_hash(col_name: str):
+    """Engine-portable string fingerprint shared by the graded sketch/
+    LSH family: position-weighted code-point sum mod the Mersenne
+    prime 2³¹−1.  The DuckDB mirror is the list_sum/list_transform
+    expression embedded in each oracle (same weights, same modulus)."""
+    code_weighted = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.length(col_name)),
+            lambda jj: F.ascii(F.col(col_name).substr(jj, F.lit(1))).cast(
+                "long"
+            )
+            * ((jj.cast("long") * 2654435761 + 40503) % 65536),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return code_weighted % 2147483647
+
+
 #: portable MinHash family: h_i(x) = (a_i·x + b_i) mod p over the
 #: Mersenne prime p = 2^31 − 1; coefficients are fixed literals so
 #: both engines replay the identical family (no RNG, no engine hash)
@@ -1296,16 +1315,7 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "doc_id", F.explode(dedup.shingles(F.col("text"), n=3)).alias("shingle")
     )
-    code_weighted = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(1), F.length("shingle")),
-            lambda jj: F.ascii(F.col("shingle").substr(jj, F.lit(1))).cast("long")
-            * ((jj.cast("long") * 2654435761 + 40503) % 65536),
-        ),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
-    fp = sh.select("doc_id", (code_weighted % _MH_P).alias("x"))
+    fp = sh.select("doc_id", _portable_string_hash("shingle").alias("x"))
     sig = fp.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("x") + F.lit(b)) % _MH_P).alias(f"h{i}")
@@ -1397,6 +1407,7 @@ def q_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_conf(spark)
     ev = load_table(spark, sf_dir, "events")
     g = ev.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
+    # draw from the pre-modulus weighted sum (the oracle mirrors this)
     code_weighted = F.aggregate(
         F.transform(
             F.sequence(F.lit(1), F.length("event_type")),
@@ -1489,16 +1500,7 @@ def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(text.tokens(F.col("text"))).alias("tok")
     ).filter(F.col("tok") != "")
     tc = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("m"))
-    code_weighted = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(1), F.length("tok")),
-            lambda jj: F.ascii(F.col("tok").substr(jj, F.lit(1))).cast("long")
-            * ((jj.cast("long") * 2654435761 + 40503) % 65536),
-        ),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
-    fx = tc.select("doc_id", "m", (code_weighted % 2147483647).alias("x"))
+    fx = tc.select("doc_id", "m", _portable_string_hash("tok").alias("x"))
     votes = fx.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -1765,16 +1767,7 @@ def q_cms_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.explode(text.tokens(F.col("text"))).alias("tok")
     ).filter(F.col("tok") != "")
-    code_weighted = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(1), F.length("tok")),
-            lambda jj: F.ascii(F.col("tok").substr(jj, F.lit(1))).cast("long")
-            * ((jj.cast("long") * 2654435761 + 40503) % 65536),
-        ),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
-    fx = toks.select("tok", (code_weighted % 2147483647).alias("x"))
+    fx = toks.select("tok", _portable_string_hash("tok").alias("x"))
     rows = F.array(
         *[
             F.struct(
@@ -1896,19 +1889,8 @@ def q_bloom_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(dedup.shingles(F.col("text"), n=4)).alias("shingle"),
     )
-    code_weighted = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(1), F.length("shingle")),
-            lambda jj: F.ascii(F.col("shingle").substr(jj, F.lit(1))).cast(
-                "long"
-            )
-            * ((jj.cast("long") * 2654435761 + 40503) % 65536),
-        ),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
     fx = sh.select(
-        "doc_id", "source", "shingle", (code_weighted % 2147483647).alias("x")
+        "doc_id", "source", "shingle", _portable_string_hash("shingle").alias("x")
     )
     poss = F.array(
         *[
