@@ -1934,3 +1934,133 @@ def q_bloom_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("true_hit").cast("bigint").alias("n_true_hits"),
         )
     )
+
+
+@query(
+    "q_auc",
+    oracle="""
+    WITH scored AS (
+        SELECT value AS score,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+        FROM events
+    ), ranked AS (
+        SELECT y, rank() OVER (ORDER BY score) AS rmin,
+               count(*) OVER (PARTITION BY score) AS nties,
+               rank() OVER (ORDER BY score) + (count(*) OVER (PARTITION BY score) - 1) / 2.0 AS r
+        FROM scored
+    ), agg AS (
+        SELECT sum(CASE WHEN y = 1 THEN r END) AS rpos,
+               sum(y) AS np, count(*) - sum(y) AS nn
+        FROM ranked
+    )
+    SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           floor((rpos - np * (np + 1) / 2.0) / (np * nn) * 1000000)
+               / 1000000 AS auc
+    FROM agg
+    """,
+)
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC via the Mann-Whitney rank statistic — the standard
+    classifier-quality metric a training pipeline computes over
+    held-out scores (here: event value as the score, clicks as the
+    positive class).  Midrank tie handling (rank + (ties−1)/2) makes
+    the statistic exact, so AUC is one rational number both engines
+    floor identically at 6 dp — no ROC-curve sweep, no integration
+    error.
+
+    Scale shape: ONE global rank over the score column — the only
+    total order in the query, executed as a range-partitioned sort
+    (TeraSort shape); tie counts ride the same sort; everything after
+    is a scalar aggregate.  At 100 TB the alternative is a fixed-bin
+    approximation (q_calibration_bins' shape), trading exactness for
+    a shuffle-free plan."""
+    apply_runtime_conf(spark)
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "click").cast("int").alias("y"),
+    )
+    r = (
+        F.rank().over(Window.orderBy("score"))
+        + (F.count("*").over(Window.partitionBy("score")) - 1) / 2.0
+    )
+    ranked = scored.select("y", r.alias("r"))
+    agg = ranked.agg(
+        F.sum(F.when(F.col("y") == 1, F.col("r"))).alias("rpos"),
+        F.sum("y").alias("np"),
+        (F.count("*") - F.sum("y")).alias("nn"),
+    )
+    return agg.select(
+        F.col("np").cast("bigint").alias("n_pos"),
+        F.col("nn").cast("bigint").alias("n_neg"),
+        fround(
+            (F.col("rpos") - F.col("np") * (F.col("np") + 1) / 2.0)
+            / (F.col("np") * F.col("nn")),
+            6,
+        ).alias("auc"),
+    )
+
+
+@query(
+    "q_calibration_bins",
+    oracle="""
+    WITH scored AS (
+        SELECT value AS score,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+        FROM events
+    ), bounds AS (
+        SELECT min(score) AS lo, max(score) AS hi FROM scored
+    ), binned AS (
+        SELECT least(CAST(floor((score - lo) / ((hi - lo) / 10.0)) AS INT), 9)
+                   AS bin, y
+        FROM scored, bounds
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           floor(sum(y) / CAST(count(*) AS DOUBLE) * 1000000) / 1000000
+               AS pos_rate
+    FROM binned GROUP BY bin
+    """,
+)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability bins: decile score buckets with the
+    observed positive rate per bucket — the reliability-diagram data a
+    training pipeline computes to check whether scores mean what they
+    claim, and the fixed-bin shape that replaces q_auc's global sort
+    at the largest scales.
+
+    Exactness chain: the bin edge arithmetic runs on identical
+    doubles in both engines (min/max are exact selections, the
+    division and floor are IEEE-deterministic), counts are integers,
+    and the rate is one exact division floored at 6 dp.
+
+    Scale shape: a broadcast 1-row bounds aggregate, then ONE
+    partial-agg shuffle of ≤10 groups — shuffle-free relative to data
+    volume; this is the AUC-family plan that survives 100 TB."""
+    apply_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "click").cast("int").alias("y"),
+    )
+    bounds = scored.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    binned = scored.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(
+                (F.col("score") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / 10.0)
+            ).cast("int"),
+            F.lit(9),
+        ).alias("bin"),
+        "y",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        fround(F.sum("y") / F.count("*"), 6).alias("pos_rate"),
+    ).select(
+        F.col("bin").cast("bigint").alias("bin"), "n", "n_pos", "pos_rate"
+    )
