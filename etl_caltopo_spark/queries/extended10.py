@@ -1968,12 +1968,17 @@ def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor identically at 6 dp — no ROC-curve sweep, no integration
     error.
 
-    Scale shape: ONE global rank over the score column — the only
-    total order in the query, executed as a range-partitioned sort
-    (TeraSort shape); tie counts ride the same sort; everything after
-    is a scalar aggregate.  At 100 TB the alternative is a fixed-bin
-    approximation (q_calibration_bins' shape), trading exactness for
-    a shuffle-free plan."""
+    Scale shape: rows first collapse to the DISTINCT-SCORE domain
+    (one partial-agg shuffle — scores sit on a fixed-precision grid,
+    so the domain is bounded regardless of row count), and the only
+    ordered pass — the cumulative-negatives prefix — runs over that
+    tiny per-score table via the U-statistic identity
+    AUC = Σ_s npos_s·(cumneg_<s + nneg_s/2) / (np·nn), which equals
+    the midrank formula exactly (sums of integers and halves stay
+    exact in double).  The oracle keeps the textbook per-row midrank
+    form, so the identity itself is what the hash check proves.  At
+    100 TB q_calibration_bins is the fixed-bin sibling when even the
+    score domain is unbounded."""
     apply_runtime_conf(spark)
     from pyspark.sql import Window
 
@@ -1982,24 +1987,27 @@ def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("score"),
         (F.col("event_type") == "click").cast("int").alias("y"),
     )
-    r = (
-        F.rank().over(Window.orderBy("score"))
-        + (F.count("*").over(Window.partitionBy("score")) - 1) / 2.0
+    g = scored.groupBy("score").agg(
+        F.count("*").alias("n"), F.sum("y").alias("npos")
     )
-    ranked = scored.select("y", r.alias("r"))
-    agg = ranked.agg(
-        F.sum(F.when(F.col("y") == 1, F.col("r"))).alias("rpos"),
-        F.sum("y").alias("np"),
-        (F.count("*") - F.sum("y")).alias("nn"),
+    g = g.withColumn("nneg", F.col("n") - F.col("npos"))
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    g2 = g.select(
+        "npos",
+        "nneg",
+        F.coalesce(F.sum("nneg").over(w), F.lit(0)).alias("cumneg"),
+    )
+    agg = g2.agg(
+        F.sum(
+            F.col("npos") * (F.col("cumneg") + F.col("nneg") / 2.0)
+        ).alias("u"),
+        F.sum("npos").alias("np"),
+        F.sum("nneg").alias("nn"),
     )
     return agg.select(
         F.col("np").cast("bigint").alias("n_pos"),
         F.col("nn").cast("bigint").alias("n_neg"),
-        fround(
-            (F.col("rpos") - F.col("np") * (F.col("np") + 1) / 2.0)
-            / (F.col("np") * F.col("nn")),
-            6,
-        ).alias("auc"),
+        fround(F.col("u") / (F.col("np") * F.col("nn")), 6).alias("auc"),
     )
 
 
