@@ -10,7 +10,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_caltopo_spark.functions.numeric import fround
 from etl_caltopo_spark.functions.temporal import epoch_us
 from etl_caltopo_spark.io import load_table
 from etl_caltopo_spark.queries.registry import query
