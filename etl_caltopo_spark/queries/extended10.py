@@ -2072,3 +2072,115 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("bin").cast("bigint").alias("bin"), "n", "n_pos", "pos_rate"
     )
+
+
+def _morton_sql(x: str, y: str) -> str:
+    return " + ".join(
+        f"((({x} >> {k}) & 1) * {1 << (2 * k)})"
+        f" + ((({y} >> {k}) & 1) * {1 << (2 * k + 1)})"
+        for k in range(10)
+    )
+
+
+@query(
+    "q_spatial_cell_join",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey AS id,
+               ((c_custkey * 37) % 18000 - 9000) AS lat,
+               ((c_custkey * 91) % 36000 - 18000) AS lon
+        FROM customer
+    ), cells AS (
+        SELECT id, lat, lon,
+               CAST((lon + 18000) // 50 AS BIGINT) AS cx,
+               CAST((lat + 9000) // 50 AS BIGINT) AS cy
+        FROM pts
+    ), zed AS (
+        SELECT *, CAST({_morton_sql('cx', 'cy')} AS BIGINT) AS zkey FROM cells
+    ), probe AS (
+        SELECT id, lat, lon, cx + d.dx AS cx, cy + d.dy AS cy
+        FROM zed, (SELECT a.dx, b.dy
+                   FROM (SELECT unnest(range(-1, 2)) AS dx) a,
+                        (SELECT unnest(range(-1, 2)) AS dy) b) d
+    )
+    SELECT a.id AS id_a, b.id AS id_b, a.zkey AS zkey_a,
+           CAST((a.lat - b.lat) * (a.lat - b.lat)
+                + (a.lon - b.lon) * (a.lon - b.lon) AS BIGINT) AS dist2
+    FROM zed a JOIN probe b ON a.cx = b.cx AND a.cy = b.cy AND a.id < b.id
+    WHERE (a.lat - b.lat) * (a.lat - b.lat)
+          + (a.lon - b.lon) * (a.lon - b.lon) <= 2500
+    """,
+)
+def q_spatial_cell_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-cell spatial self-join with a Z-order locality key: find
+    all customer pairs within 0.5° (centidegree euclidean, squared
+    distance ≤ 50² — every quantity an exact integer, so the grade
+    has zero float surface).  Each point lands in a 0.5° grid cell;
+    the probe side explodes to its 3×3 cell neighbourhood so the join
+    is a plain equi-join on the cell key that provably covers every
+    qualifying pair (a pair within 0.5° can differ by at most one
+    cell in each axis); the Morton/Z-order key (10-bit interleave of
+    the cell coordinates, the Delta/Iceberg Z-ORDER primitive) is
+    emitted per pair to pin the clustering key both engines derive.
+
+    Scale shape: THE spatial-join pattern at 100 TB — no
+    broadcast-nested-loop over geometry: one 9× map-side explode, one
+    shuffle keyed by the cell, distance verification only within
+    neighbourhoods.  Writing the table sorted by zkey (range
+    partition on the same key) turns the neighbourhood probe into a
+    near-local scan."""
+    apply_runtime_conf(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 37) % 18000 - 9000).alias("lat"),
+        ((F.col("c_custkey") * 91) % 36000 - 18000).alias("lon"),
+    )
+    cells = pts.select(
+        "id",
+        "lat",
+        "lon",
+        F.floor((F.col("lon") + 18000) / 50).cast("long").alias("cx"),
+        F.floor((F.col("lat") + 9000) / 50).cast("long").alias("cy"),
+    )
+    zkey = sum(
+        (F.shiftright("cx", k).bitwiseAND(F.lit(1)) * (1 << (2 * k)))
+        + (F.shiftright("cy", k).bitwiseAND(F.lit(1)) * (1 << (2 * k + 1)))
+        for k in range(10)
+    )
+    zed = cells.withColumn("zkey", zkey.cast("long"))
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = zed.select(
+        F.col("id").alias("id_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        F.explode(offsets).alias("d"),
+        "cx",
+        "cy",
+    ).select(
+        "id_b",
+        "lat_b",
+        "lon_b",
+        (F.col("cx") + F.col("d.dx")).alias("cx"),
+        (F.col("cy") + F.col("d.dy")).alias("cy"),
+    )
+    dist2 = (F.col("lat") - F.col("lat_b")) * (
+        F.col("lat") - F.col("lat_b")
+    ) + (F.col("lon") - F.col("lon_b")) * (F.col("lon") - F.col("lon_b"))
+    return (
+        zed.join(probe, ["cx", "cy"])
+        .filter(F.col("id") < F.col("id_b"))
+        .filter(dist2 <= 2500)
+        .select(
+            F.col("id").alias("id_a"),
+            "id_b",
+            F.col("zkey").alias("zkey_a"),
+            dist2.cast("bigint").alias("dist2"),
+        )
+    )
