@@ -531,6 +531,99 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_incr_rollup",
+    oracle="""
+    SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_incr_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized-view maintenance graded by hash: per-day
+    /type partial aggregates merge into a parquet rollup STORE via
+    foreachBatch upsert (partial_rollup + merge_rollups — the
+    mergeable-aggregate pattern), across a REAL two-phase availableNow
+    run with multiple micro-batches per phase (maxFilesPerTrigger),
+    and the final store must equal the whole-table batch GROUP BY.
+
+    What the protocol proves: cross-batch AND cross-restart merge
+    correctness — phase 2 resumes from the committed offsets and its
+    partials must combine with phase 1's stored partials, so a
+    double-merge (replay) or a dropped batch breaks the hash.  The
+    stage-then-swap localCheckpoint keeps the store readable while
+    being overwritten.  This is the production shape for keeping a
+    100 TB rollup fresh: the store carries one row per (day, type),
+    and each micro-batch shuffles only its partials."""
+    apply_runtime_conf(spark)
+    import os
+    import shutil
+    import tempfile
+
+    from etl_caltopo_spark.operators.rollup import merge_rollups, partial_rollup
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) / 2
+    mid_lit = F.lit(mid.isoformat(sep=" ")).cast("timestamp_ntz")
+    tmp = tempfile.mkdtemp(prefix="q_stream_incr_rollup_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        ev.filter(F.col("ts") < mid_lit).repartition(4).write.parquet(
+            os.path.join(tmp, "b1")
+        )
+        ev.filter(F.col("ts") >= mid_lit).repartition(4).write.parquet(
+            os.path.join(tmp, "b2")
+        )
+        schema = spark.read.parquet(os.path.join(tmp, "b1")).schema
+        store = os.path.join(tmp, "store")
+
+        def with_day(df: DataFrame) -> DataFrame:
+            return df.withColumn("day", F.date_trunc("day", F.col("ts")))
+
+        def upsert(batch: DataFrame, _epoch_id: int) -> None:
+            delta = partial_rollup(with_day(batch), ["day", "event_type"], "value")
+            if os.path.exists(store):
+                merged = merge_rollups(spark.read.parquet(store), delta)
+            else:
+                merged = delta
+            staged = merged.localCheckpoint()
+            staged.write.mode("overwrite").parquet(store)
+
+        for i, bdir in enumerate(("b1", "b2")):
+            for f in os.listdir(os.path.join(tmp, bdir)):
+                if f.endswith(".parquet"):
+                    shutil.copy(
+                        os.path.join(tmp, bdir, f), os.path.join(src, f"{i}_{f}")
+                    )
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(src)
+            )
+            q = (
+                stream.writeStream.foreachBatch(upsert)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        final = spark.read.parquet(store)
+        out = spark.createDataFrame(final.collect(), final.schema)
+        return out.select(
+            epoch_us(F.col("day").cast("timestamp_ntz")).alias("day_us"),
+            "event_type",
+            F.col("_pcount").cast("bigint").alias("n_events"),
+            F.round(F.col("_psum"), 2).alias("sum_value"),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "q_stream_interval_join",
     oracle="""
     SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
