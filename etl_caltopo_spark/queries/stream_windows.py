@@ -624,6 +624,119 @@ def q_stream_incr_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_cdc_apply",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type, value, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           CAST(epoch_us(ts) AS BIGINT) AS last_ts_us,
+           round(value, 2) AS last_value
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'logout'
+    """,
+)
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming changelog apply (the Debezium-style CDC sink) graded
+    by hash: events are read as an ordered changelog per user —
+    'logout' rows act as DELETEs, everything else as UPSERTs — and a
+    foreachBatch merge maintains a latest-wins keyed STORE across a
+    two-phase availableNow run with multiple micro-batches.  The
+    final store must equal the batch point-in-time state: each user's
+    most recent row, absent entirely if that row is a delete.
+
+    What the protocol proves: latest-wins merge correctness across
+    batch AND restart boundaries — a user whose phase-1 upsert is
+    followed by a phase-2 delete must vanish, one whose delete is
+    followed by an upsert must reappear, and ties resolve by the
+    deterministic (ts, event_id) order both engines share.  This is
+    the keyed-state complement to q_stream_incr_rollup's additive
+    merge; together they cover the two production shapes of
+    streaming-maintained stores."""
+    apply_runtime_conf(spark)
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) / 2
+    mid_lit = F.lit(mid.isoformat(sep=" ")).cast("timestamp_ntz")
+    tmp = tempfile.mkdtemp(prefix="q_stream_cdc_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        ev.filter(F.col("ts") < mid_lit).repartition(3).write.parquet(
+            os.path.join(tmp, "b1")
+        )
+        ev.filter(F.col("ts") >= mid_lit).repartition(3).write.parquet(
+            os.path.join(tmp, "b2")
+        )
+        schema = spark.read.parquet(os.path.join(tmp, "b1")).schema
+        store = os.path.join(tmp, "store")
+
+        def upsert(batch: DataFrame, _epoch_id: int) -> None:
+            delta = batch.select(
+                "user_id",
+                "ts",
+                "event_id",
+                (F.col("event_type") == "logout").alias("deleted"),
+                "value",
+            )
+            if os.path.exists(store):
+                merged = spark.read.parquet(store).unionByName(delta)
+            else:
+                merged = delta
+            latest = merged.groupBy("user_id").agg(
+                F.max_by(
+                    F.struct("ts", "event_id", "deleted", "value"),
+                    F.struct("ts", "event_id"),
+                ).alias("m")
+            ).select(
+                "user_id",
+                F.col("m.ts").alias("ts"),
+                F.col("m.event_id").alias("event_id"),
+                F.col("m.deleted").alias("deleted"),
+                F.col("m.value").alias("value"),
+            )
+            staged = latest.localCheckpoint()
+            staged.write.mode("overwrite").parquet(store)
+
+        for i, bdir in enumerate(("b1", "b2")):
+            for f in os.listdir(os.path.join(tmp, bdir)):
+                if f.endswith(".parquet"):
+                    shutil.copy(
+                        os.path.join(tmp, bdir, f), os.path.join(src, f"{i}_{f}")
+                    )
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(src)
+            )
+            q = (
+                stream.writeStream.foreachBatch(upsert)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        final = spark.read.parquet(store)
+        out = spark.createDataFrame(final.collect(), final.schema)
+        return out.filter(~F.col("deleted")).select(
+            "user_id",
+            epoch_us(F.col("ts").cast("timestamp_ntz")).alias("last_ts_us"),
+            F.round("value", 2).alias("last_value"),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "q_stream_interval_join",
     oracle="""
     SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
