@@ -2092,8 +2092,8 @@ def _morton_sql(x: str, y: str) -> str:
         FROM customer
     ), cells AS (
         SELECT id, lat, lon,
-               CAST((lon + 18000) // 50 AS BIGINT) AS cx,
-               CAST((lat + 9000) // 50 AS BIGINT) AS cy
+               CAST((lon + 18000) // 100 AS BIGINT) AS cx,
+               CAST((lat + 9000) // 100 AS BIGINT) AS cy
         FROM pts
     ), zed AS (
         SELECT *, CAST({_morton_sql('cx', 'cy')} AS BIGINT) AS zkey FROM cells
@@ -2108,17 +2108,19 @@ def _morton_sql(x: str, y: str) -> str:
                 + (a.lon - b.lon) * (a.lon - b.lon) AS BIGINT) AS dist2
     FROM zed a JOIN probe b ON a.cx = b.cx AND a.cy = b.cy AND a.id < b.id
     WHERE (a.lat - b.lat) * (a.lat - b.lat)
-          + (a.lon - b.lon) * (a.lon - b.lon) <= 2500
+          + (a.lon - b.lon) * (a.lon - b.lon) <= 10000
     """,
 )
 def q_spatial_cell_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-cell spatial self-join with a Z-order locality key: find
-    all customer pairs within 0.5° (centidegree euclidean, squared
-    distance ≤ 50² — every quantity an exact integer, so the grade
-    has zero float surface).  Each point lands in a 0.5° grid cell;
+    all customer pairs within 1° (centidegree euclidean, squared
+    distance ≤ 100² — every quantity an exact integer, so the grade
+    has zero float surface; the synthetic lattice's minimum spacing
+    exceeds 0.5°, which is why the radius is 1°).  Each point lands
+    in a 1° grid cell;
     the probe side explodes to its 3×3 cell neighbourhood so the join
     is a plain equi-join on the cell key that provably covers every
-    qualifying pair (a pair within 0.5° can differ by at most one
+    qualifying pair (a pair within 1° can differ by at most one
     cell in each axis); the Morton/Z-order key (10-bit interleave of
     the cell coordinates, the Delta/Iceberg Z-ORDER primitive) is
     emitted per pair to pin the clustering key both engines derive.
@@ -2140,8 +2142,8 @@ def q_spatial_cell_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id",
         "lat",
         "lon",
-        F.floor((F.col("lon") + 18000) / 50).cast("long").alias("cx"),
-        F.floor((F.col("lat") + 9000) / 50).cast("long").alias("cy"),
+        F.floor((F.col("lon") + 18000) / 100).cast("long").alias("cx"),
+        F.floor((F.col("lat") + 9000) / 100).cast("long").alias("cy"),
     )
     zkey = sum(
         (F.shiftright("cx", k).bitwiseAND(F.lit(1)) * (1 << (2 * k)))
@@ -2176,7 +2178,7 @@ def q_spatial_cell_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         zed.join(probe, ["cx", "cy"])
         .filter(F.col("id") < F.col("id_b"))
-        .filter(dist2 <= 2500)
+        .filter(dist2 <= 10000)
         .select(
             F.col("id").alias("id_a"),
             "id_b",
