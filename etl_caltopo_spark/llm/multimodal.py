@@ -796,15 +796,17 @@ def decode_avi(payload: bytes):
 
     dims, rate, frames = {}, None, []
 
-    def walk(buf: bytes, pos: int, end: int):
+    def walk(buf: bytes, pos: int, end: int, depth: int = 0):
         nonlocal rate
+        if depth > 32:  # crafted deep LIST nesting must not blow the stack
+            return
         while pos + 8 <= end:
             fourcc = buf[pos : pos + 4]
             (clen,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
             body_start = pos + 8
             body_end = min(body_start + clen, end)
             if fourcc == b"LIST":
-                walk(buf, body_start + 4, body_end)
+                walk(buf, body_start + 4, body_end, depth + 1)
             elif fourcc == b"strf" and clen >= 40:
                 _sz, w, h, _planes, bpp, comp = struct.unpack(
                     "<IiiHHI", buf[body_start : body_start + 20]

@@ -119,3 +119,23 @@ def test_decoders_never_raise_on_corruption(kind, seed, n_flips):
     else:
         out = mm.decode_image(corrupted)
         assert out is None or (out.ndim in (2, 3) and out.dtype == np.uint8)
+
+
+def test_avi_deep_list_nesting_returns_none():
+    """A crafted AVI with thousands of nested LIST chunks must hit the
+    depth cap and return None — not blow the Python stack (a
+    RecursionError would kill the whole Spark task, violating the
+    dirty-row policy)."""
+    import struct
+    import sys
+
+    inner = b""
+    for _ in range(2000):
+        inner = b"LIST" + struct.pack("<I", len(inner) + 4) + b"hdrl" + inner
+    payload = b"RIFF" + struct.pack("<I", len(inner) + 4) + b"AVI " + inner
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(500)
+    try:
+        assert mm.decode_avi(payload) is None
+    finally:
+        sys.setrecursionlimit(old)

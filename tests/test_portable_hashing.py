@@ -123,3 +123,39 @@ def test_csv_roundtrip_is_lossless(spark, sf_dir):
         .collect()
     }
     assert got == want and got
+
+
+def test_portable_string_hash_matches_duckdb(spark):
+    """The shared fingerprint behind every graded sketch/LSH id
+    (_portable_string_hash) must agree byte-for-byte with its DuckDB
+    mirror on adversarial strings: unicode, long runs, single chars,
+    anagram pairs (the position weighting must separate them)."""
+    import duckdb
+
+    from etl_caltopo_spark.queries.extended10 import _portable_string_hash
+
+    samples = [
+        "hello", "olleh", "a", "zz", "the quick brown fox", "café",
+        "écaf", "x" * 200, "na" * 50, "an" * 50, "join vector stream",
+        "0123456789", "9876543210",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", _portable_string_hash("s").alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for s in samples:
+        want = con.execute(
+            """
+            SELECT CAST(list_sum(list_transform(range(1, length(?) + 1),
+                j -> ascii(?[CAST(j AS INT)])
+                     * (((j * 2654435761) + 40503) % 65536))) % 2147483647
+                AS BIGINT)
+            """,
+            [s, s],
+        ).fetchone()[0]
+        assert got[s] == want, (s, got[s], want)
+    # anagrams must hash differently (position weighting)
+    assert got["hello"] != got["olleh"]
+    assert got["na" * 50] != got["an" * 50]
