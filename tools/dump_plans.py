@@ -1,0 +1,59 @@
+"""Dump formatted physical plans for the headline + flagship queries
+into PLANS.md — reviewable evidence of plan shapes (broadcasts,
+exchanges, pushed filters, codegen spans) without running Spark.
+
+Usage: python tools/dump_plans.py [q_name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from etl_caltopo_spark.queries import REGISTRY
+from etl_caltopo_spark.session import build_spark
+
+#: streaming-protocol ids drive real availableNow runs at plan time and
+#: return driver-materialized frames whose plans are trivial — skip
+_SKIP_PREFIX = ("q_stream_dedup", "q_stream_stateful", "q_stream_interval",
+                "q_stream_incr", "q_stream_cdc", "q_stream_watermark")
+
+EXTRA = [
+    "q_lm_score", "q_span_dup_rate", "q_semdedup", "q_dedup_containment",
+    "q_dedup_minhash_portable", "q_dedup_simhash_portable",
+    "q_embed_lsh_portable", "q_hll_portable", "q_cms_portable",
+    "q_bloom_portable", "q_cdc_chunk", "q_global_shuffle", "q_hash_embed",
+    "q_pq_encode", "q_kmeans_converge", "q_ann_recall_eval",
+    "q_spatial_cell_join", "q_auc",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    names = sys.argv[1:] or (
+        [n for n, s in REGISTRY.items() if s.headline] + EXTRA
+    )
+    spark = build_spark(app_name="plan-dump")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = ["# PLANS — formatted physical plans (sf0.001 shapes)\n",
+           "Regenerate: `python tools/dump_plans.py` (headliners + flagship extensions).\n"]
+    for name in names:
+        if any(name.startswith(p) for p in _SKIP_PREFIX):
+            continue
+        df = REGISTRY[name].fn(spark, sf_dir)
+        plan = spark._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        # keep the operator tree, drop the verbose per-node detail section
+        tree = plan.split("\n\n")[0]
+        out.append(f"\n## {name}\n\n```\n{tree}\n```\n")
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+        f.write("".join(out))
+    print(f"wrote PLANS.md ({len(out) - 2} plans)")
+
+
+if __name__ == "__main__":
+    main()
