@@ -2186,3 +2186,165 @@ def q_spatial_cell_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist2.cast("bigint").alias("dist2"),
         )
     )
+
+
+def _minhash_accuracy_oracle() -> str:
+    hcols = ", ".join(
+        f"min(({a} * x + {b}) % {_MH_P}) AS h{i}"
+        for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
+    )
+    band_case = (
+        f"CASE b.band_idx WHEN 0 THEN h0 * {_MH_P} + h1 "
+        f"WHEN 1 THEN h2 * {_MH_P} + h3 "
+        f"WHEN 2 THEN h4 * {_MH_P} + h5 "
+        f"ELSE h6 * {_MH_P} + h7 END"
+    )
+    eq_sum = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(8)
+    )
+    return rf"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(ts) - 2, 1) + 1),
+                   i -> array_to_string(ts[i:i+2], ' ')
+               ))) AS shingle
+        FROM t
+    ), fp AS (
+        SELECT doc_id, shingle,
+               CAST(list_sum(list_transform(range(1, length(shingle) + 1),
+                   j -> ascii(shingle[CAST(j AS INT)])
+                        * (((j * 2654435761) + 40503) % 65536))) % {_MH_P}
+                   AS BIGINT) AS x
+        FROM sh
+    ), sig AS (
+        SELECT doc_id, {hcols} FROM fp GROUP BY doc_id
+    ), nsh AS (
+        SELECT doc_id, count(*) AS n FROM fp GROUP BY doc_id
+    ), banded AS (
+        SELECT doc_id, b.band_idx, {band_case} AS band_val
+        FROM sig, (SELECT unnest(range(0, 4)) AS band_idx) b
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        FROM banded a JOIN banded c
+          ON a.band_idx = c.band_idx AND a.band_val = c.band_val
+         AND a.doc_id < c.doc_id
+    ), inter AS (
+        SELECT p.id_a, p.id_b, count(*) AS n_common
+        FROM pairs p
+        JOIN fp fa ON fa.doc_id = p.id_a
+        JOIN fp fb ON fb.doc_id = p.id_b AND fb.shingle = fa.shingle
+        GROUP BY p.id_a, p.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           ({eq_sum}) / 8.0 AS est_sim,
+           floor(CAST(i.n_common AS DOUBLE)
+                 / (na.n + nb.n - i.n_common) * 1000000) / 1000000
+               AS exact_jaccard
+    FROM inter i
+    JOIN sig sa ON sa.doc_id = i.id_a
+    JOIN sig sb ON sb.doc_id = i.id_b
+    JOIN nsh na ON na.doc_id = i.id_a
+    JOIN nsh nb ON nb.doc_id = i.id_b
+    """
+
+
+@query("q_minhash_accuracy", oracle=_minhash_accuracy_oracle())
+def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality evaluation for the portable MinHash: every
+    banded candidate pair carries BOTH its signature-estimated
+    similarity (n_equal/8, exact eighths) and its exact shingle-set
+    Jaccard — the eval table an engineer reads before trusting an LSH
+    threshold (how biased is the 8-permutation estimate, where do the
+    bands start missing pairs).  The ANN analogue is
+    q_ann_recall_eval; this is the dedup-side twin, and the exact
+    column reuses the inverted-index join so only CANDIDATE pairs pay
+    the set-intersection cost.
+
+    Scale shape: candidate generation is the q_dedup_minhash_portable
+    plan; the exact verify joins per-doc shingle sets ONLY for
+    candidates (shuffle keyed by shingle then by the pair), and
+    |A ∪ B| comes from two broadcast-sized per-doc count joins.
+    Exact integer division floored at 6 dp."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(dedup.shingles(F.col("text"), n=3)).alias("shingle")
+    )
+    fp = sh.select(
+        "doc_id", "shingle", _portable_string_hash("shingle").alias("x")
+    )
+    sig = fp.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % _MH_P).alias(f"h{i}")
+            for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
+        ]
+    )
+    nsh = fp.groupBy("doc_id").agg(F.count("*").alias("n"))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band_idx"),
+                (F.col(f"h{2 * b}") * _MH_P + F.col(f"h{2 * b + 1}")).alias(
+                    "band_val"
+                ),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", "b.band_idx", "b.band_val"
+    )
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("c"),
+            (F.col("a.band_idx") == F.col("c.band_idx"))
+            & (F.col("a.band_val") == F.col("c.band_val"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("c.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("id_a"), "shingle")
+    fb = fp.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        pairs.join(fa, "id_a")
+        .join(fb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(8)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(8)],
+    )
+    n_eq = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(8)
+    )
+    na = nsh.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    nb = nsh.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (n_eq / 8.0).alias("est_sim"),
+            fround(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("exact_jaccard"),
+        )
+    )
