@@ -26,7 +26,7 @@ EXTRA = [
     "q_embed_lsh_portable", "q_hll_portable", "q_cms_portable",
     "q_bloom_portable", "q_cdc_chunk", "q_global_shuffle", "q_hash_embed",
     "q_pq_encode", "q_kmeans_converge", "q_ann_recall_eval",
-    "q_spatial_cell_join", "q_auc",
+    "q_spatial_cell_join", "q_auc", "q_minhash_accuracy",
 ]
 
 
