@@ -2348,3 +2348,98 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_jaccard"),
         )
     )
+
+
+@query(
+    "q_lm_backoff",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ), big AS (
+        SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i + 1 AS INT)] AS w2
+        FROM toks, UNNEST(range(1, len(t))) AS u(i)
+        WHERE len(t) >= 2
+    ), m AS (
+        SELECT doc_id, w1, w2, count(*) AS m FROM big GROUP BY 1, 2, 3
+    ), c12 AS (
+        SELECT w1, w2, sum(m) AS c12 FROM m GROUP BY 1, 2
+    ), c1 AS (
+        SELECT w1, sum(m) AS c1 FROM m GROUP BY 1
+    ), uni AS (
+        SELECT w, count(*) AS cu FROM (
+            SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+            FROM documents) WHERE w <> ''
+        GROUP BY w
+    ), tot AS (
+        SELECT sum(cu) AS n FROM uni
+    )
+    SELECT m.doc_id,
+           CAST(sum(m.m) AS BIGINT) AS n_bigrams,
+           floor(sum(m.m * -(ln(c12.c12) - ln(c1.c1)))
+                 / sum(m.m) * 10000) / 10000 AS score_seen,
+           floor(sum(m.m * -(ln(0.4) + ln(uni.cu) - ln(tot.n)))
+                 / sum(m.m) * 10000) / 10000 AS score_backoff
+    FROM m
+    JOIN c12 ON m.w1 = c12.w1 AND m.w2 = c12.w2
+    JOIN c1 ON m.w1 = c1.w1
+    JOIN uni ON m.w2 = uni.w, tot
+    GROUP BY m.doc_id
+    """,
+)
+def q_lm_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram scoring (Brants et al. 2007 — the
+    smoothing used for web-scale LMs where discounting is too
+    expensive): alongside q_lm_score's add-one smoothing this
+    completes the two standard LM-filtering baselines.  Per document,
+    both score components are emitted — the seen-bigram term
+    −ln(c12/c1) and the backoff term −ln(0.4·cu(w2)/N) — so a filter
+    can mix them per its own α.  (On a corpus-trained model every
+    document bigram is 'seen', which is why the two terms are
+    reported separately instead of a CASE that never fires; a
+    held-out scorer would pick per row.)
+
+    Scale shape: identical to q_lm_score — integer count tables keyed
+    by bigram/unigram, equi-joins back to per-doc counts, one log per
+    surviving type, 4-dp floors on order-dependent sums."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", text.tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    m = big.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("m"))
+    c12 = m.groupBy("w1", "w2").agg(F.sum("m").alias("c12"))
+    c1 = m.groupBy("w1").agg(F.sum("m").alias("c1"))
+    uni = (
+        docs.select(F.explode(text.tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("cu"))
+    )
+    tot = uni.agg(F.sum("cu").alias("n"))
+    per = (
+        m.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .join(uni.withColumnRenamed("w", "w2"), ["w2"])
+        .crossJoin(F.broadcast(tot))
+    )
+    seen = -(F.log("c12") - F.log("c1"))
+    backoff = -(
+        F.log(F.lit(0.4)) + F.log("cu") - F.log("n")
+    )
+    return per.groupBy("doc_id").agg(
+        F.sum("m").cast("bigint").alias("n_bigrams"),
+        fround(F.sum(F.col("m") * seen) / F.sum("m"), 4).alias("score_seen"),
+        fround(F.sum(F.col("m") * backoff) / F.sum("m"), 4).alias(
+            "score_backoff"
+        ),
+    )
