@@ -644,9 +644,12 @@ def encode_adpcm_wav(samples, sample_rate: int = 8000, block_samples: int = 505)
         block_samples,
     )
     fact = struct.pack("<I", len(arr))  # true sample count (last block is padded)
+    # RIFF chunk size = bytes after the size field: "WAVE" (4) +
+    # (8 + len(fmt)) + (8 + len(fact)) + (8 + len(data)); with the
+    # 4-byte fact body that is 32 + len(fmt) + len(data)
     return (
         b"RIFF"
-        + struct.pack("<I", 40 + len(fmt) + len(data))
+        + struct.pack("<I", 32 + len(fmt) + len(data))
         + b"WAVEfmt "
         + struct.pack("<I", len(fmt))
         + fmt
@@ -717,7 +720,9 @@ def decode_wav(payload: bytes):
             for byte in block[4:]:
                 nibbles.append(byte & 0x0F)
                 nibbles.append(byte >> 4)
-            nibbles = nibbles[: samples_per_block - 1]
+            # clamp: a crafted fmt with wSamplesPerBlock <= 0 must decode
+            # zero nibbles, not a negative slice of the padded block
+            nibbles = nibbles[: max(samples_per_block - 1, 0)]
             samples, _p, _i = _ima_decode_core(nibbles, pred, index)
             out.extend(samples)
         if not out:

@@ -496,7 +496,8 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE len(ts) > 0 AND ts[1] <> ''
     ), h AS (
         SELECT doc_id, i,
-               ((list_sum(list_transform(string_split(tok, ''), c -> ascii(c)))
+               (((list_sum(list_transform(string_split(tok, ''), c -> ascii(c)))
+                  % 2147483647)
                  * 2654435761 + length(tok) * 1000003) % 4294967296) % 8 = 0
                    AS b
         FROM pos
@@ -552,7 +553,16 @@ def q_cdc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
-    fp = (code_sum * 2654435761 + F.length("tok") * 1000003) % 4294967296
+    # reduce the code sum mod 2^31-1 BEFORE the multiplicative step:
+    # unreduced, a single multi-thousand-char high-codepoint token
+    # (unsegmented CJK) overflows int64 in Spark (silent wrap) while
+    # DuckDB promotes to HUGEINT — engines would diverge.  The oracle
+    # mirrors the reduction; ASCII test tokens are unaffected.  length
+    # casts to long too: INT*INT wraps past ~2147-char tokens.
+    fp = (
+        (code_sum % 2147483647) * 2654435761
+        + F.length("tok").cast("long") * 1000003
+    ) % 4294967296
     b = (fp % 8 == 0).cast("long")
     w = (
         Window.partitionBy("doc_id")
@@ -961,7 +971,8 @@ def q_kmeans_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ), b AS (
         SELECT doc_id,
-               ((list_sum(list_transform(string_split(tok, ''), c -> ascii(c)))
+               (((list_sum(list_transform(string_split(tok, ''), c -> ascii(c)))
+                  % 2147483647)
                  * 2654435761 + length(tok) * 1000003) % 4294967296) % 16
                    AS bucket
         FROM toks WHERE tok <> ''
@@ -1016,8 +1027,15 @@ def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
+    # pre-reduce mod 2^31-1 before the multiply (int64-overflow guard
+    # for high-codepoint megatokens; mirrored in the oracle) and cast
+    # length to long (INT*INT wraps past ~2147-char tokens)
     bucket = (
-        (code_sum * 2654435761 + F.length("tok") * 1000003) % 4294967296
+        (
+            (code_sum % 2147483647) * 2654435761
+            + F.length("tok").cast("long") * 1000003
+        )
+        % 4294967296
     ) % 16
     counts = (
         toks.select("doc_id", bucket.alias("bucket"))

@@ -139,3 +139,41 @@ def test_avi_deep_list_nesting_returns_none():
         assert mm.decode_avi(payload) is None
     finally:
         sys.setrecursionlimit(old)
+
+
+def test_adpcm_riff_size_field_matches_file_length():
+    """The RIFF chunk-size field must equal len(file) - 8 — our own
+    decoder ignores it, but strict external WAV parsers reject files
+    whose declared size overruns the buffer (ADVICE r4)."""
+    import struct
+
+    sig = np.arange(-500, 500, dtype=np.int16)
+    enc = mm.encode_adpcm_wav(sig, 8000, block_samples=505)
+    (declared,) = struct.unpack("<I", enc[4:8])
+    assert declared == len(enc) - 8
+    # sibling PCM16 encoder, same invariant
+    enc_pcm = mm.encode_wav(sig, 8000)
+    (declared_pcm,) = struct.unpack("<I", enc_pcm[4:8])
+    assert declared_pcm == len(enc_pcm) - 8
+
+
+def test_adpcm_zero_samples_per_block_is_not_negative_slice():
+    """A crafted fmt with wSamplesPerBlock == 0 must decode ZERO
+    nibbles per block (header predictor only), never a negative slice
+    that decodes nearly the whole padded block (ADVICE r4)."""
+    import struct
+
+    sig = np.cumsum(np.ones(64, dtype=np.int64) * 50).clip(-30000, 30000).astype(np.int16)
+    enc = bytearray(mm.encode_adpcm_wav(sig, 8000, block_samples=64))
+    # patch wSamplesPerBlock (last ushort of the 20-byte fmt body,
+    # which starts right after "fmt "+size at offset 20) to 0, and
+    # drop the fact chunk's sample-count trim by patching it too
+    fmt_off = enc.find(b"fmt ") + 8
+    enc[fmt_off + 18 : fmt_off + 20] = struct.pack("<H", 0)
+    fact_off = enc.find(b"fact") + 8
+    enc[fact_off : fact_off + 4] = struct.pack("<I", 1)
+    out = mm.decode_wav(bytes(enc))
+    assert out is not None
+    _rate, dec = out
+    # one block → exactly the header predictor sample survives
+    assert len(dec) == 1

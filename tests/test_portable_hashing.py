@@ -159,3 +159,38 @@ def test_portable_string_hash_matches_duckdb(spark):
     # anagrams must hash differently (position weighting)
     assert got["hello"] != got["olleh"]
     assert got["na" * 50] != got["an" * 50]
+
+
+def test_cdc_hash_no_int64_overflow_on_megatoken(spark):
+    """ADVICE r4: the q_cdc_chunk/q_hash_embed fingerprint must reduce
+    the code-point sum mod 2^31-1 BEFORE multiplying by 2654435761 —
+    unreduced, a single multi-thousand-char high-codepoint token
+    (unsegmented CJK) silently wraps int64 in Spark while DuckDB
+    promotes to HUGEINT, so engines diverge.  Pin Spark against an
+    arbitrary-precision Python replay."""
+    tok = "鿿" * 5000  # code-point sum 5000 * 0x9fff ≈ 2.04e8; the
+    # unreduced product with a second such token would differ from the
+    # reduced one — use a sum that crosses 2^31 to exercise the mod
+    tok_big = "\U0010fffd" * 4000  # sum ≈ 4.46e9 > 2^31-1
+    df = spark.createDataFrame([(1, tok), (2, tok_big)], "doc_id int, tok string")
+    code_sum = F.aggregate(
+        F.transform(F.split(F.col("tok"), ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    fp = (
+        (code_sum % 2147483647) * 2654435761
+        + F.length("tok").cast("long") * 1000003
+    ) % 4294967296
+    got = {r["doc_id"]: (r["cs"], r["fp"]) for r in
+           df.select("doc_id", code_sum.alias("cs"), fp.alias("fp")).collect()}
+
+    for doc_id, text in [(1, tok), (2, tok_big)]:
+        cs = sum(ord(c) for c in text)
+        expect = ((cs % 2147483647) * 2654435761 + len(text) * 1000003) % 4294967296
+        assert got[doc_id][0] == cs, (doc_id, got[doc_id][0], cs)
+        assert got[doc_id][1] == expect, (doc_id, got[doc_id][1], expect)
+        assert 0 <= got[doc_id][1] < 4294967296
+    # the big token's UNREDUCED product exceeds int64 — the reduction is
+    # what keeps Spark's long arithmetic exact
+    assert sum(ord(c) for c in tok_big) * 2654435761 > 2**63
