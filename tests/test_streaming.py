@@ -174,9 +174,23 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir):
         )
         return views, clicks
 
+    # tz-independent comparison (VERDICT r4 #5): batch rows carry NTZ
+    # (collected as naive wall-clock) while streamed rows carry
+    # TIMESTAMP (converted to the driver SYSTEM timezone on collect) —
+    # raw-datetime tuple equality only holds on UTC hosts, so compare
+    # epoch micros instead
+    def canon(df):
+        return df.select(
+            "user_id",
+            "view_id",
+            "click_id",
+            F.unix_micros(F.col("l_ts").cast("timestamp")).alias("l_us"),
+            F.unix_micros(F.col("r_ts").cast("timestamp")).alias("r_us"),
+        )
+
     batch_df = spark.read.parquet(f"{events_dir}/data")
     bv, bc = split_sides(batch_df)
-    batch = {tuple(r) for r in interval_join(bv, bc, "user_id").collect()}
+    batch = {tuple(r) for r in canon(interval_join(bv, bc, "user_id")).collect()}
 
     schema = batch_df.schema
     s1 = stream_from_parquet_dir(spark, f"{events_dir}/data", schema)
@@ -188,7 +202,7 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir):
         f"{events_dir}/ckpt_ssjoin",
         output_mode="append",
     )
-    streamed = {tuple(r) for r in spark.table("t_ssjoin").collect()}
+    streamed = {tuple(r) for r in canon(spark.table("t_ssjoin")).collect()}
     assert batch == streamed and batch
 
 
