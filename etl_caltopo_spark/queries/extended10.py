@@ -36,6 +36,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_caltopo_spark.functions.numeric import fround
+from etl_caltopo_spark.functions.portable import (
+    MH_A,
+    MH_B,
+    MH_P,
+    portable_string_hash,
+)
 from etl_caltopo_spark.io import load_table
 from etl_caltopo_spark.llm import dedup, similarity, text
 from etl_caltopo_spark.queries.registry import query
@@ -1229,31 +1235,13 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _portable_string_hash(col_name: str):
-    """Engine-portable string fingerprint shared by the graded sketch/
-    LSH family: position-weighted code-point sum mod the Mersenne
-    prime 2³¹−1.  The DuckDB mirror is the list_sum/list_transform
-    expression embedded in each oracle (same weights, same modulus)."""
-    code_weighted = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(1), F.length(col_name)),
-            lambda jj: F.ascii(F.col(col_name).substr(jj, F.lit(1))).cast(
-                "long"
-            )
-            * ((jj.cast("long") * 2654435761 + 40503) % 65536),
-        ),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
-    return code_weighted % 2147483647
-
-
-#: portable MinHash family: h_i(x) = (a_i·x + b_i) mod p over the
-#: Mersenne prime p = 2^31 − 1; coefficients are fixed literals so
-#: both engines replay the identical family (no RNG, no engine hash)
-_MH_P = 2147483647
-_MH_A = (131, 1031, 8101, 65537, 524287, 100003, 999983, 4493)
-_MH_B = (7, 911, 5021, 30011, 70001, 110017, 2029, 65111)
+# portable hash family — moved to functions/portable.py in round 5 so
+# llm/dedup.py can band on the same family without an import cycle
+# (VERDICT r4 #2); these aliases keep the many in-module uses unchanged
+_portable_string_hash = portable_string_hash
+_MH_P = MH_P
+_MH_A = MH_A
+_MH_B = MH_B
 
 
 def _minhash_oracle() -> str:
