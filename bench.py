@@ -22,6 +22,19 @@ from etl_caltopo_spark.queries import REGISTRY
 from etl_caltopo_spark.session import build_spark
 
 
+#: Per-query measurement-protocol notes (VERDICT r4 #7): add an entry
+#: whenever a query's measured plan or timing protocol changes between
+#: rounds, so the driver's round-over-round diff is interpretable
+#: without reading HANDOFF (e.g. r4's q_dedup_near +52% was a
+#: cache-leak honesty correction, not a regression).  Clear entries
+#: that are more than one round old.
+NOTES: dict[str, str] = {
+    # round 5: no headline query's plan or protocol changed (the
+    # q_dedup_jaccard/q_dedup_embed/q_knn_classify rewires are
+    # non-headline ids); baseline comparable to BENCH_r04.
+}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -55,6 +68,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "notes": NOTES,
                 "sf": sf,
             }
         )

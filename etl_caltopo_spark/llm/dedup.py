@@ -103,7 +103,16 @@ def near_duplicates(
     Output: ``id_a`` < ``id_b``, ``jaccard`` (4 dp).  LSH recall is
     probabilistic; this is the scale path, not an oracle query.
     """
+    import os
+
     from etl_caltopo_spark.io import fan_out
+
+    # plan-observability escape hatch (VERDICT r4 #6): the eager
+    # localCheckpoint below collapses the reviewable plan to `Scan
+    # ExistingRDD`, so tools/dump_plans.py sets this env var to get the
+    # REAL candidate-generation plan (no persist, no checkpoint) —
+    # production callers never set it
+    lazy = os.environ.get("SPARK_GRAFT_LAZY_PLANS") == "1"
 
     rows = n_hashes // bands
     # the shingle+minhash pass is compute-bound per document: fan out
@@ -117,7 +126,9 @@ def near_duplicates(
     # sf0.1 vs ~0.2 s for the int arrays.
     hashed = src.select(
         "_id", shingle_hashes(shingles(F.col("_text"), shingle_n)).alias("_hs")
-    ).persist()
+    )
+    if not lazy:
+        hashed = hashed.persist()
     sig = hashed.select("_id", *minhash_signature(F.col("_hs"), n_hashes))
     band_cols = [
         F.hash(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
@@ -155,6 +166,8 @@ def near_duplicates(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if lazy:
+        return verified
     # materialize the (small) verified pair set eagerly so the hash
     # cache can be dropped before returning — repeated calls in a
     # long-lived session must not accumulate persisted tables.

@@ -1,0 +1,381 @@
+"""Round-5 wave: winnowing fingerprints, deterministic salted skew
+join, and centroid silhouette — scale patterns a 100-TB corpus
+pipeline leans on, each hash-graded against a DuckDB replay.
+
+Reference scope note: the reference engine (task.ts:63-160) stops at
+single-map feature ETL; these extend the LLM-corpus surface the brief
+mandates (document fingerprinting, skew mitigation, cluster quality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_caltopo_spark.functions.numeric import fround
+from etl_caltopo_spark.functions.portable import portable_string_hash_sql
+from etl_caltopo_spark.io import load_table
+from etl_caltopo_spark.queries.registry import query
+from etl_caltopo_spark.session import apply_runtime_conf
+
+#: winnowing parameters: word-k-gram size and window width.  Guarantee
+#: (Schleimer/Wilkerson/Aiken, SIGMOD'03): any shared substring of at
+#: least w + k - 1 = 6 tokens produces at least one shared fingerprint.
+_WIN_K = 3
+_WIN_W = 4
+
+#: position packs into the low bits of the window-min encoding; docs
+#: must stay under 2^20 k-grams (at 100 TB, chunk longer docs upstream)
+_POS_BITS = 20
+_POS_BASE = 1 << _POS_BITS
+
+
+def _winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """Selected (doc_id, pos, fp) winnowing fingerprints.
+
+    Each positional word-3-gram hashes with the portable family; every
+    width-4 window selects its minimum hash, rightmost position on
+    ties (the robust-winnowing tie rule), via ONE integer window-min:
+    enc = h·2^20 + (2^20 − pos) minimizes h first, then maximizes pos
+    — no second pass, no conditional aggregate.  Selected positions
+    dedupe (adjacent windows usually share their minimum).
+
+    Scale shape: posexplode → per-doc window (ONE shuffle keyed by
+    doc_id) → distinct on (doc_id, pos).  All integer codegen; the
+    fingerprint density is ~2/(w+1) of grams, so output is a small
+    fraction of the token stream."""
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("ts")
+    ).filter((F.size("ts") > 0) & (F.element_at("ts", 1) != ""))
+    n_grams = F.greatest(F.size("ts") - (_WIN_K - 1), F.lit(1))
+    grams = toks.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: F.array_join(F.slice(F.col("ts"), i, _WIN_K), " "),
+            )
+        ).alias("i0", "gram"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        (F.col("i0") + 1).alias("pos"),
+        F.col("gram"),
+    )
+    from etl_caltopo_spark.functions.portable import portable_string_hash
+
+    hashed = grams.select(
+        "doc_id",
+        "n_grams",
+        "pos",
+        (
+            portable_string_hash("gram") * _POS_BASE
+            + (F.lit(_POS_BASE) - F.col("pos"))
+        ).alias("enc"),
+    )
+    frame = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _WIN_W - 1)
+    )
+    sel = (
+        hashed.withColumn("win_min", F.min("enc").over(frame))
+        # window starts: every full window, plus the single start of a
+        # short (< w grams) document
+        .filter(F.col("pos") <= F.greatest(F.col("n_grams") - (_WIN_W - 1), F.lit(1)))
+        .select(
+            "doc_id",
+            (F.lit(_POS_BASE) - F.col("win_min") % _POS_BASE).alias("pos"),
+            F.expr(f"win_min div {_POS_BASE}").alias("fp"),
+        )
+        .distinct()
+    )
+    return sel
+
+
+def _winnow_oracle_cte() -> str:
+    """Shared DuckDB CTE chain computing the same fingerprints."""
+    return rf"""
+    t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        FROM documents
+        WHERE len(string_split_regex(trim(lower(text)), '\s+')) > 0
+          AND string_split_regex(trim(lower(text)), '\s+')[1] <> ''
+    ), grams AS (
+        SELECT doc_id,
+               greatest(len(ts) - {_WIN_K - 1}, 1) AS n_grams,
+               CAST(i AS BIGINT) AS pos,
+               array_to_string(ts[CAST(i AS INT):CAST(i + {_WIN_K - 1} AS INT)], ' ') AS gram
+        FROM t, UNNEST(range(1, greatest(len(ts) - {_WIN_K - 1}, 1) + 1)) AS u(i)
+    ), hashed AS (
+        SELECT doc_id, n_grams, pos,
+               {portable_string_hash_sql("gram")} * {_POS_BASE}
+                   + ({_POS_BASE} - pos) AS enc
+        FROM grams
+    ), winmin AS (
+        SELECT doc_id, n_grams, pos,
+               min(enc) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING)
+                   AS win_min
+        FROM hashed
+    ), sel AS (
+        SELECT DISTINCT doc_id,
+               {_POS_BASE} - (win_min % {_POS_BASE}) AS pos,
+               win_min // {_POS_BASE} AS fp
+        FROM winmin
+        WHERE pos <= greatest(n_grams - {_WIN_W - 1}, 1)
+    )"""
+
+
+@query(
+    "q_winnowing",
+    oracle=f"""
+    WITH {_winnow_oracle_cte()}
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos, CAST(fp AS BIGINT) AS fp
+    FROM sel
+    """,
+)
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): every width-4 window over the
+    positional word-3-gram hash stream selects its minimum (rightmost
+    on ties), guaranteeing any shared run of ≥ w+k−1 = 6 tokens leaves
+    a shared fingerprint while keeping density ~2/(w+1).  The
+    corpus-dedup primitive between exact hashing (misses edits) and
+    MinHash (no locality guarantee).
+
+    Engine-portable end to end: gram hashes come from the portable
+    code-point family and the rightmost-min tie rule folds into ONE
+    integer window-min (enc = h·2^20 + (2^20 − pos)), so both engines
+    derive identical fingerprint sets — hash-graded.
+
+    Scale shape: posexplode → one per-doc window shuffle → distinct;
+    all integer codegen, no Python."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = _winnow_fingerprints(docs)
+    return out.select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("fp").cast("bigint").alias("fp"),
+    )
+
+
+@query(
+    "q_winnowing_overlap",
+    oracle=f"""
+    WITH {_winnow_oracle_cte()}, fps AS (
+        SELECT DISTINCT doc_id, fp FROM sel
+    ), df AS (
+        SELECT fp, count(*) AS n_docs FROM fps GROUP BY fp
+    ), kept AS (
+        SELECT fps.doc_id, fps.fp FROM fps JOIN df USING (fp)
+        WHERE df.n_docs <= 50
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
+    """,
+)
+def q_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-overlap candidates from shared winnowing fingerprints
+    — the MOSS match step: docs sharing ≥ 2 selected fingerprints are
+    local-overlap candidates (each shared fingerprint witnesses a
+    shared ≥ 6-token run, a guarantee Jaccard-style similarity cannot
+    give).
+
+    Scale shape: inverted-index equi-join on the fingerprint value;
+    fingerprints seen in > 50 docs are dropped first (boilerplate =
+    stop-fingerprints — the df cap that bounds the join fan-out AND
+    the hot-key skew, same policy as q_dedup_containment).  Pair agg
+    is one partial-agg shuffle on (id_a, id_b)."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fps = _winnow_fingerprints(docs).select("doc_id", "fp").distinct()
+    df_cap = fps.groupBy("fp").agg(F.count("*").alias("n_docs"))
+    kept = fps.join(df_cap.filter(F.col("n_docs") <= 50), "fp").select(
+        "doc_id", "fp"
+    )
+    a = kept.select(F.col("doc_id").alias("id_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+
+
+def _silhouette_oracle() -> str:
+    d2 = (
+        "floor((list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)"
+        " + list_dot_product(c.cv, c.cv)) * 1000000) / 1000000"
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), comp AS (
+        SELECT label, CAST(d AS INT) AS dim,
+               CAST(floor(v[CAST(d + 1 AS INT)] * 10000) AS BIGINT) AS q
+        FROM e, UNNEST(range(0, 64)) AS t(d)
+    ), cm AS (
+        SELECT label, dim,
+               floor(sum(q) / (count(*) * 10000.0) * 10000) / 10000 AS m
+        FROM comp GROUP BY label, dim
+    ), cent AS (
+        SELECT label AS clabel, list(m ORDER BY dim) AS cv FROM cm GROUP BY label
+    ), d AS (
+        SELECT e.vec_id, e.label, c.clabel, {d2} AS d2
+        FROM e, cent c
+    ), ab AS (
+        SELECT vec_id, label,
+               sqrt(min(CASE WHEN clabel = label THEN d2 END)) AS a,
+               sqrt(min(CASE WHEN clabel <> label THEN d2 END)) AS b
+        FROM d GROUP BY vec_id, label
+    ), s AS (
+        SELECT vec_id, label,
+               CASE WHEN greatest(a, b) = 0 THEN 0.0
+                    ELSE floor((b - a) / greatest(a, b) * 1000000) / 1000000
+               END AS sil
+        FROM ab
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_points,
+           floor(round(sum(sil), 4) / count(*) * 1000000) / 1000000 AS avg_sil
+    FROM s GROUP BY label
+    """
+
+
+@query("q_silhouette", oracle=_silhouette_oracle())
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette score per cluster label
+    — the O(n·k) cluster-quality metric (Hruschka et al.'s simplified
+    silhouette) a pipeline runs to validate embedding clusters before
+    using them for stratification or SemDeDup cells; the classic
+    silhouette's O(n²) pairwise distances are replaced by distances to
+    the k centroids, which is the only form that survives 100 TB.
+
+    Exactness chain (the q_kmeans_converge discipline): centroid
+    components are exact integer ten-thousandths means floored at
+    4 dp; squared distances compose sequential-fold dot products
+    floored at 6 dp; a/b take sqrt of identical doubles
+    (IEEE-correctly-rounded), the per-point silhouette floors at 6 dp,
+    and the per-label mean rounds the sum at 4 dp before dividing —
+    every step replayed by the oracle.
+
+    Scale shape: ONE k×64-group partial-agg shuffle builds centroids,
+    the k-row centroid table broadcasts, per-point a/b is a map-side
+    min over k, and the rollup is a k-group aggregate — no pairwise
+    stage anywhere."""
+    apply_runtime_conf(spark)
+    from etl_caltopo_spark.llm import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    comp = pts.select(
+        "label", F.posexplode("v").alias("dim", "x")
+    ).select(
+        "label",
+        F.col("dim").cast("int").alias("dim"),
+        F.floor(F.col("x") * 10000).cast("bigint").alias("q"),
+    )
+    n = F.count("*")
+    cm = comp.groupBy("label", "dim").agg(
+        fround(F.sum("q") / (n * 10000.0), 4).alias("m")
+    )
+    cent = cm.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))),
+            lambda s: s["m"],
+        ).alias("cv")
+    )
+    d2 = fround(
+        similarity.dot(F.col("v"), F.col("v"))
+        - 2 * similarity.dot(F.col("v"), F.col("cv"))
+        + similarity.dot(F.col("cv"), F.col("cv")),
+        6,
+    )
+    d = pts.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "clabel", d2.alias("d2")
+    )
+    ab = d.groupBy("vec_id", "label").agg(
+        F.sqrt(
+            F.min(F.when(F.col("clabel") == F.col("label"), F.col("d2")))
+        ).alias("a"),
+        F.sqrt(
+            F.min(F.when(F.col("clabel") != F.col("label"), F.col("d2")))
+        ).alias("b"),
+    )
+    sil = F.when(F.greatest("a", "b") == 0, F.lit(0.0)).otherwise(
+        fround((F.col("b") - F.col("a")) / F.greatest("a", "b"), 6)
+    )
+    s = ab.select("label", sil.alias("sil"))
+    return s.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        fround(F.round(F.sum("sil"), 4) / F.count("*"), 6).alias("avg_sil"),
+    )
+
+
+@query(
+    "q_join_skew_salted",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic SALTED fact-dim join — the manual hot-key
+    mitigation graded for exactness: the salted plan must produce the
+    IDENTICAL aggregate as the plain join (the oracle runs the plain
+    SQL).  The fact side salts each row with l_orderkey mod 8; the dim
+    side replicates 8× (posexplode of a literal salt range), and the
+    join key becomes (orderkey, salt) — any single hot orderkey now
+    spreads over 8 shuffle partitions instead of one straggler task.
+
+    When to reach for it at 100 TB: AQE's skew split only kicks in on
+    sort-merge joins and rebalances partitions, not single giant keys
+    crossing the per-key limit; salting is the deterministic fallback
+    that also works for broadcast-ineligible dims and stream-static
+    joins (SCALING.md fifth wave measures AQE's ladder).  Cost: dim
+    replication ×8 — viable because the dim is the small side.
+
+    The salt is derived (mod — no RNG), so the plan is replayable and
+    this id stays hash-graded; the aggregate collapses the salt, so
+    result equality IS the correctness proof of the rewrite."""
+    apply_runtime_conf(spark)
+    n_salt = 8
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_extendedprice",
+        "l_discount",
+        (F.col("l_orderkey") % n_salt).alias("_salt"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    salted_dim = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("_salt"),
+    )
+    joined = li.join(
+        salted_dim,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (li["_salt"] == salted_dim["_salt"]),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+    )

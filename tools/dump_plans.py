@@ -31,6 +31,10 @@ EXTRA = [
 
 
 def main() -> None:
+    # VERDICT r4 #6: build plan-dump DataFrames WITHOUT eager
+    # materialization (localCheckpoint collapses plans to `Scan
+    # ExistingRDD`) so banded-join shapes stay reviewable
+    os.environ["SPARK_GRAFT_LAZY_PLANS"] = "1"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     names = sys.argv[1:] or (
         [n for n, s in REGISTRY.items() if s.headline] + EXTRA

@@ -90,6 +90,14 @@ PROBE_QUERIES = [
     "q_domain_cap",
     "q_image_decode_jpeg",
     "q_stream_dedup",
+    # round-5 re-blocked graded plans (VERDICT r4 #1-3): banded/bucketed
+    # candidate generation replacing fixed-cardinality blocks
+    "q_dedup_jaccard",
+    "q_dedup_embed",
+    # round-5 new graded ids
+    "q_winnowing",
+    "q_winnowing_overlap",
+    "q_join_skew_salted",
 ]
 
 
