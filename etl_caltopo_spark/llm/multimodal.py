@@ -12,12 +12,14 @@ pure-python LZW (``encode_gif``/``decode_gif``), RIFF/WAVE audio in both
 PCM16 and compressed IMA ADPCM forms (``encode_wav`` /
 ``encode_adpcm_wav`` / ``decode_wav`` / ``decode_audio``; the ADPCM
 nibble decoder is bit-exact vs stdlib audioop's reference), plus
-uncompressed AVI video (``encode_avi``/``decode_avi``/``decode_video``).
+uncompressed AVI video (``encode_avi``/``decode_avi``/``decode_video``),
+and WebP lossless (VP8L — :mod:`etl_caltopo_spark.llm.vp8l`, full
+prefix-code/LZ77/color-cache/transform bitstream, tests/test_vp8l.py).
 ``decode_image`` magic-sniffs and dispatches; formats still needing
-an external codec (WebP/MP3, compressed video frames) return None under the
-dirty-row policy but run in
-the identical Spark-side contract (schemas, batch shapes,
-partitioning), all tested (tests/test_llm_ops.py).
+an external codec (lossy WebP, MP3, compressed video frames) return
+None under the dirty-row policy but run in the identical Spark-side
+contract (schemas, batch shapes, partitioning), all tested
+(tests/test_llm_ops.py).
 """
 
 from __future__ import annotations
@@ -73,11 +75,13 @@ def decode_image(payload: bytes):
     routes to a REAL pure-python decoder: baseline JPEG
     (:mod:`etl_caltopo_spark.llm.jpeg`), PNG (:func:`decode_png`,
     zlib is stdlib), binary PPM (:func:`decode_ppm`), BMP
-    (:func:`decode_bmp`), or GIF (:func:`decode_gif`, pure-python
-    LZW).  Formats without a pure-python decoder here (WebP/AVIF/...)
-    and any undecodable payload return None — dirty rows flow through
-    as nulls instead of failing the job, the same policy as try_*
-    expressions."""
+    (:func:`decode_bmp`), GIF (:func:`decode_gif`, pure-python
+    LZW), or WebP lossless (:mod:`etl_caltopo_spark.llm.vp8l` —
+    VP8L prefix codes, color cache, LZ77, all four inverse
+    transforms).  Formats without a pure-python decoder here (lossy
+    WebP/AVIF/...) and any undecodable payload return None — dirty
+    rows flow through as nulls instead of failing the job, the same
+    policy as try_* expressions."""
     if payload is None:
         return None
     if payload[:8] == _PNG_SIG:
@@ -92,6 +96,10 @@ def decode_image(payload: bytes):
         return decode_bmp(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from etl_caltopo_spark.llm.vp8l import decode_webp
+
+        return decode_webp(payload)
     return None
 
 

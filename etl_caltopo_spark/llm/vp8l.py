@@ -1,0 +1,717 @@
+"""Pure-python WebP-lossless (VP8L) codec — RIFF/WEBP container with a
+VP8L chunk, implementing the public bitstream spec ("WebP Lossless
+Bitstream Specification"): LSB-first bit stream, canonical prefix codes
+(simple and code-length-coded), color cache, LZ77 backward references
+with the 2D distance map, meta prefix (entropy image), and all four
+inverse transforms (predictor, color, subtract-green, color-indexing
+incl. pixel bundling).
+
+Same contract as the sibling codecs (jpeg.py, multimodal.decode_png):
+``decode_webp`` returns an (H, W, 4) uint8 RGBA array or None — dirty
+rows become nulls, decoders never raise.
+
+``encode_webp_lossless`` is the fixture generator: a minimal spec-legal
+encoder (literal-only, no backward references, fixed 8-bit prefix
+codes via the code-length-code path, 1-symbol simple code for the
+unused distance alphabet, optional subtract-green transform).  Every
+byte it emits is decodable by any compliant WebP decoder.
+
+Reference scope: the reference engine has no media path at all
+(task.ts:63-160 is feature-JSON ETL); this extends the multimodal
+column surface mandated by the brief.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+#: code length code order (spec 'kCodeLengthCodeOrder')
+_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+#: (dx, dy) 2D distance map for distance codes 1..120 (spec order:
+#: increasing dy, dx from near to far; exact table from the spec)
+_DIST_MAP = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+)
+
+
+class _BitReader:
+    """LSB-first bit reader over a bytes payload."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            if self.pos >= len(self.data):
+                raise ValueError("bitstream exhausted")
+            v |= ((self.data[self.pos] >> self.bit) & 1) << i
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return v
+
+
+def _canonical_table(lengths) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol canonical table (DEFLATE assignment:
+    codes increase with symbol order within a length, shorter lengths
+    first)."""
+    max_len = max(lengths) if lengths else 0
+    bl_count = [0] * (max_len + 1)
+    for ln in lengths:
+        if ln:
+            bl_count[ln] += 1
+    code = 0
+    next_code = [0] * (max_len + 1)
+    for ln in range(1, max_len + 1):
+        code = (code + bl_count[ln - 1]) << 1
+        next_code[ln] = code
+    table: dict[tuple[int, int], int] = {}
+    for sym, ln in enumerate(lengths):
+        if ln:
+            table[(ln, next_code[ln])] = sym
+            next_code[ln] += 1
+    return table
+
+
+class _PrefixCode:
+    """Decodable prefix code: canonical table or 0-bit single symbol."""
+
+    __slots__ = ("table", "single")
+
+    def __init__(self, lengths=None, single: int | None = None):
+        self.single = single
+        self.table = _canonical_table(lengths) if lengths is not None else {}
+        if lengths is not None:
+            used = [ln for ln in lengths if ln]
+            if len(used) == 1:
+                # one-symbol code: decoded with zero bits (spec allows)
+                self.single = lengths.index(used[0])
+                self.table = {}
+            elif used:
+                kraft = sum(2.0 ** -ln for ln in used)
+                if abs(kraft - 1.0) > 1e-9:
+                    raise ValueError("incomplete prefix code")
+
+    def decode(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for length in range(1, 16):
+            code = (code << 1) | br.read(1)
+            sym = self.table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad prefix code")
+
+
+def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
+    if br.read(1):  # simple code
+        num_symbols = br.read(1) + 1
+        first_nbits = 8 if br.read(1) else 1
+        s0 = br.read(first_nbits)
+        if num_symbols == 1:
+            if s0 >= alphabet_size:
+                raise ValueError("symbol out of range")
+            return _PrefixCode(single=s0)
+        s1 = br.read(8)
+        if s0 >= alphabet_size or s1 >= alphabet_size or s0 == s1:
+            raise ValueError("bad simple code")
+        lengths = [0] * alphabet_size
+        lengths[s0] = 1
+        lengths[s1] = 1
+        return _PrefixCode(lengths)
+    # code-length-coded
+    num_clc = 4 + br.read(4)
+    clc_lengths = [0] * 19
+    for i in range(num_clc):
+        clc_lengths[_CLC_ORDER[i]] = br.read(3)
+    clc = _PrefixCode(clc_lengths)
+    max_symbol = alphabet_size
+    if br.read(1):  # use length / max_symbol
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+        if max_symbol > alphabet_size:
+            raise ValueError("max_symbol out of range")
+    lengths = [0] * alphabet_size
+    prev_len = 8
+    i = 0
+    while i < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        sym = clc.decode(br)
+        if sym < 16:
+            lengths[i] = sym
+            i += 1
+            if sym:
+                prev_len = sym
+        elif sym == 16:
+            for _ in range(3 + br.read(2)):
+                if i < alphabet_size:
+                    lengths[i] = prev_len
+                    i += 1
+        elif sym == 17:
+            i += 3 + br.read(3)
+        else:  # 18
+            i += 11 + br.read(7)
+    if i > alphabet_size:
+        raise ValueError("code lengths overflow alphabet")
+    return _PrefixCode(lengths)
+
+
+def _read_code_groups(br: _BitReader, cache_size: int, n_groups: int):
+    groups = []
+    for _ in range(n_groups):
+        g = (
+            _read_prefix_code(br, 256 + 24 + cache_size),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, 40),
+        )
+        groups.append(g)
+    return groups
+
+
+def _prefix_value(code: int, br: _BitReader) -> int:
+    """LZ77 length/distance prefix decoding (spec PrefixCodeExtraBits)."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _decode_entropy_image(
+    br: _BitReader, w: int, h: int, allow_meta: bool
+) -> np.ndarray:
+    """Decode one spatially-coded ARGB image (uint32 (h, w)); used for
+    the main image (allow_meta=True) and all subresolution images."""
+    meta_codes = None
+    meta_bits = 0
+    n_groups = 1
+    if allow_meta and br.read(1):
+        meta_bits = 2 + br.read(3)
+        mw = (w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta_img = _decode_entropy_image(br, mw, mh, False)
+        meta_codes = ((meta_img >> 8) & 0xFFFF).astype(np.int64)
+        n_groups = int(meta_codes.max()) + 1
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("bad cache bits")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    cache = [0] * cache_size
+    groups = _read_code_groups(br, cache_size, n_groups)
+
+    n = w * h
+    out = np.zeros(n, dtype=np.uint32)
+    pos = 0
+    while pos < n:
+        if meta_codes is not None:
+            x, y = pos % w, pos // w
+            g = groups[int(meta_codes[y >> meta_bits, x >> meta_bits])]
+        else:
+            g = groups[0]
+        sym = g[0].decode(br)
+        if sym < 256:  # literal: green, then red, blue, alpha
+            green = sym
+            red = g[1].decode(br)
+            blue = g[2].decode(br)
+            alpha = g[3].decode(br)
+            px = (alpha << 24) | (red << 16) | (green << 8) | blue
+            out[pos] = px
+            if cache_size:
+                cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+            pos += 1
+        elif sym < 256 + 24:  # backward reference
+            length = _prefix_value(sym - 256, br)
+            dist_code = _prefix_value(g[4].decode(br), br)
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                dx, dy = _DIST_MAP[dist_code - 1]
+                dist = max(1, dy * w + dx)
+            if dist > pos or pos + length > n:
+                raise ValueError("bad backward reference")
+            for _ in range(length):
+                px = int(out[pos - dist])
+                out[pos] = px
+                if cache_size:
+                    cache[
+                        (0x1E35A7BD * px & 0xFFFFFFFF) >> (32 - cache_bits)
+                    ] = px
+                pos += 1
+        else:  # color-cache hit
+            idx = sym - 256 - 24
+            if idx >= cache_size:
+                raise ValueError("bad cache index")
+            out[pos] = cache[idx]
+            pos += 1
+    return out.reshape(h, w)
+
+
+def _subimage_dims(w: int, h: int, bits: int) -> tuple[int, int]:
+    return (w + (1 << bits) - 1) >> bits, (h + (1 << bits) - 1) >> bits
+
+
+def _inv_predictor(img: np.ndarray, pred_img: np.ndarray, bits: int) -> np.ndarray:
+    """Inverse predictor transform — per-pixel scan-order accumulation
+    (residual + prediction mod 256 per channel)."""
+    h, w = img.shape
+    a = (img >> 24) & 0xFF
+    r = (img >> 16) & 0xFF
+    g = (img >> 8) & 0xFF
+    b = img & 0xFF
+    ch = np.stack([a, r, g, b]).astype(np.int64)  # (4, h, w)
+    out = np.zeros_like(ch)
+    pred_green = ((pred_img >> 8) & 0xFF).astype(np.int64)
+
+    def avg2(p, q):
+        return (p + q) // 2
+
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = np.array([255, 0, 0, 0])
+            elif y == 0:
+                pred = out[:, 0, x - 1]
+            elif x == 0:
+                pred = out[:, y - 1, 0]
+            else:
+                mode = int(pred_green[y >> bits, x >> bits])
+                L = out[:, y, x - 1]
+                T = out[:, y - 1, x]
+                TL = out[:, y - 1, x - 1]
+                # TR at the right edge: scan-order memory wrap lands on
+                # argb[(y-1)*w + w] == argb[y*w] — the first pixel of
+                # the CURRENT row (already decoded), per the spec
+                TR = out[:, y - 1, x + 1] if x + 1 < w else out[:, y, 0]
+                if mode == 0:
+                    pred = np.array([255, 0, 0, 0])
+                elif mode == 1:
+                    pred = L
+                elif mode == 2:
+                    pred = T
+                elif mode == 3:
+                    pred = TR
+                elif mode == 4:
+                    pred = TL
+                elif mode == 5:
+                    pred = avg2(avg2(L, TR), T)
+                elif mode == 6:
+                    pred = avg2(L, TL)
+                elif mode == 7:
+                    pred = avg2(L, T)
+                elif mode == 8:
+                    pred = avg2(TL, T)
+                elif mode == 9:
+                    pred = avg2(T, TR)
+                elif mode == 10:
+                    pred = avg2(avg2(L, TL), avg2(T, TR))
+                elif mode == 11:  # Select
+                    p = L + T - TL
+                    pL = np.abs(p - L).sum()
+                    pT = np.abs(p - T).sum()
+                    pred = L if pL < pT else T
+                elif mode == 12:  # ClampAddSubtractFull
+                    pred = np.clip(L + T - TL, 0, 255)
+                elif mode == 13:  # ClampAddSubtractHalf
+                    ave = avg2(L, T)
+                    d = ave - TL
+                    # C integer division truncates toward zero
+                    pred = np.clip(ave + np.sign(d) * (np.abs(d) // 2), 0, 255)
+                else:
+                    raise ValueError("bad predictor mode")
+            out[:, y, x] = (ch[:, y, x] + pred) & 0xFF
+    return (
+        (out[0] << 24) | (out[1] << 16) | (out[2] << 8) | out[3]
+    ).astype(np.uint32)
+
+
+def _inv_color_transform(
+    img: np.ndarray, cte_img: np.ndarray, bits: int
+) -> np.ndarray:
+    """Inverse color transform (signed (t*c)>>5 deltas per block)."""
+    h, w = img.shape
+    yy, xx = np.mgrid[0:h, 0:w]
+    cte = cte_img[yy >> bits, xx >> bits]
+    g2r = (cte & 0xFF).astype(np.int8).astype(np.int64)
+    g2b = ((cte >> 8) & 0xFF).astype(np.int8).astype(np.int64)
+    r2b = ((cte >> 16) & 0xFF).astype(np.int8).astype(np.int64)
+    a = (img >> 24) & 0xFF
+    r = ((img >> 16) & 0xFF).astype(np.int64)
+    g = ((img >> 8) & 0xFF).astype(np.int64)
+    b = (img & 0xFF).astype(np.int64)
+    g_s = g.astype(np.int8).astype(np.int64)
+    r = (r + ((g2r * g_s) >> 5)) & 0xFF
+    r_s = r.astype(np.uint8).astype(np.int8).astype(np.int64)
+    b = (b + ((g2b * g_s) >> 5) + ((r2b * r_s) >> 5)) & 0xFF
+    return ((a << 24) | (r << 16) | (g << 8) | b).astype(np.uint32)
+
+
+def _inv_subtract_green(img: np.ndarray) -> np.ndarray:
+    a = (img >> 24) & 0xFF
+    g = (img >> 8) & 0xFF
+    r = (((img >> 16) & 0xFF) + g) & 0xFF
+    b = ((img & 0xFF) + g) & 0xFF
+    return ((a << 24) | (r << 16) | (g << 8) | b).astype(np.uint32)
+
+
+def _inv_color_indexing(
+    img: np.ndarray, palette: np.ndarray, w: int
+) -> np.ndarray:
+    """Inverse color-indexing (palette lookup incl. pixel bundling)."""
+    size = len(palette)
+    if size <= 2:
+        wb = 3
+    elif size <= 4:
+        wb = 2
+    elif size <= 16:
+        wb = 1
+    else:
+        wb = 0
+    h = img.shape[0]
+    idx = ((img >> 8) & 0xFF).astype(np.int64)
+    if wb == 0:
+        full = idx
+    else:
+        per = 1 << wb  # pixels bundled per packed pixel
+        bits_px = 8 >> wb
+        full = np.zeros((h, img.shape[1] * per), dtype=np.int64)
+        for k in range(per):
+            full[:, k::per] = (idx >> (k * bits_px)) & ((1 << bits_px) - 1)
+        full = full[:, :w]
+    if full.max(initial=0) >= size:
+        raise ValueError("palette index out of range")
+    return palette[full].astype(np.uint32)
+
+
+def decode_webp(payload: bytes):
+    """REAL decoder: RIFF/WEBP VP8L (lossless) → (H, W, 4) uint8 RGBA.
+    Lossy VP8 / extended VP8X payloads and any malformed input return
+    None (dirty-row policy — never raises)."""
+    try:
+        return _decode_webp_strict(payload)
+    except Exception:  # noqa: BLE001 — malformed stream → dirty-row null
+        return None
+
+
+def _decode_webp_strict(payload: bytes):
+    if payload is None or len(payload) < 21:
+        return None
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        return None
+    if payload[12:16] != b"VP8L":
+        return None  # lossy VP8 / VP8X unsupported (honest scope)
+    (chunk_size,) = struct.unpack("<I", payload[16:20])
+    data = payload[20 : 20 + chunk_size]
+    if not data or data[0] != 0x2F:
+        return None
+    br = _BitReader(data)
+    br.read(8)  # signature
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        return None  # unknown version
+    # transforms (read order; applied inverse in reverse)
+    transforms = []
+    seen = set()
+    palette = None
+    dec_w = w
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype in seen:
+            raise ValueError("duplicate transform")
+        seen.add(ttype)
+        if ttype == 0:  # predictor
+            bits = 2 + br.read(3)
+            sw, sh = _subimage_dims(dec_w, h, bits)
+            sub = _decode_entropy_image(br, sw, sh, False)
+            transforms.append(("pred", bits, sub))
+        elif ttype == 1:  # color
+            bits = 2 + br.read(3)
+            sw, sh = _subimage_dims(dec_w, h, bits)
+            sub = _decode_entropy_image(br, sw, sh, False)
+            transforms.append(("color", bits, sub))
+        elif ttype == 2:  # subtract green
+            transforms.append(("subgreen", 0, None))
+        else:  # color indexing
+            n_colors = br.read(8) + 1
+            pal_img = _decode_entropy_image(br, n_colors, 1, False)
+            # palette entries are delta-coded component-wise
+            pal = pal_img.ravel().astype(np.int64)
+            acc = np.zeros(n_colors, dtype=np.int64)
+            prev = 0
+            for i in range(n_colors):
+                a_p = ((prev >> 24) + (pal[i] >> 24)) & 0xFF
+                r_p = (((prev >> 16) & 0xFF) + ((pal[i] >> 16) & 0xFF)) & 0xFF
+                g_p = (((prev >> 8) & 0xFF) + ((pal[i] >> 8) & 0xFF)) & 0xFF
+                b_p = ((prev & 0xFF) + (pal[i] & 0xFF)) & 0xFF
+                prev = (a_p << 24) | (r_p << 16) | (g_p << 8) | b_p
+                acc[i] = prev
+            palette = acc
+            if n_colors <= 2:
+                dec_w = (dec_w + 7) >> 3
+            elif n_colors <= 4:
+                dec_w = (dec_w + 3) >> 2
+            elif n_colors <= 16:
+                dec_w = (dec_w + 1) >> 1
+            transforms.append(("palette", 0, None))
+    img = _decode_entropy_image(br, dec_w, h, True)
+    for ttype, bits, sub in reversed(transforms):
+        if ttype == "palette":
+            img = _inv_color_indexing(img, palette, w)
+        elif ttype == "subgreen":
+            img = _inv_subtract_green(img)
+        elif ttype == "color":
+            img = _inv_color_transform(img, sub, bits)
+        else:
+            img = _inv_predictor(img, sub, bits)
+    if img.shape != (h, w):
+        raise ValueError("decoded shape mismatch")
+    rgba = np.zeros((h, w, 4), dtype=np.uint8)
+    rgba[:, :, 0] = (img >> 16) & 0xFF
+    rgba[:, :, 1] = (img >> 8) & 0xFF
+    rgba[:, :, 2] = img & 0xFF
+    rgba[:, :, 3] = (img >> 24) & 0xFF
+    return rgba
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        self.acc |= (value & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def done(self) -> bytes:
+        if self.nbits:
+            self.buf.append(self.acc & 0xFF)
+            self.acc, self.nbits = 0, 0
+        return bytes(self.buf)
+
+
+def _write_fixed8_code(bw: _BitWriter, trailing_zeros: int = 0) -> None:
+    """Emit a code-length-coded prefix code where symbols 0..255 all
+    have length 8 (a complete code; each symbol's canonical code is its
+    own value) and, when ``trailing_zeros`` > 0, the remaining alphabet
+    is zeroed with one '18' repeat.  Code-length code: {0:len1, 8:len1}
+    without trailing zeros, {8:1, 0:2, 18:2} with."""
+    bw.write(0, 1)  # not simple
+    # cover CLC order indices up to max(index(8)=11, index(18)=1, index(0)=2)
+    bw.write(12 - 4, 4)  # num_code_lengths = 12
+    if trailing_zeros:
+        clc = {18: 2, 0: 2, 8: 1}
+    else:
+        clc = {0: 1, 8: 1}
+    for i in range(12):
+        bw.write(clc.get(_CLC_ORDER[i], 0), 3)
+    bw.write(0, 1)  # no max_symbol
+    # canonical codes for the CLC: sorted by (len, symbol)
+    codes = _canonical_encode_table(clc)
+    for _ in range(256):
+        _emit(bw, codes[8])
+    if trailing_zeros:
+        if not 11 <= trailing_zeros <= 138:
+            raise ValueError("trailing zeros out of 18-symbol range")
+        _emit(bw, codes[18])
+        bw.write(trailing_zeros - 11, 7)
+
+
+def _equal_weight_lengths(symbols) -> dict[int, int]:
+    """Complete prefix-code lengths for the given symbols (equal-weight
+    Huffman: lengths differ by at most one, Kraft sum exactly 1)."""
+    syms = sorted(symbols)
+    n = len(syms)
+    if n == 1:
+        return {syms[0]: 1}
+    import heapq
+
+    heap = [(1, i, (s,)) for i, s in enumerate(syms)]
+    heapq.heapify(heap)
+    depth = {s: 0 for s in syms}
+    while len(heap) > 1:
+        w1, _, g1 = heapq.heappop(heap)
+        w2, i2, g2 = heapq.heappop(heap)
+        for s in g1 + g2:
+            depth[s] += 1
+        heapq.heappush(heap, (w1 + w2, i2, g1 + g2))
+    return depth
+
+
+def _write_prefix_code(
+    bw: _BitWriter, length_by_symbol: dict[int, int], alphabet_size: int
+):
+    """Fixture helper: emit a code-length-coded prefix code for an
+    arbitrary {symbol: code_length} map and return the canonical
+    symbol → (code, len) ENCODE table — used by tests to hand-craft
+    bitstreams exercising the LZ77 / color-cache / transform decode
+    paths that the literal-only production encoder never emits."""
+    bw.write(0, 1)  # not simple
+    positions = sorted(length_by_symbol)
+    if positions and positions[-1] >= alphabet_size:
+        raise ValueError("symbol out of alphabet")
+    # build the code-length symbol stream (0-runs via 17/18 repeats);
+    # without the max_symbol feature the decoder fills the WHOLE
+    # alphabet, so trailing zeros are emitted through the last position
+    stream: list[tuple[int, int | None]] = []  # (clc_symbol, extra)
+    clc_used = {0}  # 0 doubles as the dummy for 1-symbol CLCs
+    i = 0
+    last = alphabet_size - 1
+    while i <= last:
+        if i in length_by_symbol:
+            ln = length_by_symbol[i]
+            stream.append((ln, None))
+            clc_used.add(ln)
+            i += 1
+            continue
+        run = 0
+        j = i
+        while j <= last and j not in length_by_symbol:
+            run += 1
+            j += 1
+        while run >= 11:
+            chunk = min(run, 138)
+            stream.append((18, chunk - 11))
+            clc_used.add(18)
+            run -= chunk
+        if run >= 3:
+            stream.append((17, run - 3))
+            clc_used.add(17)
+            run = 0
+        for _ in range(run):
+            stream.append((0, None))
+        i = j
+    clc_lengths = _equal_weight_lengths(clc_used)
+    num_clc = max(
+        _CLC_ORDER.index(s) for s in clc_used
+    ) + 1
+    num_clc = max(num_clc, 4)
+    bw.write(num_clc - 4, 4)
+    for k in range(num_clc):
+        bw.write(clc_lengths.get(_CLC_ORDER[k], 0), 3)
+    bw.write(0, 1)  # no max_symbol
+    clc_codes = _canonical_encode_table(clc_lengths)
+    for sym, extra in stream:
+        _emit(bw, clc_codes[sym])
+        if sym == 17:
+            bw.write(extra, 3)
+        elif sym == 18:
+            bw.write(extra, 7)
+    return _canonical_encode_table(length_by_symbol)
+
+
+def _canonical_encode_table(length_by_symbol: dict[int, int]):
+    """symbol → (code, len) canonical assignment (encoder side)."""
+    pairs = sorted((ln, sym) for sym, ln in length_by_symbol.items())
+    out = {}
+    code = 0
+    prev_len = 0
+    for ln, sym in pairs:
+        code <<= ln - prev_len
+        out[sym] = (code, ln)
+        code += 1
+        prev_len = ln
+    return out
+
+
+def _emit(bw: _BitWriter, code_len: tuple[int, int]) -> None:
+    code, ln = code_len
+    for i in range(ln - 1, -1, -1):  # MSB of the code first
+        bw.write((code >> i) & 1, 1)
+
+
+def encode_webp_lossless(pixels, subtract_green: bool = False) -> bytes:
+    """Encode an (H, W, 3|4) uint8 array as a minimal spec-legal VP8L
+    WebP: literal-only (no LZ77, no cache, no meta prefix), fixed
+    8-bit prefix codes for the four channels, a 1-symbol simple code
+    for the unused distance alphabet, optionally the subtract-green
+    transform.  The fixture generator for :func:`decode_webp`."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] not in (3, 4):
+        raise ValueError("expected (H, W, 3|4) uint8")
+    h, w = arr.shape[:2]
+    if not (1 <= w <= 16384 and 1 <= h <= 16384):
+        raise ValueError("dimensions out of VP8L range")
+    r = arr[:, :, 0].astype(np.int64)
+    g = arr[:, :, 1].astype(np.int64)
+    b = arr[:, :, 2].astype(np.int64)
+    a = (
+        arr[:, :, 3].astype(np.int64)
+        if arr.shape[2] == 4
+        else np.full((h, w), 255, dtype=np.int64)
+    )
+    if subtract_green:
+        r = (r - g) & 0xFF
+        b = (b - g) & 0xFF
+    bw = _BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(1 if arr.shape[2] == 4 else 0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+    if subtract_green:
+        bw.write(1, 1)  # transform present
+        bw.write(2, 2)  # SUBTRACT_GREEN
+    bw.write(0, 1)  # no more transforms
+    bw.write(0, 1)  # no meta prefix
+    bw.write(0, 1)  # no color cache
+    _write_fixed8_code(bw, trailing_zeros=24)  # green + 24 length codes
+    _write_fixed8_code(bw)  # red
+    _write_fixed8_code(bw)  # blue
+    _write_fixed8_code(bw)  # alpha
+    # distance: simple code, 1 symbol (0), never used
+    bw.write(1, 1)  # simple
+    bw.write(0, 1)  # num_symbols - 1 = 0
+    bw.write(0, 1)  # 1-bit first symbol
+    bw.write(0, 1)  # symbol 0
+    # literals: green, red, blue, alpha — 8 bits each, code == value
+    gid = (256, 8)
+    for y in range(h):
+        for x in range(w):
+            _emit(bw, (int(g[y, x]), 8))
+            _emit(bw, (int(r[y, x]), 8))
+            _emit(bw, (int(b[y, x]), 8))
+            _emit(bw, (int(a[y, x]), 8))
+    del gid
+    data = bw.done()
+    chunk = b"VP8L" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

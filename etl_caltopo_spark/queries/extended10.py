@@ -307,8 +307,9 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_image_formats",
     oracle="""
     SELECT CAST(doc_id AS BIGINT) AS asset_id,
-           CASE doc_id % 4 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
-                           WHEN 2 THEN 'bmp' ELSE 'gif' END AS fmt,
+           CASE doc_id % 5 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
+                           WHEN 2 THEN 'bmp' WHEN 3 THEN 'gif'
+                           ELSE 'webp' END AS fmt,
            CAST(8 + (doc_id % 5) * 4 AS BIGINT) AS width,
            CAST(6 + (doc_id % 3) * 6 AS BIGINT) AS height,
            CAST(CAST((8 + (doc_id % 5) * 4 - 1) / 2.0
@@ -321,15 +322,17 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_image_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Four-codec image decode parity: deterministic gradient images
+    """Five-codec image decode parity: deterministic gradient images
     (pixel (x, y, c) = x + 2y + 85c) are encoded per document into a
     format cycling over binary PPM, PNG (scanline filter cycling),
-    24-bit BMP, and GIF (palette + LZW, interlaced for every other
-    GIF row) — then carried as opaque binary assets and decoded back
-    through the magic-sniffing dispatcher inside ONE Arrow-batched
-    mapInPandas pass.  The oracle is the closed form of the gradient
-    mean (identical for every codec), so a bug in any one of the four
-    encoders OR decoders breaks the hash.
+    24-bit BMP, GIF (palette + LZW, interlaced for every other GIF
+    row), and WebP lossless (VP8L prefix-coded bitstream, every other
+    one through the subtract-green transform) — then carried as opaque
+    binary assets and decoded back through the magic-sniffing
+    dispatcher inside ONE Arrow-batched mapInPandas pass.  The oracle
+    is the closed form of the gradient mean (identical for every
+    codec), so a bug in any one of the five encoders OR decoders
+    breaks the hash.
 
     Scale shape: generate → decode is map-only (fan_out first so the
     compute-bound codec work spreads across cores despite the
@@ -366,7 +369,7 @@ def q_image_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 y = np.arange(h, dtype=np.uint16)[:, None, None]
                 c = np.arange(3, dtype=np.uint16)[None, None, :]
                 img = (x + 2 * y + 85 * c).astype(np.uint8)
-                k = d % 4
+                k = d % 5
                 if k == 0:
                     fmts.append("ppm")
                     payloads.append(multimodal.encode_ppm(img))
@@ -378,10 +381,21 @@ def q_image_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 elif k == 2:
                     fmts.append("bmp")
                     payloads.append(multimodal.encode_bmp(img))
-                else:
+                elif k == 3:
                     fmts.append("gif")
                     payloads.append(
                         multimodal.encode_gif(img, interlaced=bool(d % 8 == 3))
+                    )
+                else:
+                    from etl_caltopo_spark.llm.vp8l import (
+                        encode_webp_lossless,
+                    )
+
+                    fmts.append("webp")
+                    payloads.append(
+                        encode_webp_lossless(
+                            img, subtract_green=bool(d % 2)
+                        )
                     )
             yield pd.DataFrame(
                 {"asset_id": pdf["doc_id"], "fmt": fmts, "payload": payloads}
@@ -393,8 +407,14 @@ def q_image_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fmt is a pure function of asset_id — derive it arithmetically
     # instead of joining back to raw (which would re-run the generator)
     fmt = F.element_at(
-        F.array(F.lit("ppm"), F.lit("png"), F.lit("bmp"), F.lit("gif")),
-        (F.col("asset_id") % 4 + 1).cast("int"),
+        F.array(
+            F.lit("ppm"),
+            F.lit("png"),
+            F.lit("bmp"),
+            F.lit("gif"),
+            F.lit("webp"),
+        ),
+        (F.col("asset_id") % 5 + 1).cast("int"),
     )
     return decoded.select(
         "asset_id",

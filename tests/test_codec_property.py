@@ -81,7 +81,9 @@ def test_avi_roundtrip_any_shape(n, h, w, fps, seed):
 
 @settings(max_examples=30, deadline=None)
 @given(
-    kind=st.sampled_from(["png", "ppm", "bmp", "gif", "jpeg", "wav", "adpcm", "avi"]),
+    kind=st.sampled_from(
+        ["png", "ppm", "bmp", "gif", "jpeg", "wav", "adpcm", "avi", "webp"]
+    ),
     seed=st.integers(0, 2**31 - 1),
     n_flips=st.integers(1, 8),
 )
@@ -104,6 +106,9 @@ def test_decoders_never_raise_on_corruption(kind, seed, n_flips):
         "wav": lambda: mm.encode_wav(sig),
         "adpcm": lambda: mm.encode_adpcm_wav(sig),
         "avi": lambda: mm.encode_avi(frames),
+        "webp": lambda: __import__(
+            "etl_caltopo_spark.llm.vp8l", fromlist=["encode_webp_lossless"]
+        ).encode_webp_lossless(img, subtract_green=bool(seed % 2)),
     }
     buf = bytearray(payloads[kind]())
     for _ in range(n_flips):
