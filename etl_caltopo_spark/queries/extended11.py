@@ -379,3 +379,270 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
         ).alias("revenue"),
     )
+
+
+@query(
+    "q_js_divergence",
+    oracle=r"""
+    WITH toks AS (
+        SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+'))
+                   AS w
+        FROM documents
+    ), tok AS (
+        SELECT source, w FROM toks WHERE w <> ''
+    ), sc AS (
+        SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2
+    ), cc AS (
+        SELECT w, count(*) AS d FROM tok GROUP BY 1
+    ), totals AS (
+        SELECT (SELECT count(*) FROM tok) AS big_t
+    ), st AS (
+        SELECT source, sum(c) AS ts FROM sc GROUP BY source
+    ), terms AS (
+        SELECT sc.source,
+               0.5 * (sc.c / st.ts)
+                   * (ln(2 * sc.c * totals.big_t)
+                      - ln(sc.c * totals.big_t + cc.d * st.ts)) AS p_term,
+               0.5 * (cc.d / totals.big_t)
+                   * (ln(2 * cc.d * st.ts)
+                      - ln(sc.c * totals.big_t + cc.d * st.ts)) AS q_term,
+               cc.d AS d
+        FROM sc
+        JOIN cc USING (w)
+        JOIN st USING (source), totals
+    )
+    SELECT source,
+           CAST(any_value(st.ts) AS BIGINT) AS n_tokens,
+           floor((sum(p_term) + sum(q_term)
+                  + 0.5 * ln(2)
+                    * (1.0 - CAST(sum(d) AS DOUBLE)
+                             / any_value(totals.big_t))) * 10000) / 10000
+               AS jsd
+    FROM terms JOIN st USING (source), totals
+    GROUP BY source
+    """,
+)
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram distribution
+    from the whole-corpus distribution — the domain-drift metric a
+    corpus pipeline uses to spot outlier sources before mixing
+    (bounded in [0, ln 2], symmetric, defined even where KL is not).
+
+    The closed form keeps it joinable: for tokens PRESENT in the
+    source, both KL halves contribute; for the corpus tokens ABSENT
+    from the source, m = q/2 exactly, so their entire contribution
+    collapses to ½·ln2·(missing corpus mass) — no full-vocabulary
+    per-source join, just the source's own tokens plus one scalar.
+
+    Exactness: every ln argument is an exactly-representable integer
+    (count products < 2^53), so both engines see identical doubles;
+    weights are integer ratios; the 4-dp floor absorbs summation-order
+    drift (q_word_entropy libm policy).
+
+    Scale shape: two partial-agg shuffles (per-source and corpus term
+    counts), one equi-join on the token, per-source rollup.  The
+    corpus count table is vocabulary-sized (Heaps' law — sublinear in
+    corpus size)."""
+    apply_runtime_conf(spark)
+    from etl_caltopo_spark.llm import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(text.tokens(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    sc = tok.groupBy("source", "w").agg(F.count("*").alias("c"))
+    cc = tok.groupBy("w").agg(F.count("*").alias("d"))
+    big_t = tok.count()  # one scalar — the corpus token count
+    st = sc.groupBy("source").agg(F.sum("c").alias("ts"))
+    j = sc.join(cc, "w").join(F.broadcast(st), "source")
+    denom_ln = F.log(F.col("c") * big_t + F.col("d") * F.col("ts"))
+    p_term = (
+        0.5 * (F.col("c") / F.col("ts"))
+        * (F.log(2 * F.col("c") * F.lit(big_t)) - denom_ln)
+    )
+    q_term = (
+        0.5 * (F.col("d") / F.lit(big_t))
+        * (F.log(2 * F.col("d") * F.col("ts")) - denom_ln)
+    )
+    import math
+
+    per = j.groupBy("source").agg(
+        F.any_value("ts").cast("bigint").alias("n_tokens"),
+        (
+            F.sum(p_term)
+            + F.sum(q_term)
+            + 0.5
+            * math.log(2.0)
+            * (1.0 - F.sum("d").cast("double") / big_t)
+        ).alias("_jsd"),
+    )
+    return per.select(
+        "source", "n_tokens", fround(F.col("_jsd"), 4).alias("jsd")
+    )
+
+
+@query(
+    "q_spearman",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+               CAST(round(l_discount * 100) AS BIGINT) AS y
+        FROM lineitem
+    ), xr AS (
+        SELECT x, CAST(2 * coalesce(sum(c) OVER (ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + c + 1 AS BIGINT) AS rx2
+        FROM (SELECT x, count(*) AS c FROM base GROUP BY x)
+    ), yr AS (
+        SELECT y, CAST(2 * coalesce(sum(c) OVER (ORDER BY y
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + c + 1 AS BIGINT) AS ry2
+        FROM (SELECT y, count(*) AS c FROM base GROUP BY y)
+    ), r AS (
+        SELECT rx2, ry2 FROM base JOIN xr USING (x) JOIN yr USING (y)
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(rx2) AS BIGINT) AS sx,
+               CAST(sum(ry2) AS BIGINT) AS sy,
+               CAST(sum(rx2 * ry2) AS BIGINT) AS sxy,
+               CAST(sum(rx2 * rx2) AS BIGINT) AS sxx,
+               CAST(sum(ry2 * ry2) AS BIGINT) AS syy
+        FROM r
+    )
+    SELECT n,
+           floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                 * 1000000) / 1000000 AS rho
+    FROM s
+    """,
+)
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (tie-aware, via Pearson on midranks)
+    between order quantity and discount — the distribution-free
+    dependence check an analyst runs before trusting a linear model.
+
+    Rank trick for exactness AND scale: both variables live on small
+    bounded grids (quantity: 50 integers; discount: 11 cents values),
+    so midranks come from cumulative counts over the DISTINCT-value
+    table (the q_auc bounded-domain argument — the ordered pass never
+    touches row-level data), and rows get their ranks back through two
+    broadcast joins.  Doubled midranks (2r is always an integer) keep
+    every aggregate an exact int64; the doubling cancels in the
+    Pearson quotient.  The final formula runs on doubles cast from
+    identical integers, so both engines produce the identical value
+    before the 6-dp floor.  int64 bound: sum(rx2^2) <= 4n^3 — safe
+    through ~1.3e9 rows; beyond that the partial sums move to DECIMAL
+    or the formula to centered doubles."""
+    apply_runtime_conf(spark)
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.round("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("y"),
+    )
+
+    def midranks2(df, col):
+        counts = df.groupBy(col).agg(F.count("*").alias("c"))
+        w = (
+            Window.orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return counts.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("c").over(w), F.lit(0))
+                + F.col("c")
+                + 1
+            ).cast("bigint").alias(f"r{col}2"),
+        )
+
+    r = base.join(F.broadcast(midranks2(base, "x")), "x").join(
+        F.broadcast(midranks2(base, "y")), "y"
+    )
+    s = r.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("rx2").cast("bigint").alias("sx"),
+        F.sum("ry2").cast("bigint").alias("sy"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("bigint").alias("sxy"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("bigint").alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    rho = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / F.sqrt(
+        (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return s.select("n", fround(rho, 6).alias("rho"))
+
+
+@query(
+    "q_gini_vocab",
+    oracle=r"""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        FROM documents
+    ), vc AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS n
+        FROM toks WHERE w <> '' GROUP BY w
+    ), ranked AS (
+        SELECT n, row_number() OVER (ORDER BY n, w) AS i FROM vc
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS v,
+               CAST(sum(n) AS BIGINT) AS total,
+               CAST(sum(i * n) AS BIGINT) AS weighted
+        FROM ranked
+    )
+    SELECT v AS vocab_size, total AS n_tokens,
+           floor((2.0 * weighted / (CAST(v AS DOUBLE) * total)
+                  - (v + 1.0) / v) * 1000000) / 1000000 AS gini
+    FROM s
+    """,
+)
+def q_gini_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the corpus token-frequency distribution —
+    the vocabulary-concentration signal (0 = uniform usage, → 1 = a
+    few tokens dominate) that complements q_zipf_slope for corpus
+    profiling: natural text sits near 0.6-0.8, boilerplate floods push
+    higher.
+
+    Formula: with frequencies sorted ascending, G = 2·Σ(i·n_i)/(V·T)
+    − (V+1)/V — every aggregate is an exact int64 (row_number ties
+    broken by token for determinism), so both engines divide identical
+    integers; one 6-dp floor at the end.
+
+    Scale shape: corpus-wide partial-agg term count, then the ordered
+    pass runs over the VOCABULARY table, not the corpus — sublinear in
+    corpus size (Heaps' law), the same bounded-domain argument as
+    q_auc.  At 100 TB the vocab rollup is the only single-ordered
+    stage and it is millions of rows, not trillions."""
+    apply_runtime_conf(spark)
+    from pyspark.sql.window import Window
+
+    from etl_caltopo_spark.llm import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    vc = (
+        docs.select(F.explode(text.tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    ranked = vc.select(
+        "n", F.row_number().over(Window.orderBy("n", "w")).alias("i")
+    )
+    s = ranked.agg(
+        F.count("*").cast("bigint").alias("v"),
+        F.sum("n").cast("bigint").alias("total"),
+        F.sum(F.col("i") * F.col("n")).cast("bigint").alias("weighted"),
+    )
+    gini = (
+        2.0 * F.col("weighted") / (F.col("v").cast("double") * F.col("total"))
+        - (F.col("v") + 1.0) / F.col("v")
+    )
+    return s.select(
+        F.col("v").alias("vocab_size"),
+        F.col("total").alias("n_tokens"),
+        fround(gini, 6).alias("gini"),
+    )

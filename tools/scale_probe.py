@@ -98,6 +98,10 @@ PROBE_QUERIES = [
     "q_winnowing",
     "q_winnowing_overlap",
     "q_join_skew_salted",
+    "q_js_divergence",
+    "q_spearman",
+    "q_gini_vocab",
+    "q_silhouette",
 ]
 
 
