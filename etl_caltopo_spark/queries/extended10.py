@@ -1399,11 +1399,12 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY event_type
     ), u AS (
         SELECT event_type, n,
-               ((CAST(list_sum(list_transform(
+               (((CAST(list_sum(list_transform(
                      range(1, length(event_type) + 1),
                      j -> ascii(event_type[CAST(j AS INT)])
                           * (((j * 2654435761) + 40503) % 65536)))
-                 AS BIGINT) * 2654435761) % 4294967296 + 0.5) / 4294967296.0
+                 AS BIGINT) % 2147483647)
+                 * 2654435761) % 4294967296 + 0.5) / 4294967296.0
                    AS draw
         FROM g
     )
@@ -1445,7 +1446,11 @@ def q_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
-    draw = ((code_weighted * 2654435761) % 4294967296 + 0.5) / 4294967296.0
+    # pre-reduce mod 2^31-1 before the multiply (int64-overflow guard —
+    # identity for the bounded event_type enum, mirrored in the oracle)
+    draw = (
+        ((code_weighted % 2147483647) * 2654435761) % 4294967296 + 0.5
+    ) / 4294967296.0
     v = draw - 0.5
     z = F.when(v >= 0, -1.0 * F.log(1 - 2 * v)).otherwise(
         1.0 * F.log(1 - 2 * (-v))

@@ -646,3 +646,104 @@ def q_gini_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").alias("n_tokens"),
         fround(gini, 6).alias("gini"),
     )
+
+
+@query(
+    "q_kendall_tau",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+               CAST(round(l_discount * 100) AS BIGINT) AS y
+        FROM lineitem
+    ), joint AS (
+        SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY x, y
+    ), pq AS (
+        SELECT
+            CAST(sum(CASE WHEN a.x < b.x AND a.y < b.y
+                          THEN a.c * b.c ELSE 0 END) AS BIGINT) AS p,
+            CAST(sum(CASE WHEN a.x < b.x AND a.y > b.y
+                          THEN a.c * b.c ELSE 0 END) AS BIGINT) AS q
+        FROM joint a, joint b
+    ), n AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM base
+    ), tx AS (
+        SELECT CAST(sum(cx * (cx - 1) / 2) AS BIGINT) AS n1
+        FROM (SELECT x, count(*) AS cx FROM base GROUP BY x)
+    ), ty AS (
+        SELECT CAST(sum(cy * (cy - 1) / 2) AS BIGINT) AS n2
+        FROM (SELECT y, count(*) AS cy FROM base GROUP BY y)
+    )
+    SELECT n.n,
+           floor((CAST(p AS DOUBLE) - q)
+                 / sqrt((CAST(n.n AS DOUBLE) * (n.n - 1) / 2 - tx.n1)
+                        * (CAST(n.n AS DOUBLE) * (n.n - 1) / 2 - ty.n2))
+                 * 1000000) / 1000000 AS tau_b
+    FROM pq, n, tx, ty
+    """,
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b (tie-corrected concordance) between quantity
+    and discount — the ordinal-association sibling of q_spearman,
+    computed WITHOUT touching row pairs: both variables live on
+    bounded grids (50 x 11), so concordant/discordant pair counts come
+    from the 550-cell JOINT histogram crossed with itself (~302k cell
+    pairs — constant in corpus size, each contributing c_a * c_b).
+
+    Every aggregate is an exact int64 (P, Q, tie corrections, N0); the
+    final quotient runs on doubles cast from identical integers in
+    both engines, one 6-dp floor.  Scale shape: ONE partial-agg
+    shuffle to the joint grid, a grid x grid broadcast join, and two
+    tiny tie rollups — O(n) + O(grid²), versus the textbook O(n²)
+    pair scan."""
+    apply_runtime_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.round("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("y"),
+    )
+    joint = base.groupBy("x", "y").agg(F.count("*").cast("bigint").alias("c"))
+    a = joint.select(
+        F.col("x").alias("xa"), F.col("y").alias("ya"), F.col("c").alias("ca")
+    )
+    b = joint.select(
+        F.col("x").alias("xb"), F.col("y").alias("yb"), F.col("c").alias("cb")
+    )
+    pq = a.crossJoin(F.broadcast(b)).agg(
+        F.sum(
+            F.when(
+                (F.col("xa") < F.col("xb")) & (F.col("ya") < F.col("yb")),
+                F.col("ca") * F.col("cb"),
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias("p"),
+        F.sum(
+            F.when(
+                (F.col("xa") < F.col("xb")) & (F.col("ya") > F.col("yb")),
+                F.col("ca") * F.col("cb"),
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias("q"),
+    )
+    n_row = base.agg(F.count("*").cast("bigint").alias("n"))
+    tx = (
+        base.groupBy("x")
+        .agg(F.count("*").alias("cx"))
+        .agg(
+            F.sum(F.col("cx") * (F.col("cx") - 1) / 2)
+            .cast("bigint")
+            .alias("n1")
+        )
+    )
+    ty = (
+        base.groupBy("y")
+        .agg(F.count("*").alias("cy"))
+        .agg(
+            F.sum(F.col("cy") * (F.col("cy") - 1) / 2)
+            .cast("bigint")
+            .alias("n2")
+        )
+    )
+    joined = pq.crossJoin(n_row).crossJoin(tx).crossJoin(ty)
+    n0 = F.col("n").cast("double") * (F.col("n") - 1) / 2
+    tau = (F.col("p").cast("double") - F.col("q")) / F.sqrt(
+        (n0 - F.col("n1")) * (n0 - F.col("n2"))
+    )
+    return joined.select("n", fround(tau, 6).alias("tau_b"))

@@ -102,6 +102,7 @@ PROBE_QUERIES = [
     "q_spearman",
     "q_gini_vocab",
     "q_silhouette",
+    "q_kendall_tau",
 ]
 
 
