@@ -52,25 +52,48 @@ _DIST_MAP = (
 
 
 class _BitReader:
-    """LSB-first bit reader over a bytes payload."""
+    """LSB-first bit reader over a bytes payload — buffered, with
+    ``peek``/``skip`` so prefix codes decode via one table lookup
+    instead of bit-by-bit tree walking (the pure-python hot loop)."""
 
-    __slots__ = ("data", "pos", "bit")
+    __slots__ = ("data", "pos", "acc", "nacc", "consumed", "total")
 
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
-        self.bit = 0
+        self.acc = 0
+        self.nacc = 0
+        self.consumed = 0
+        self.total = len(data) * 8
+
+    def _fill(self, n: int) -> None:
+        data, pos = self.data, self.pos
+        while self.nacc < n and pos < len(data):
+            self.acc |= data[pos] << self.nacc
+            self.nacc += 8
+            pos += 1
+        self.pos = pos
+
+    def peek(self, n: int) -> int:
+        """Next ``n`` bits (first stream bit in the LSB), zero-padded
+        past the end of the payload — pair with :meth:`skip`, which
+        raises on true overrun."""
+        if self.nacc < n:
+            self._fill(n)
+        return self.acc & ((1 << n) - 1)
+
+    def skip(self, n: int) -> None:
+        if self.consumed + n > self.total:
+            raise ValueError("bitstream exhausted")
+        self.consumed += n
+        if self.nacc < n:
+            self._fill(n)
+        self.acc >>= n
+        self.nacc -= n
 
     def read(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            if self.pos >= len(self.data):
-                raise ValueError("bitstream exhausted")
-            v |= ((self.data[self.pos] >> self.bit) & 1) << i
-            self.bit += 1
-            if self.bit == 8:
-                self.bit = 0
-                self.pos += 1
+        v = self.peek(n)
+        self.skip(n)
         return v
 
 
@@ -97,34 +120,54 @@ def _canonical_table(lengths) -> dict[tuple[int, int], int]:
 
 
 class _PrefixCode:
-    """Decodable prefix code: canonical table or 0-bit single symbol."""
+    """Decodable prefix code: 0-bit single symbol, or a flat LUT over
+    ``max_len`` peeked bits (entry = sym·16 + code_length) — one peek +
+    one skip per symbol instead of a bit-by-bit tree walk."""
 
-    __slots__ = ("table", "single")
+    __slots__ = ("single", "lut", "max_len")
 
     def __init__(self, lengths=None, single: int | None = None):
         self.single = single
-        self.table = _canonical_table(lengths) if lengths is not None else {}
-        if lengths is not None:
-            used = [ln for ln in lengths if ln]
-            if len(used) == 1:
-                # one-symbol code: decoded with zero bits (spec allows)
-                self.single = lengths.index(used[0])
-                self.table = {}
-            elif used:
-                kraft = sum(2.0 ** -ln for ln in used)
-                if abs(kraft - 1.0) > 1e-9:
-                    raise ValueError("incomplete prefix code")
+        self.lut = None
+        self.max_len = 0
+        if lengths is None:
+            return
+        used = [ln for ln in lengths if ln]
+        if len(used) == 1:
+            # one-symbol code: decoded with zero bits (spec allows)
+            self.single = lengths.index(used[0])
+            return
+        if used:
+            kraft = sum(2.0 ** -ln for ln in used)
+            if abs(kraft - 1.0) > 1e-9:
+                raise ValueError("incomplete prefix code")
+        table = _canonical_table(lengths)
+        L = max(ln for ln, _ in table)
+        if L > 15:
+            raise ValueError("code length above VP8L maximum")
+        self.max_len = L
+        lut = [0] * (1 << L)
+        for (ln, code), sym in table.items():
+            # the code's MSB is the FIRST stream bit → the stream
+            # pattern is the bit-reverse of the code value
+            pattern = 0
+            for i in range(ln):
+                pattern |= ((code >> i) & 1) << (ln - 1 - i)
+            step = 1 << ln
+            entry = sym * 16 + ln
+            for k in range(pattern, 1 << L, step):
+                lut[k] = entry
+        self.lut = lut
 
     def decode(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
-        code = 0
-        for length in range(1, 16):
-            code = (code << 1) | br.read(1)
-            sym = self.table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("bad prefix code")
+        entry = self.lut[br.peek(self.max_len)]
+        ln = entry & 15
+        if ln == 0:
+            raise ValueError("bad prefix code")
+        br.skip(ln)
+        return entry >> 4
 
 
 def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
