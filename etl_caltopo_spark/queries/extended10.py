@@ -375,8 +375,11 @@ def q_image_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payloads.append(multimodal.encode_ppm(img))
                 elif k == 1:
                     fmts.append("png")
+                    # (d // 5) % 5 — with the 5-format cycle, d % 5 is
+                    # constant for PNG docs; divide first so all five
+                    # scanline filters keep cycling across assets
                     payloads.append(
-                        multimodal.encode_png(img, filter_type=d % 5)
+                        multimodal.encode_png(img, filter_type=(d // 5) % 5)
                     )
                 elif k == 2:
                     fmts.append("bmp")

@@ -351,7 +351,14 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The salt is derived (mod — no RNG), so the plan is replayable and
     this id stays hash-graded; the aggregate collapses the salt, so
-    result equality IS the correctness proof of the rewrite."""
+    result equality IS the correctness proof of the rewrite.
+
+    Measured honestly (SCALING.md salted-join ladder): at local-box
+    scale the salted plan LOSES to the plain join even under a forced
+    50%-hot key — the hot task costs less than 8x dim replication.
+    The crossover is a cluster property (a key too big for ONE task's
+    acceptable wall time); this id grades the exactness of the rewrite
+    you must have ready before that point, not a local speedup."""
     apply_runtime_conf(spark)
     n_salt = 8
     li = load_table(spark, sf_dir, "lineitem").select(

@@ -27,6 +27,11 @@ EXTRA = [
     "q_bloom_portable", "q_cdc_chunk", "q_global_shuffle", "q_hash_embed",
     "q_pq_encode", "q_kmeans_converge", "q_ann_recall_eval",
     "q_spatial_cell_join", "q_auc", "q_minhash_accuracy",
+    # round-5 re-blocked graded plans + new ids
+    "q_dedup_jaccard", "q_dedup_embed", "q_knn_classify",
+    "q_winnowing", "q_winnowing_overlap", "q_join_skew_salted",
+    "q_silhouette", "q_js_divergence", "q_spearman", "q_gini_vocab",
+    "q_kendall_tau", "q_image_formats",
 ]
 
 

@@ -157,6 +157,54 @@ def main() -> None:
         spark.conf.unset(k)
     set_conf(**{"spark.sql.adaptive.skewJoin.enabled": "true"})
 
+    # Salted-join ladder (round 5, q_join_skew_salted): under the hot
+    # orderkey (50% of lineitem on ONE key) with joins forced to
+    # sort-merge and AQE skew splitting disabled — the regime where the
+    # manual mitigation is the only one left — compare the plain
+    # fact-dim join+agg against the 8-way salted plan.  Both produce
+    # identical aggregates (hash-graded); the delta is pure placement.
+    def plain_join_agg(sf_dir):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        return (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                ).alias("revenue"),
+            )
+        )
+
+    def time_df(build, sf_dir):
+        build(sf_dir).count()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            build(sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    salt_conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "false",
+    }
+    set_conf(**salt_conf)
+    salted = REGISTRY["q_join_skew_salted"].fn
+    tp = time_df(plain_join_agg, skew_dir)
+    tsalt = time_df(lambda d: salted(spark, d), skew_dir)
+    print(f"| plain join+agg (hot key) | - | {tp:.2f} | forced SMJ, skew split OFF |")
+    print(f"| q_join_skew_salted (hot key) | - | {tsalt:.2f} | forced SMJ, skew split OFF |")
+    for k in salt_conf:
+        spark.conf.unset(k)
+    set_conf(**{"spark.sql.adaptive.skewJoin.enabled": "true"})
+
 
 if __name__ == "__main__":
     main()
