@@ -876,3 +876,95 @@ def q_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_join(views, clicks, "user_id", how="left_outer").select(
         "view_id", "click_id", "user_id"
     )
+
+
+@query(
+    "q_stream_topk",
+    oracle="""
+    SELECT event_id, event_type, value
+    FROM events
+    ORDER BY value DESC, event_id
+    LIMIT 10
+    """,
+)
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k maintenance graded by hash — the seventh
+    streaming-protocol id: a parquet STORE holds the current top-10
+    events by value (ties broken by event_id, a total order), and each
+    micro-batch merges its own local top-10 into the store via
+    foreachBatch (top-k is a monoid: union → re-limit — the same
+    mergeability argument as q_stream_incr_rollup's partial sums).
+    Runs as a REAL two-phase availableNow protocol with multiple
+    micro-batches per phase (maxFilesPerTrigger); phase 2 resumes from
+    committed offsets, so a dropped batch or a replay breaks the hash
+    against the whole-table batch ORDER BY ... LIMIT 10 oracle.
+
+    Scale shape: each micro-batch computes its local top-k with
+    TakeOrderedAndProject (no global sort), and the merge touches
+    2k rows — the store stays k rows forever.  This is how a 100 TB
+    stream keeps a leaderboard fresh without ever re-scanning
+    history."""
+    apply_runtime_conf(spark)
+    import os
+    import shutil
+    import tempfile
+
+    K = 10
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) / 2
+    mid_lit = F.lit(mid.isoformat(sep=" ")).cast("timestamp_ntz")
+    tmp = tempfile.mkdtemp(prefix="q_stream_topk_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        ev.filter(F.col("ts") < mid_lit).repartition(4).write.parquet(
+            os.path.join(tmp, "b1")
+        )
+        ev.filter(F.col("ts") >= mid_lit).repartition(4).write.parquet(
+            os.path.join(tmp, "b2")
+        )
+        schema = spark.read.parquet(os.path.join(tmp, "b1")).schema
+        store = os.path.join(tmp, "store")
+
+        def topk(df: DataFrame) -> DataFrame:
+            return (
+                df.select("event_id", "event_type", "value")
+                .orderBy(F.col("value").desc(), F.col("event_id"))
+                .limit(K)
+            )
+
+        def upsert(batch: DataFrame, _epoch_id: int) -> None:
+            delta = topk(batch)
+            if os.path.exists(store):
+                merged = topk(spark.read.parquet(store).unionByName(delta))
+            else:
+                merged = delta
+            staged = merged.localCheckpoint()
+            staged.write.mode("overwrite").parquet(store)
+
+        for i, bdir in enumerate(("b1", "b2")):
+            for f in os.listdir(os.path.join(tmp, bdir)):
+                if f.endswith(".parquet"):
+                    shutil.copy(
+                        os.path.join(tmp, bdir, f), os.path.join(src, f"{i}_{f}")
+                    )
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(src)
+            )
+            q = (
+                stream.writeStream.foreachBatch(upsert)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        final = spark.read.parquet(store)
+        out = spark.createDataFrame(final.collect(), final.schema)
+        return out.select("event_id", "event_type", "value")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -395,3 +395,32 @@ def test_stream_interval_join_crosses_restart(spark):
     # at least one match pairs an even (phase-1) id with an odd
     # (phase-2) id — the state-survival witness
     assert any((a % 2) != (b % 2) for a, b in got)
+
+
+def test_stream_topk_protocol_crosses_restart(spark, sf_dir):
+    """The q_stream_topk two-phase protocol must actually exercise
+    cross-restart merging (the r4 interval-join lesson: verify the
+    protocol does what it claims): the final top-10 must contain
+    events from BOTH availableNow phases, so a store that forgot
+    phase 1 or a replayed phase 2 breaks the graded hash."""
+    from etl_caltopo_spark.io import load_table
+    from etl_caltopo_spark.queries import REGISTRY
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    mid = b["lo"] + (b["hi"] - b["lo"]) / 2
+    got = REGISTRY["q_stream_topk"].fn(spark, sf_dir).collect()
+    assert len(got) == 10
+    ids = [r["event_id"] for r in got]
+    ts_by_id = {
+        r["event_id"]: r["ts"]
+        for r in ev.filter(F.col("event_id").isin(ids)).collect()
+    }
+    phase1 = sum(1 for i in ids if ts_by_id[i] < mid)
+    assert 0 < phase1 < 10, f"top-10 all in one phase ({phase1}/10)"
+    # and the store equals the batch top-10 exactly
+    batch = [
+        (r["event_id"], r["value"])
+        for r in ev.orderBy(F.col("value").desc(), "event_id").limit(10).collect()
+    ]
+    assert sorted((r["event_id"], r["value"]) for r in got) == sorted(batch)

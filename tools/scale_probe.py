@@ -103,6 +103,7 @@ PROBE_QUERIES = [
     "q_gini_vocab",
     "q_silhouette",
     "q_kendall_tau",
+    "q_stream_topk",
 ]
 
 
