@@ -745,14 +745,12 @@ def encode_webp_lossless(pixels, subtract_green: bool = False) -> bytes:
     bw.write(0, 1)  # 1-bit first symbol
     bw.write(0, 1)  # symbol 0
     # literals: green, red, blue, alpha — 8 bits each, code == value
-    gid = (256, 8)
     for y in range(h):
         for x in range(w):
             _emit(bw, (int(g[y, x]), 8))
             _emit(bw, (int(r[y, x]), 8))
             _emit(bw, (int(b[y, x]), 8))
             _emit(bw, (int(a[y, x]), 8))
-    del gid
     data = bw.done()
     chunk = b"VP8L" + struct.pack("<I", len(data)) + data
     if len(data) % 2:
