@@ -27,23 +27,28 @@ MH_A = (131, 1031, 8101, 65537, 524287, 100003, 999983, 4493)
 MH_B = (7, 911, 5021, 30011, 70001, 110017, 2029, 65111)
 
 
-def portable_string_hash(col_name: str) -> Column:
-    """Engine-portable string fingerprint: position-weighted code-point
-    sum mod 2³¹−1.  The DuckDB mirror is
-    :func:`portable_string_hash_sql` with the same weights and
-    modulus."""
+def portable_string_hash_col(col: Column) -> Column:
+    """Column-expression form of :func:`portable_string_hash` — usable
+    inside higher-order-function lambdas (transform/aggregate) where
+    only a Column, not a name, is in scope."""
     code_weighted = F.aggregate(
         F.transform(
-            F.sequence(F.lit(1), F.length(col_name)),
-            lambda jj: F.ascii(F.col(col_name).substr(jj, F.lit(1))).cast(
-                "long"
-            )
+            F.sequence(F.lit(1), F.length(col)),
+            lambda jj: F.ascii(col.substr(jj, F.lit(1))).cast("long")
             * ((jj.cast("long") * 2654435761 + 40503) % 65536),
         ),
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
     return code_weighted % MH_P
+
+
+def portable_string_hash(col_name: str) -> Column:
+    """Engine-portable string fingerprint: position-weighted code-point
+    sum mod 2³¹−1.  The DuckDB mirror is
+    :func:`portable_string_hash_sql` with the same weights and
+    modulus."""
+    return portable_string_hash_col(F.col(col_name))
 
 
 def portable_string_hash_sql(var: str) -> str:

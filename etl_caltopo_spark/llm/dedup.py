@@ -23,7 +23,7 @@ from etl_caltopo_spark.functions.numeric import fround
 from etl_caltopo_spark.functions.portable import (
     MH_P,
     minhash_signature_cols,
-    portable_string_hash,
+    portable_string_hash_col,
 )
 from etl_caltopo_spark.llm.text import tokens
 
@@ -232,14 +232,33 @@ def minhash_banded_jaccard_pairs(
     |block|² over a key with O(1) distinct values — per-block pair
     work stays bounded as the corpus grows.  Both candidate
     generation and verification are equi-join + array expressions;
-    deterministic in both engines, so the id stays hash-graded."""
+    deterministic in both engines, so the id stays hash-graded.
+
+    Representation: shingle STRINGS are hashed once into a compact
+    distinct int-array per doc (the near_duplicates caching rule —
+    never persist or join string arrays), and BOTH the MinHash
+    signatures and the exact-Jaccard verify run over those
+    fingerprints.  The portable hash is replayed by the oracle, so the
+    (astronomically rare, ~2⁻³¹) fingerprint collisions are shared by
+    both engines and the grade is unaffected."""
+    import os
+
+    # same plan-observability escape hatch as near_duplicates: under
+    # tools/dump_plans.py skip persist/localCheckpoint so the banded
+    # candidate plan stays reviewable
+    lazy = os.environ.get("SPARK_GRAFT_LAZY_PLANS") == "1"
     base = df.select(
         F.col(id_col).alias("_id"),
-        shingles(F.col(text_col), shingle_n).alias("_sh"),
+        F.array_distinct(
+            F.transform(
+                shingles(F.col(text_col), shingle_n),
+                portable_string_hash_col,
+            )
+        ).alias("_sh"),
     )
-    fp = base.select(
-        "_id", F.explode("_sh").alias("_shingle")
-    ).select("_id", portable_string_hash("_shingle").alias("x"))
+    if not lazy:
+        base = base.persist()
+    fp = base.select("_id", F.explode("_sh").alias("x"))
     sig = fp.groupBy("_id").agg(*minhash_signature_cols("x"))
     bands = F.array(
         *[
@@ -273,11 +292,19 @@ def minhash_banded_jaccard_pairs(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
+    out = (
         verified.withColumn("jaccard", fround(inter / union, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if lazy:
+        return out
+    # materialize eagerly, then release the fingerprint cache — same
+    # leak discipline as near_duplicates (repeated calls in a
+    # long-lived session must not accumulate persisted tables)
+    out = out.localCheckpoint(eager=True)
+    base.unpersist()
+    return out
 
 
 def connected_components(

@@ -75,17 +75,21 @@ def _banded_jaccard_oracle() -> str:
     WITH t AS (
         SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
         FROM documents
-    ), sets AS (
+    ), shs AS (
         SELECT doc_id,
                list_distinct(list_transform(
                    range(1, greatest(len(ts) - 2, 1) + 1),
                    i -> array_to_string(ts[i:i+2], ' ')
-               )) AS sh
+               )) AS strs
         FROM t
     ), sh AS (
-        SELECT doc_id, unnest(sh) AS shingle FROM sets
+        SELECT doc_id, unnest(strs) AS shingle FROM shs
     ), fp AS (
         SELECT doc_id, {portable_string_hash_sql("shingle")} AS x FROM sh
+    ), sets AS (
+        -- verify runs over the DISTINCT portable fingerprints (the
+        -- compact int representation the engine caches and joins)
+        SELECT doc_id, list(DISTINCT x) AS sh FROM fp GROUP BY doc_id
     ), sig AS (
         SELECT doc_id, {minhash_signature_sql("x")} FROM fp GROUP BY doc_id
     ), banded AS (
