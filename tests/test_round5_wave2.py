@@ -1,0 +1,235 @@
+"""Round-5 wave-2 operator properties: distribution tests against
+pure-python references, PSI null-case, MI planted-signal recovery,
+Z-order bijectivity, and the quantile-sketch error guarantee."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from etl_caltopo_spark.io import load_table
+from etl_caltopo_spark.queries import REGISTRY
+
+
+def _two_sample_rows(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    rows = li.select(
+        F.round("l_quantity").cast("bigint").alias("x"), "l_returnflag"
+    ).collect()
+    xs_a = sorted(r["x"] for r in rows if r["l_returnflag"] == "A")
+    xs_b = sorted(r["x"] for r in rows if r["l_returnflag"] == "R")
+    return xs_a, xs_b
+
+
+def _python_ks(xs_a, xs_b):
+    import bisect
+
+    grid = sorted(set(xs_a) | set(xs_b))
+    na, nb = len(xs_a), len(xs_b)
+    return max(
+        abs(bisect.bisect_right(xs_a, g) / na - bisect.bisect_right(xs_b, g) / nb)
+        for g in grid
+    )
+
+
+def _python_mann_whitney_u1(xs_a, xs_b):
+    """U for group A via midranks over the pooled sample."""
+    pooled = sorted(xs_a + xs_b)
+    # midrank of value v = (first_idx + last_idx) / 2 + 1
+    import bisect
+
+    def midrank(v):
+        lo = bisect.bisect_left(pooled, v)
+        hi = bisect.bisect_right(pooled, v) - 1
+        return (lo + hi) / 2 + 1
+
+    r1 = sum(midrank(v) for v in xs_a)
+    n1 = len(xs_a)
+    return r1 - n1 * (n1 + 1) / 2
+
+
+def test_ks_and_u_match_python_reference(spark, sf_dir):
+    xs_a, xs_b = _two_sample_rows(spark, sf_dir)
+
+    got = REGISTRY["q_ks_test"].fn(spark, sf_dir).collect()[0]
+    want = _python_ks(xs_a, xs_b)
+    assert got["n_a"] == len(xs_a) and got["n_b"] == len(xs_b)
+    assert abs(got["ks_d"] - want) < 2e-6, (got["ks_d"], want)
+
+    got_u = REGISTRY["q_mann_whitney"].fn(spark, sf_dir).collect()[0]
+    want_u1 = _python_mann_whitney_u1(xs_a, xs_b)
+    assert got_u["u1"] == want_u1, (got_u["u1"], want_u1)
+    assert got_u["u1"] + got_u["u2"] == len(xs_a) * len(xs_b)
+
+
+def test_psi_zero_on_identical_splits(spark, tmp_path):
+    """PSI of two identical length distributions is exactly 0: with
+    c0 == c1 and T0 == T1 every smoothed term cancels."""
+    rows = [(2 * i + par, 100 + (i % 7) * 60) for i in range(50) for par in (0, 1)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    path = str(tmp_path / "psi")
+    df.write.mode("overwrite").parquet(path + "/documents.parquet")
+    out = REGISTRY["q_psi_drift"].fn(spark, path).collect()[0]
+    assert out["n_ref"] == out["n_cur"] == 50
+    assert out["psi"] == 0.0, out
+
+
+def test_psi_matches_python_reference(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    rows = docs.collect()
+    from collections import Counter
+
+    c0 = Counter(r["n_chars"] // 50 for r in rows if r["doc_id"] % 2 == 0)
+    c1 = Counter(r["n_chars"] // 50 for r in rows if r["doc_id"] % 2 == 1)
+    buckets = set(c0) | set(c1)
+    b = len(buckets)
+    t0, t1 = sum(c0.values()), sum(c1.values())
+    psi = sum(
+        ((c0[k] + 1) / (t0 + b) - (c1[k] + 1) / (t1 + b))
+        * math.log(((c0[k] + 1) * (t1 + b)) / ((c1[k] + 1) * (t0 + b)))
+        for k in buckets
+    )
+    got = REGISTRY["q_psi_drift"].fn(spark, sf_dir).collect()[0]
+    assert abs(got["psi"] - psi) < 2e-6, (got["psi"], psi)
+
+
+def test_mutual_info_recovers_planted_class_token(spark, tmp_path):
+    """A token that appears in every doc of one language and nowhere
+    else carries maximal MI with the class — it must rank first."""
+    rows = []
+    for i in range(30):
+        lang = "aa" if i % 2 == 0 else "bb"
+        text = "common words here " + ("marker" if lang == "aa" else "filler")
+        rows.append((i, text, lang))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    path = str(tmp_path / "mi")
+    df.write.mode("overwrite").parquet(path + "/documents.parquet")
+    out = REGISTRY["q_mutual_info"].fn(spark, path).collect()
+    # 'marker' and 'filler' are both perfect class indicators; the
+    # shared tokens carry zero MI.  Tie-break is lexicographic.
+    assert out[0]["token"] == "filler" and out[1]["token"] == "marker"
+    assert out[0]["mi"] == out[1]["mi"] > 0.6  # ln 2 - eps
+    shared = {r["token"]: r["mi"] for r in out if r["token"] in ("common", "words")}
+    assert all(v == 0.0 for v in shared.values())
+
+
+def test_seq_support_matches_python_reference(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    rows = ev.collect()
+    firsts: dict = {}
+    users = set()
+    for r in rows:
+        users.add(r["user_id"])
+        k = (r["user_id"], r["event_type"])
+        if k not in firsts or r["ts"] < firsts[k]:
+            firsts[k] = r["ts"]
+    from collections import Counter
+
+    want: Counter = Counter()
+    by_user: dict = {}
+    for (u, t), ts in firsts.items():
+        by_user.setdefault(u, []).append((t, ts))
+    for u, tl in by_user.items():
+        for ta, tsa in tl:
+            for tb, tsb in tl:
+                if ta != tb and tsa < tsb:
+                    want[(ta, tb)] += 1
+    got = {
+        (r["type_a"], r["type_b"]): (r["n"], r["support"])
+        for r in REGISTRY["q_seq_support"].fn(spark, sf_dir).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == dict(want)
+    for k, (n, sup) in got.items():
+        assert abs(sup - n / len(users)) < 2e-6
+
+
+def test_zorder_key_is_bijective_interleave(spark, sf_dir):
+    """De-interleaving the Morton key recovers (x, y) exactly — the
+    key is a bijection, so sorting by it is a lossless layout."""
+    out = REGISTRY["q_zorder_key"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out[:500]:
+        x = y = 0
+        for i in range(16):
+            x |= ((r["zkey"] >> (2 * i)) & 1) << i
+            y |= ((r["zkey"] >> (2 * i + 1)) & 1) << i
+        assert (x, y) == (r["x"], r["y"])
+        assert r["z_bucket"] == r["zkey"] >> 24
+
+
+def test_quantile_sketch_error_bound(spark, sf_dir):
+    """The histogram estimate must sit at or above the exact quantile
+    and within the published one-bin error bound."""
+    vals = sorted(
+        r["l_extendedprice"]
+        for r in load_table(spark, sf_dir, "lineitem")
+        .select("l_extendedprice")
+        .collect()
+    )
+    got = REGISTRY["q_quantile_sketch_portable"].fn(spark, sf_dir).collect()[0]
+    n = got["n"]
+    assert n == len(vals)
+    for q, col in ((0.5, "p50_est"), (0.9, "p90_est"), (0.99, "p99_est")):
+        exact = vals[math.ceil(q * n) - 1]
+        est = got[col]
+        assert exact <= est + 1e-6, (q, exact, est)
+        # floor of est loses <=1e-6; allow that on top of the bin width
+        assert est - exact <= got["max_err"] + 2e-6, (q, exact, est)
+
+
+def test_dp_histogram_noise_is_bounded_and_deterministic(spark, sf_dir):
+    a = {
+        r["bucket"]: r["noisy_count"]
+        for r in REGISTRY["q_dp_histogram"].fn(spark, sf_dir).collect()
+    }
+    b = {
+        r["bucket"]: r["noisy_count"]
+        for r in REGISTRY["q_dp_histogram"].fn(spark, sf_dir).collect()
+    }
+    assert a == b and a  # replayable release
+    raw = {
+        r["bucket"]: r["n"]
+        for r in REGISTRY["q_dp_histogram"].fn(spark, sf_dir).collect()
+    }
+    for k, noisy in a.items():
+        # Laplace(1) inverse-CDF of a (0,1) draw stays within ~22
+        assert abs(noisy - raw[k]) < 25, (k, noisy, raw[k])
+
+
+def test_graph_2hop_matches_python_reference(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    rows = li.collect()
+    from collections import defaultdict
+
+    by_order = defaultdict(set)
+    for r in rows:
+        by_order[r["l_orderkey"]].add(r["l_partkey"])
+    adj = defaultdict(set)
+    for parts in by_order.values():
+        for p in parts:
+            for q in parts:
+                if p != q:
+                    adj[p].add(q)
+    cap_ok = {p for p, nb in adj.items() if len(nb) <= 128}
+    want = {}
+    for a, nbs in adj.items():
+        two = set()
+        for m in nbs:
+            if m in cap_ok:
+                two |= adj[m]
+        two.discard(a)
+        two -= nbs
+        if two:
+            want[a] = len(two)
+    got = {
+        r["part"]: r["n_2hop"]
+        for r in REGISTRY["q_graph_2hop"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
