@@ -104,6 +104,13 @@ PROBE_QUERIES = [
     "q_silhouette",
     "q_kendall_tau",
     "q_stream_topk",
+    # round-5 wave-2 ids
+    "q_ks_test",
+    "q_mutual_info",
+    "q_seq_support",
+    "q_zorder_key",
+    "q_quantile_sketch_portable",
+    "q_graph_2hop",
 ]
 
 
