@@ -968,3 +968,98 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.select("event_id", "event_type", "value")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_stream_enrich",
+    oracle="""
+    WITH dim AS (
+        SELECT event_type,
+               CAST(row_number() OVER (ORDER BY event_type) AS BIGINT)
+                   AS type_rank
+        FROM (SELECT DISTINCT event_type FROM events)
+    )
+    SELECT e.event_id, e.event_type, d.type_rank
+    FROM events e JOIN dim d USING (event_type)
+    """,
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast-join enrichment through Spark's NATIVE
+    parquet streaming sink — the eighth streaming-protocol id, and the
+    first to grade the FileStreamSink path itself: every micro-batch
+    joins the stream against a small static dimension (broadcast, so
+    the join is map-side in every batch) and APPENDS to a parquet sink
+    whose _spark_metadata commit log provides exactly-once file
+    tracking.  Runs as a REAL two-phase availableNow protocol with
+    multiple micro-batches per phase; phase 2 resumes from the same
+    checkpoint + sink, so a replayed or dropped batch would surface as
+    duplicate/missing event_ids and break the hash against the batch
+    join oracle.
+
+    This is the canonical 100 TB enrichment topology: dimension tables
+    broadcast once per batch (no stream-side shuffle), the sink
+    partitions by arrival, and downstream batch readers see the
+    metadata-log view, never half-written files."""
+    apply_runtime_conf(spark)
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.row_number()
+            .over(Window.orderBy("event_type"))
+            .cast("bigint")
+            .alias("type_rank"),
+        )
+    )
+    bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) / 2
+    mid_lit = F.lit(mid.isoformat(sep=" ")).cast("timestamp_ntz")
+    tmp = tempfile.mkdtemp(prefix="q_stream_enrich_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        ev.filter(F.col("ts") < mid_lit).repartition(4).write.parquet(
+            os.path.join(tmp, "b1")
+        )
+        ev.filter(F.col("ts") >= mid_lit).repartition(4).write.parquet(
+            os.path.join(tmp, "b2")
+        )
+        schema = spark.read.parquet(os.path.join(tmp, "b1")).schema
+        sink = os.path.join(tmp, "sink")
+        for i, bdir in enumerate(("b1", "b2")):
+            for f in os.listdir(os.path.join(tmp, bdir)):
+                if f.endswith(".parquet"):
+                    shutil.copy(
+                        os.path.join(tmp, bdir, f), os.path.join(src, f"{i}_{f}")
+                    )
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(src)
+            )
+            enriched = stream.join(F.broadcast(dim), "event_type").select(
+                "event_id", "event_type", "type_rank"
+            )
+            q = (
+                enriched.writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        final = spark.read.parquet(sink)
+        out = spark.createDataFrame(final.collect(), final.schema)
+        return out.select("event_id", "event_type", "type_rank")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

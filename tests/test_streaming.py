@@ -424,3 +424,34 @@ def test_stream_topk_protocol_crosses_restart(spark, sf_dir):
         for r in ev.orderBy(F.col("value").desc(), "event_id").limit(10).collect()
     ]
     assert sorted((r["event_id"], r["value"]) for r in got) == sorted(batch)
+
+
+def test_stream_enrich_protocol_exactly_once_across_restart(spark, sf_dir):
+    """The q_stream_enrich native-sink protocol must deliver every
+    event exactly once across the two availableNow phases: no
+    duplicates (a replayed batch would double-append), no losses (a
+    forgotten phase would drop ids), and every row carries the correct
+    broadcast-dim rank."""
+    from etl_caltopo_spark.io import load_table
+    from etl_caltopo_spark.queries import REGISTRY
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    mid = b["lo"] + (b["hi"] - b["lo"]) / 2
+    got = REGISTRY["q_stream_enrich"].fn(spark, sf_dir).collect()
+    ids = [r["event_id"] for r in got]
+    assert len(ids) == len(set(ids)), "duplicate event_ids: replayed batch"
+    want = {r["event_id"]: r["event_type"] for r in ev.collect()}
+    assert set(ids) == set(want), "missing/extra ids across the restart"
+    ranks = sorted(
+        {r["event_type"] for r in got}
+    )
+    rank_of = {t: i + 1 for i, t in enumerate(ranks)}
+    for r in got:
+        assert r["type_rank"] == rank_of[r["event_type"]]
+    # both phases must be represented in the sink
+    ts_by_id = {r["event_id"]: r["ts"] for r in ev.collect()}
+    phase1 = sum(1 for i in ids if ts_by_id[i] < mid)
+    assert 0 < phase1 < len(ids), "sink holds only one phase"
