@@ -13,13 +13,15 @@ PCM16 and compressed IMA ADPCM forms (``encode_wav`` /
 ``encode_adpcm_wav`` / ``decode_wav`` / ``decode_audio``; the ADPCM
 nibble decoder is bit-exact vs stdlib audioop's reference), plus
 uncompressed AVI video (``encode_avi``/``decode_avi``/``decode_video``),
-and WebP lossless (VP8L — :mod:`etl_caltopo_spark.llm.vp8l`, full
-prefix-code/LZ77/color-cache/transform bitstream, tests/test_vp8l.py).
-``decode_image`` magic-sniffs and dispatches; formats still needing
-an external codec (lossy WebP, MP3, compressed video frames) return
-None under the dirty-row policy but run in the identical Spark-side
-contract (schemas, batch shapes, partitioning), all tested
-(tests/test_llm_ops.py).
+Motion-JPEG AVI (``encode_avi_mjpeg`` + the 'MJPG' branch of
+``decode_avi`` — real compressed video through the llm/jpeg.py
+codec), and WebP lossless (VP8L — :mod:`etl_caltopo_spark.llm.vp8l`,
+full prefix-code/LZ77/color-cache/transform bitstream,
+tests/test_vp8l.py).  ``decode_image`` magic-sniffs and dispatches;
+formats still needing an external codec (lossy WebP, MP3,
+non-MJPEG compressed video) return None under the dirty-row policy
+but run in the identical Spark-side contract (schemas, batch shapes,
+partitioning), all tested (tests/test_llm_ops.py).
 """
 
 from __future__ import annotations
@@ -741,6 +743,76 @@ def decode_wav(payload: bytes):
     return None
 
 
+#: 'MJPG' biCompression fourcc as the little-endian DWORD it is on disk
+_MJPG_FOURCC = int.from_bytes(b"MJPG", "little")
+
+
+def _avi_chunk(fourcc: bytes, body: bytes) -> bytes:
+    import struct
+
+    return fourcc + struct.pack("<I", len(body)) + body + (
+        b"\x00" if len(body) & 1 else b""
+    )
+
+
+def _avi_list(fourcc: bytes, body: bytes) -> bytes:
+    return _avi_chunk(b"LIST", fourcc + body)
+
+
+def _avi_container(
+    frame_chunks: list[bytes],
+    w: int,
+    h: int,
+    fps: int,
+    handler: bytes,
+    compression: int,
+    frame_size: int,
+) -> bytes:
+    """Assemble a minimal RIFF/AVI around pre-built frame chunks."""
+    import struct
+
+    n = len(frame_chunks)
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, frame_size * fps, 0, 0, n, 0, 1, frame_size, w, h,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + handler + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, fps, 0,
+                                        n, frame_size, 0, 0)
+        + struct.pack("<HHHH", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, compression, frame_size, 0, 0, 0, 0
+    )
+    hdrl = _avi_list(
+        b"hdrl",
+        _avi_chunk(b"avih", avih)
+        + _avi_list(b"strl", _avi_chunk(b"strh", strh) + _avi_chunk(b"strf", strf)),
+    )
+    movi = _avi_list(b"movi", b"".join(frame_chunks))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def encode_avi_mjpeg(frames, fps: int = 10) -> bytes:
+    """Encode an (N, H, W, 3) uint8 RGB frame stack as a Motion-JPEG
+    AVI: same RIFF container as :func:`encode_avi`, but the stream
+    handler is 'MJPG' and each '00dc' chunk is a complete baseline
+    JPEG (llm/jpeg.py encoder) — the ubiquitous legacy compressed
+    video format (webcams, capture cards).  Lossy only through JPEG
+    quantization; the container and entropy layers are bit-exact."""
+    import numpy as np
+
+    from etl_caltopo_spark.llm.jpeg import encode_jpeg
+
+    arr = np.asarray(frames, dtype=np.uint8)
+    _n, h, w, _ = arr.shape
+    chunks = [_avi_chunk(b"00dc", encode_jpeg(f)) for f in arr]
+    biggest = max(len(c) - 8 for c in chunks)
+    return _avi_container(chunks, w, h, fps, b"MJPG", _MJPG_FOURCC, biggest)
+
+
 def encode_avi(frames, fps: int = 10) -> bytes:
     """Encode an (N, H, W, 3) uint8 RGB frame stack as a minimal
     uncompressed AVI (RIFF container, 'DIB ' video stream, one '00db'
@@ -791,13 +863,14 @@ def encode_avi(frames, fps: int = 10) -> bytes:
 
 
 def decode_avi(payload: bytes):
-    """REAL decoder: uncompressed AVI ('DIB ' / 24-bit BITMAPINFO
-    stream) → (fps, (N, H, W, 3) uint8 RGB array).  Walks the RIFF
-    chunk tree for the stream format and the 'movi' frame chunks;
-    each '00db' frame is a bottom-up padded BGR raster (the BMP
-    layout).  Compressed streams ('00dc' with a non-DIB handler),
-    non-24-bit formats, or truncated payloads return None (dirty-row
-    policy)."""
+    """REAL decoder: AVI → (fps, (N, H, W, 3) uint8 RGB array) for
+    the two streams the repo's codecs cover — uncompressed 'DIB '
+    (each '00db' frame a bottom-up padded BGR raster, the BMP layout)
+    and Motion-JPEG ('MJPG' biCompression; each frame chunk a complete
+    baseline JPEG decoded by llm/jpeg.py).  Walks the RIFF chunk tree
+    for the stream format and the 'movi' frame chunks.  Other
+    compressed handlers, non-24-bit DIB formats, or truncated payloads
+    return None (dirty-row policy)."""
     import struct
 
     import numpy as np
@@ -839,10 +912,26 @@ def decode_avi(payload: bytes):
         walk(payload, 12, len(payload))
     except struct.error:
         return None
-    if not dims or dims["bpp"] != 24 or dims["comp"] != 0 or not frames:
+    if not dims or not frames:
         return None
     w, h = dims["w"], abs(dims["h"])
     if w <= 0 or h == 0:
+        return None
+    if dims["comp"] == _MJPG_FOURCC:
+        # Motion-JPEG stream: every frame chunk is a complete baseline
+        # JPEG.  Any frame whose entropy decode fails or whose decoded
+        # dims contradict the stream header poisons the whole payload
+        # (dirty-row policy — None, never a partial stack).
+        from etl_caltopo_spark.llm.jpeg import decode_jpeg
+
+        out = []
+        for raster in frames:
+            img = decode_jpeg(bytes(raster))
+            if img is None or img.ndim != 3 or img.shape[:2] != (h, w):
+                return None
+            out.append(img)
+        return (rate or 0), np.stack(out)
+    if dims["bpp"] != 24 or dims["comp"] != 0:
         return None
     stride = (w * 3 + 3) & ~3
     out = []

@@ -2477,3 +2477,77 @@ def q_lm_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score_backoff"
         ),
     )
+
+
+@query(
+    "q_video_mjpeg",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS asset_id,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST(8 + (doc_id % 5) * 4 AS BIGINT) AS width,
+           CAST(6 + (doc_id % 3) * 6 AS BIGINT) AS height,
+           TRUE AS decoded
+    FROM documents, UNNEST(range(0, 1 + doc_id % 3)) AS u(f)
+    """,
+)
+def q_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED video decode end-to-end under the oracle: the same
+    deterministic gradient frame stacks as q_video_frames are encoded
+    as Motion-JPEG AVI (multimodal.encode_avi_mjpeg — each '00dc'
+    chunk a complete baseline JPEG from llm/jpeg.py) and decoded back
+    frame-by-frame inside one Arrow-batched mapInPandas.  MJPEG is
+    lossy, so the graded columns are the LOSSLESS decode outputs —
+    per-frame dims, frame count, and decode success, which require the
+    full RIFF walk AND every frame's entropy decode to succeed (one
+    failed frame poisons the payload to a null row under the
+    dirty-row policy).  Pixel fidelity (quantization-bounded error) is
+    pinned in tests/test_llm_ops.py.
+
+    Scale shape: generate → decode is map-only with no shuffle; the
+    per-frame explode happens inside the Arrow batch; fan_out first so
+    codec work spreads across cores."""
+    apply_runtime_conf(spark)
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from etl_caltopo_spark.io import fan_out
+    from etl_caltopo_spark.llm import multimodal
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id"))
+    gen_schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 8 + (d % 5) * 4
+                h = 6 + (d % 3) * 6
+                n = 1 + d % 3
+                x = np.arange(w, dtype=np.uint16)[None, None, :, None]
+                y = np.arange(h, dtype=np.uint16)[None, :, None, None]
+                c = np.arange(3, dtype=np.uint16)[None, None, None, :]
+                f = np.arange(n, dtype=np.uint16)[:, None, None, None]
+                stack = (x + 2 * y + 85 * c + 9 * f).astype(np.uint8)
+                payloads.append(multimodal.encode_avi_mjpeg(stack, fps=10))
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
+
+    raw = docs.mapInPandas(gen, schema=gen_schema)
+    assets = multimodal.as_binary_assets(raw, "asset_id", F.col("payload"), "video")
+    decoded = multimodal.decode_video(assets)
+    return decoded.select(
+        "asset_id",
+        "frame_idx",
+        "width",
+        "height",
+        F.col("width").isNotNull().alias("decoded"),
+    )

@@ -82,7 +82,7 @@ def test_avi_roundtrip_any_shape(n, h, w, fps, seed):
 @settings(max_examples=30, deadline=None)
 @given(
     kind=st.sampled_from(
-        ["png", "ppm", "bmp", "gif", "jpeg", "wav", "adpcm", "avi", "webp"]
+        ["png", "ppm", "bmp", "gif", "jpeg", "wav", "adpcm", "avi", "mjpeg", "webp"]
     ),
     seed=st.integers(0, 2**31 - 1),
     n_flips=st.integers(1, 8),
@@ -106,6 +106,7 @@ def test_decoders_never_raise_on_corruption(kind, seed, n_flips):
         "wav": lambda: mm.encode_wav(sig),
         "adpcm": lambda: mm.encode_adpcm_wav(sig),
         "avi": lambda: mm.encode_avi(frames),
+        "mjpeg": lambda: mm.encode_avi_mjpeg(frames),
         "webp": lambda: __import__(
             "etl_caltopo_spark.llm.vp8l", fromlist=["encode_webp_lossless"]
         ).encode_webp_lossless(img, subtract_green=bool(seed % 2)),
@@ -118,7 +119,7 @@ def test_decoders_never_raise_on_corruption(kind, seed, n_flips):
     if kind in ("wav", "adpcm"):
         out = mm.decode_wav(corrupted)
         assert out is None or (isinstance(out, tuple) and len(out) == 2)
-    elif kind == "avi":
+    elif kind in ("avi", "mjpeg"):
         out = mm.decode_avi(corrupted)
         assert out is None or (isinstance(out, tuple) and out[1].ndim == 4)
     else:
@@ -182,3 +183,43 @@ def test_adpcm_zero_samples_per_block_is_not_negative_slice():
     _rate, dec = out
     # one block → exactly the header predictor sample survives
     assert len(dec) == 1
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    n=st.integers(1, 4),
+    h=st.integers(8, 20),
+    w=st.integers(8, 20),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_mjpeg_avi_roundtrip_fidelity(n, h, w, seed):
+    """MJPEG AVI roundtrip: frame count/dims exact, pixels within the
+    JPEG quantization envelope on smooth content."""
+    rng = np.random.default_rng(seed)
+    # smooth gradient + small noise (JPEG error is bounded on smooth data)
+    base = (
+        np.arange(w)[None, None, :, None]
+        + 2 * np.arange(h)[None, :, None, None]
+        + 60 * np.arange(3)[None, None, None, :]
+        + 5 * np.arange(n)[:, None, None, None]
+    )
+    frames = (base % 200).astype(np.uint8)
+    got_fps, dec = mm.decode_avi(mm.encode_avi_mjpeg(frames, fps=25))
+    assert got_fps == 25
+    assert dec.shape == frames.shape
+    err = np.abs(dec.astype(int) - frames.astype(int))
+    assert err.max() <= 64 and err.mean() < 12
+
+
+def test_mjpeg_one_bad_frame_poisons_payload():
+    """Dirty-row policy: a single corrupt frame chunk must null the
+    whole payload — never a partial frame stack."""
+    frames = (np.arange(3 * 16 * 16 * 3) % 251).reshape(3, 16, 16, 3).astype(np.uint8)
+    payload = bytearray(mm.encode_avi_mjpeg(frames))
+    # find the SECOND frame chunk and wreck its entropy data
+    first = payload.find(b"00dc")
+    second = payload.find(b"00dc", first + 4)
+    assert second > 0
+    # destroy the frame's SOI marker: that frame can no longer decode
+    payload[second + 8 : second + 10] = b"\x00\x00"
+    assert mm.decode_avi(bytes(payload)) is None
