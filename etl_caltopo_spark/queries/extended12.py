@@ -759,3 +759,140 @@ def q_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return indirect.groupBy(F.col("a").alias("part")).agg(
         F.count("*").cast("bigint").alias("n_2hop")
     )
+
+
+@query(
+    "q_mrr",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY value DESC, event_id) AS rnk
+        FROM events
+    ), per_user AS (
+        SELECT user_id, min(CASE WHEN rel = 1 THEN rnk END) AS first_rel
+        FROM ranked GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(first_rel) AS BIGINT) AS n_hit,
+           floor(sum(coalesce(1.0 / first_rel, 0.0)) / count(*)
+                 * 1000000) / 1000000 AS mrr
+    FROM per_user
+    """,
+)
+def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank of the first 'purchase' in each user's
+    value-ranked event list — the ranking-eval metric (search,
+    recommendation, retrieval-augmented pipelines) that complements
+    q_auc (threshold-free classification) and q_ann_recall_eval
+    (set-level recall): MRR grades POSITION of the first hit.
+
+    Determinism: the ranking ties on value break by event_id (a total
+    order), so both engines rank identically; 1/rank terms are exact
+    integer reciprocals, and the user-level sum's order drift is
+    absorbed by the single 6-dp floor on the mean.
+
+    Scale shape: one user-partitioned window (rank), one user-keyed
+    partial agg, one scalar rollup — never a global sort."""
+    apply_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), "event_id"
+    )
+    ranked = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("rel"),
+        F.row_number().over(w).alias("rnk"),
+    )
+    per_user = ranked.groupBy("user_id").agg(
+        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("first_rel")
+    )
+    return per_user.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.count("first_rel").cast("bigint").alias("n_hit"),
+        fround(
+            F.sum(F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0)))
+            / F.count("*"),
+            6,
+        ).alias("mrr"),
+    )
+
+
+@query(
+    "q_ndcg",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY value DESC, event_id) AS rnk
+        FROM events
+    ), dcg AS (
+        SELECT user_id, sum(rel / log2(rnk + 1)) AS dcg
+        FROM ranked WHERE rnk <= 10 GROUP BY user_id
+    ), nrel AS (
+        SELECT user_id, CAST(least(sum(rel), 10) AS BIGINT) AS k
+        FROM ranked GROUP BY user_id
+    ), per_user AS (
+        SELECT n.user_id,
+               CASE WHEN n.k = 0 THEN 0.0
+                    ELSE coalesce(d.dcg, 0.0)
+                         / list_sum(list_transform(
+                               range(1, CAST(n.k + 1 AS INT)),
+                               i -> 1.0 / log2(i + 1)))
+               END AS ndcg
+        FROM nrel n LEFT JOIN dcg d USING (user_id)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           floor(sum(ndcg) / count(*) * 1000000) / 1000000 AS mean_ndcg
+    FROM per_user
+    """,
+)
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean NDCG@10 over each user's value-ranked event list with
+    'purchase' as the relevant class — the graded-position ranking
+    metric (how well do the top-10 slots concentrate the relevant
+    items), normalized per user by the ideal DCG of the SAME item set
+    so users with different relevant counts compare fairly.
+
+    Cross-engine exactness: ranks tie-break on event_id; every
+    1/log2(i+1) term is the same libm double of a small integer in
+    both engines; the ideal-DCG fold runs in ascending-i order on both
+    sides (sequential higher-order fold), and the one 6-dp floor on
+    the mean absorbs user-level summation drift.
+
+    Scale shape: one user-partitioned window, two user-keyed partial
+    aggs joined on the user key, one scalar rollup."""
+    apply_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), "event_id"
+    )
+    ranked = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("rel"),
+        F.row_number().over(w).alias("rnk"),
+    )
+    dcg = (
+        ranked.filter(F.col("rnk") <= 10)
+        .groupBy("user_id")
+        .agg(F.sum(F.col("rel") / F.log2(F.col("rnk") + 1)).alias("dcg"))
+    )
+    nrel = ranked.groupBy("user_id").agg(
+        F.least(F.sum("rel"), F.lit(10)).cast("bigint").alias("k")
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.col("k").cast("int")),
+        F.lit(0.0),
+        lambda acc, i: acc + 1.0 / F.log2(i + 1),
+    )
+    per_user = nrel.join(dcg, "user_id", "left").select(
+        F.when(F.col("k") == 0, F.lit(0.0))
+        .otherwise(F.coalesce(F.col("dcg"), F.lit(0.0)) / idcg)
+        .alias("ndcg")
+    )
+    return per_user.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        fround(F.sum("ndcg") / F.count("*"), 6).alias("mean_ndcg"),
+    )

@@ -233,3 +233,39 @@ def test_graph_2hop_matches_python_reference(spark, sf_dir):
         for r in REGISTRY["q_graph_2hop"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_mrr_and_ndcg_match_python_reference(spark, sf_dir):
+    """q_mrr / q_ndcg must agree (to their 6-dp floors) with direct
+    pure-python computations on the same rows — pinning the ranking,
+    tie-break, and normalization algebra."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    rows = ev.collect()
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    rr_sum = 0.0
+    ndcg_sum = 0.0
+    n_hit = 0
+    for u, evs in by_user.items():
+        ranked = sorted(evs, key=lambda r: (-r["value"], r["event_id"]))
+        rels = [1 if r["event_type"] == "purchase" else 0 for r in ranked]
+        first = next((i + 1 for i, x in enumerate(rels) if x), None)
+        if first is not None:
+            rr_sum += 1.0 / first
+            n_hit += 1
+        dcg = sum(x / math.log2(i + 2) for i, x in enumerate(rels[:10]))
+        k = min(sum(rels), 10)
+        idcg = sum(1.0 / math.log2(i + 2) for i in range(k))
+        ndcg_sum += dcg / idcg if k else 0.0
+    n = len(by_user)
+    got_m = REGISTRY["q_mrr"].fn(spark, sf_dir).collect()[0]
+    assert got_m["n_users"] == n and got_m["n_hit"] == n_hit
+    assert abs(got_m["mrr"] - rr_sum / n) < 2e-6
+    got_n = REGISTRY["q_ndcg"].fn(spark, sf_dir).collect()[0]
+    assert got_n["n_users"] == n
+    assert abs(got_n["mean_ndcg"] - ndcg_sum / n) < 2e-6
