@@ -19,7 +19,7 @@ from etl_caltopo_spark.session import build_spark
 #: return driver-materialized frames whose plans are trivial — skip
 _SKIP_PREFIX = ("q_stream_dedup", "q_stream_stateful", "q_stream_interval",
                 "q_stream_incr", "q_stream_cdc", "q_stream_watermark",
-                "q_stream_topk")
+                "q_stream_topk", "q_stream_enrich")
 
 EXTRA = [
     "q_lm_score", "q_span_dup_rate", "q_semdedup", "q_dedup_containment",
@@ -33,6 +33,10 @@ EXTRA = [
     "q_winnowing", "q_winnowing_overlap", "q_join_skew_salted",
     "q_silhouette", "q_js_divergence", "q_spearman", "q_gini_vocab",
     "q_kendall_tau", "q_image_formats",
+    # round-5 wave-2 ids
+    "q_ks_test", "q_mutual_info", "q_seq_support", "q_zorder_key",
+    "q_quantile_sketch_portable", "q_graph_2hop", "q_mrr", "q_ndcg",
+    "q_video_mjpeg",
 ]
 
 
