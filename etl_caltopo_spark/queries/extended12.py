@@ -896,3 +896,189 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_users"),
         fround(F.sum("ndcg") / F.count("*"), 6).alias("mean_ndcg"),
     )
+
+
+@query(
+    "q_hll_merge_portable",
+    oracle="""
+    WITH h AS (
+        SELECT event_type,
+               (((user_id * 1000003) % 2147483648) * 2654435761) % 4294967296
+                   AS hv
+        FROM events
+    ), r AS (
+        SELECT event_type, hv >> 28 AS bucket, hv & 268435455 AS w FROM h
+    ), regs_t AS (
+        SELECT event_type, bucket,
+               max(CASE WHEN w = 0 THEN 29
+                        ELSE 28 - CAST(floor(log2(w)) AS INT) END) AS mx
+        FROM r GROUP BY event_type, bucket
+    ), all_scopes AS (
+        SELECT event_type AS scope, bucket, mx FROM regs_t
+        UNION ALL
+        SELECT '__merged__' AS scope, bucket, max(mx) AS mx
+        FROM regs_t GROUP BY bucket
+    ), agg AS (
+        SELECT scope, sum(pow(2.0, -mx)) AS s, count(*) AS nz
+        FROM all_scopes GROUP BY scope
+    )
+    SELECT scope, CAST(nz AS BIGINT) AS n_buckets,
+           floor(CASE WHEN (0.673 * 256 / s) <= 40 AND nz < 16
+                      THEN 16 * ln(16.0 / (16 - nz))
+                      ELSE 0.673 * 256 / s END * 10000) / 10000 AS estimate
+    FROM agg
+    """,
+)
+def q_hll_merge_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed HLL MERGEABILITY, hash-graded: per-event-type
+    partial sketches (16 registers over the portable multiplicative
+    hash of user_id) merge by register-wise max into a combined
+    sketch whose estimate is computed ONLY from the partials — the
+    exact operation a 1000-executor cluster performs when every
+    executor sketches its partition and the driver merges registers.
+    Because max is associative/commutative/idempotent and every event
+    carries a type, the merged registers PROVABLY equal the global
+    sketch's (pinned in tests); the graded output carries both the
+    five per-type estimates and the merged one.
+
+    No distinct anywhere: duplicates are absorbed by max() — the HLL
+    property that makes the sketch one partial-agg shuffle at any
+    scale.  Dyadic-rational register sums are exact in double
+    regardless of order (the q_hll_portable argument); ln only of
+    exact integer ratios; 4-dp floor."""
+    apply_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    hv = (
+        ((F.col("user_id") * 1000003) % 2147483648) * 2654435761 % 4294967296
+    )
+    r = ev.select(
+        "event_type",
+        F.shiftright(hv, 28).alias("bucket"),
+        hv.bitwiseAND(F.lit(268435455)).alias("w"),
+    )
+    rank = F.when(F.col("w") == 0, F.lit(29)).otherwise(
+        28 - F.floor(F.log2("w")).cast("int")
+    )
+    regs_t = r.groupBy("event_type", "bucket").agg(F.max(rank).alias("mx"))
+    merged = regs_t.groupBy("bucket").agg(F.max("mx").alias("mx")).select(
+        F.lit("__merged__").alias("scope"), "bucket", "mx"
+    )
+    scopes = regs_t.select(
+        F.col("event_type").alias("scope"), "bucket", "mx"
+    ).unionByName(merged)
+    agg = scopes.groupBy("scope").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("s"),
+        F.count("*").alias("nz"),
+    )
+    raw = 0.673 * 256 / F.col("s")
+    est = F.when(
+        (raw <= 40) & (F.col("nz") < 16),
+        16 * F.log(16.0 / (16 - F.col("nz"))),
+    ).otherwise(raw)
+    return agg.select(
+        "scope",
+        F.col("nz").cast("bigint").alias("n_buckets"),
+        fround(est, 4).alias("estimate"),
+    )
+
+
+@query(
+    "q_quantile_sketch_grouped",
+    oracle=f"""
+    WITH stats AS (
+        SELECT l_returnflag AS flag, min(l_extendedprice) AS lo,
+               max(l_extendedprice) AS hi, CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_returnflag
+    ), binned AS (
+        SELECT s.flag, s.lo, s.hi, s.n,
+               least(CAST(floor((l.l_extendedprice - s.lo)
+                     / ((s.hi - s.lo) / {_QS_BINS})) AS BIGINT),
+                     {_QS_BINS - 1}) AS bin
+        FROM lineitem l JOIN stats s ON l.l_returnflag = s.flag
+    ), hist AS (
+        SELECT flag, lo, hi, n, bin, CAST(count(*) AS BIGINT) AS c
+        FROM binned GROUP BY flag, lo, hi, n, bin
+    ), cum AS (
+        SELECT flag, lo, hi, n, bin,
+               CAST(sum(c) OVER (PARTITION BY flag ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM hist
+    )
+    SELECT flag, n,
+           floor((lo + (min(CASE WHEN cum >= ceil(0.5 * n) THEN bin END) + 1)
+                  * ((hi - lo) / {_QS_BINS})) * 1000000) / 1000000 AS p50_est,
+           floor((lo + (min(CASE WHEN cum >= ceil(0.9 * n) THEN bin END) + 1)
+                  * ((hi - lo) / {_QS_BINS})) * 1000000) / 1000000 AS p90_est,
+           floor((lo + (min(CASE WHEN cum >= ceil(0.99 * n) THEN bin END) + 1)
+                  * ((hi - lo) / {_QS_BINS})) * 1000000) / 1000000 AS p99_est,
+           floor(((hi - lo) / {_QS_BINS}) * 1000000) / 1000000 AS max_err
+    FROM cum GROUP BY flag, n, lo, hi
+    """,
+)
+def q_quantile_sketch_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group histogram quantile sketch — p50/p90/p99 of extended
+    price PER RETURN FLAG, each group carrying its own {_QS_BINS}-bin
+    equi-width sketch over its own [min, max] — the realistic
+    production shape (per-domain latency percentiles, per-source
+    length profiles) of q_quantile_sketch_portable.
+
+    Scale shape: one group-keyed min/max/count agg (3 rows, broadcast
+    back), one partial-agg shuffle to the (group, bin) grid, and the
+    cumulative pass runs per group over {_QS_BINS} bins (PARTITIONed
+    window — no single-task stage, unlike the global sibling).  Same
+    IEEE-identical binning, upper-edge estimates, and published
+    one-bin error bound."""
+    apply_runtime_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"), "l_extendedprice"
+    )
+    stats = li.groupBy("flag").agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    wexpr = (F.col("hi") - F.col("lo")) / _QS_BINS
+    binned = li.join(F.broadcast(stats), "flag").select(
+        "flag",
+        "lo",
+        "hi",
+        "n",
+        F.least(
+            F.floor((F.col("l_extendedprice") - F.col("lo")) / wexpr).cast(
+                "bigint"
+            ),
+            F.lit(_QS_BINS - 1),
+        ).alias("bin"),
+    )
+    hist = binned.groupBy("flag", "lo", "hi", "n", "bin").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w = (
+        Window.partitionBy("flag")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "flag", "lo", "hi", "n", "bin",
+        F.sum("c").over(w).cast("bigint").alias("cum"),
+    )
+
+    def est(q: float):
+        b = F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("bin"))
+        )
+        return fround(F.col("lo") + (b + 1) * wexpr, 6)
+
+    return cum.groupBy("flag", "n", "lo", "hi").agg(
+        est(0.5).alias("p50_est"),
+        est(0.9).alias("p90_est"),
+        est(0.99).alias("p99_est"),
+    ).select(
+        "flag",
+        "n",
+        "p50_est",
+        "p90_est",
+        "p99_est",
+        fround(wexpr, 6).alias("max_err"),
+    )

@@ -1063,3 +1063,135 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.select("event_id", "event_type", "type_rank")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_stream_hll",
+    oracle="""
+    WITH h AS (
+        SELECT (((user_id * 1000003) % 2147483648) * 2654435761)
+                   % 4294967296 AS hv
+        FROM events
+    ), r AS (
+        SELECT hv >> 28 AS bucket, hv & 268435455 AS w FROM h
+    ), regs AS (
+        SELECT bucket,
+               max(CASE WHEN w = 0 THEN 29
+                        ELSE 28 - CAST(floor(log2(w)) AS INT) END) AS mx
+        FROM r GROUP BY bucket
+    ), agg AS (
+        SELECT sum(pow(2.0, -mx)) AS s, count(*) AS nz FROM regs
+    )
+    SELECT CAST(regs.bucket AS BIGINT) AS bucket,
+           CAST(regs.mx AS BIGINT) AS max_rank,
+           floor(CASE WHEN (0.673 * 256 / s) <= 40 AND nz < 16
+                      THEN 16 * ln(16.0 / (16 - nz))
+                      ELSE 0.673 * 256 / s END * 10000) / 10000 AS estimate
+    FROM regs, agg
+    """,
+)
+def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HyperLogLog maintenance graded by hash — the NINTH
+    streaming-protocol id, and the first whose store merge is the MAX
+    monoid rather than sum/top-k: a parquet store holds the 16
+    portable-HLL registers and each micro-batch folds its own partial
+    registers in by register-wise max via foreachBatch.  Runs as a
+    REAL two-phase availableNow protocol (multiple micro-batches per
+    phase); phase 2 resumes from committed offsets, and because max is
+    idempotent a REPLAYED batch would go undetected — so the graded
+    columns include the estimate whose linear-counting branch depends
+    on exact register VALUES, and the companion test witnesses that
+    both phases actually moved registers.
+
+    This is how a 100 TB stream answers \"distinct users so far\"
+    forever in 16 longs: per-batch partial-agg (map-side max), a
+    16-row store, no distinct-set state to grow or expire."""
+    apply_runtime_conf(spark)
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) / 2
+    mid_lit = F.lit(mid.isoformat(sep=" ")).cast("timestamp_ntz")
+    tmp = tempfile.mkdtemp(prefix="q_stream_hll_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        ev.filter(F.col("ts") < mid_lit).repartition(4).write.parquet(
+            os.path.join(tmp, "b1")
+        )
+        ev.filter(F.col("ts") >= mid_lit).repartition(4).write.parquet(
+            os.path.join(tmp, "b2")
+        )
+        schema = spark.read.parquet(os.path.join(tmp, "b1")).schema
+        store = os.path.join(tmp, "store")
+
+        def regs_of(df: DataFrame) -> DataFrame:
+            hv = (
+                ((F.col("user_id") * 1000003) % 2147483648)
+                * 2654435761
+                % 4294967296
+            )
+            r = df.select(
+                F.shiftright(hv, 28).alias("bucket"),
+                hv.bitwiseAND(F.lit(268435455)).alias("w"),
+            )
+            rank = F.when(F.col("w") == 0, F.lit(29)).otherwise(
+                28 - F.floor(F.log2("w")).cast("int")
+            )
+            return r.groupBy("bucket").agg(F.max(rank).alias("mx"))
+
+        def upsert(batch: DataFrame, _epoch_id: int) -> None:
+            delta = regs_of(batch)
+            if os.path.exists(store):
+                merged = (
+                    spark.read.parquet(store)
+                    .unionByName(delta)
+                    .groupBy("bucket")
+                    .agg(F.max("mx").alias("mx"))
+                )
+            else:
+                merged = delta
+            staged = merged.localCheckpoint()
+            staged.write.mode("overwrite").parquet(store)
+
+        for i, bdir in enumerate(("b1", "b2")):
+            for f in os.listdir(os.path.join(tmp, bdir)):
+                if f.endswith(".parquet"):
+                    shutil.copy(
+                        os.path.join(tmp, bdir, f), os.path.join(src, f"{i}_{f}")
+                    )
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(src)
+            )
+            q = (
+                stream.writeStream.foreachBatch(upsert)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        regs = spark.read.parquet(store)
+        regs = spark.createDataFrame(regs.collect(), regs.schema)
+        agg = regs.agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("s"),
+            F.count("*").alias("nz"),
+        )
+        raw = 0.673 * 256 / F.col("s")
+        est = F.when(
+            (raw <= 40) & (F.col("nz") < 16),
+            16 * F.log(16.0 / (16 - F.col("nz"))),
+        ).otherwise(raw)
+        from etl_caltopo_spark.functions.numeric import fround
+
+        return regs.crossJoin(F.broadcast(agg)).select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("mx").cast("bigint").alias("max_rank"),
+            fround(est, 4).alias("estimate"),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

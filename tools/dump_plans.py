@@ -19,7 +19,7 @@ from etl_caltopo_spark.session import build_spark
 #: return driver-materialized frames whose plans are trivial — skip
 _SKIP_PREFIX = ("q_stream_dedup", "q_stream_stateful", "q_stream_interval",
                 "q_stream_incr", "q_stream_cdc", "q_stream_watermark",
-                "q_stream_topk", "q_stream_enrich")
+                "q_stream_topk", "q_stream_enrich", "q_stream_hll")
 
 EXTRA = [
     "q_lm_score", "q_span_dup_rate", "q_semdedup", "q_dedup_containment",
