@@ -726,6 +726,8 @@ def q_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, distinct, anti-join, final partial-agg — every join
     key-partitioned, nothing collected."""
     apply_runtime_conf(spark)
+    import os
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
@@ -740,14 +742,24 @@ def q_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # the edge list feeds FOUR consumers (both path sides, the degree
+    # cap, the direct-edge anti-join); without materialization Catalyst
+    # re-runs the pair-gen + distinct for each.  Same plan-observability
+    # escape hatch as llm/dedup.py: dump_plans sets the env var to keep
+    # the pair-generation plan reviewable.
+    if os.environ.get("SPARK_GRAFT_LAZY_PLANS") != "1":
+        e = e.localCheckpoint(eager=True)
     deg = e.groupBy("src").agg(F.count("*").alias("d"))
     mid_ok = deg.filter(F.col("d") <= _HOP_CAP).select("src")
     e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("m"))
     e2 = e.select(F.col("src").alias("m"), F.col("dst").alias("c"))
+    # the co-purchase graph is symmetric, so the 2-hop pair set is too:
+    # keep only a < c through the distinct + anti-join (halving their
+    # shuffle volume) and mirror at the end
     paths = (
         e1.join(mid_ok.withColumnRenamed("src", "m"), "m")
         .join(e2, "m")
-        .filter(F.col("a") != F.col("c"))
+        .filter(F.col("a") < F.col("c"))
         .select("a", "c")
         .distinct()
     )
@@ -756,7 +768,10 @@ def q_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["a", "c"],
         "left_anti",
     )
-    return indirect.groupBy(F.col("a").alias("part")).agg(
+    sym = indirect.unionByName(
+        indirect.select(F.col("c").alias("a"), F.col("a").alias("c"))
+    )
+    return sym.groupBy(F.col("a").alias("part")).agg(
         F.count("*").cast("bigint").alias("n_2hop")
     )
 
