@@ -1097,3 +1097,207 @@ def q_quantile_sketch_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p99_est",
         fround(wexpr, 6).alias("max_err"),
     )
+
+
+#: bloom-prefilter parameters: 4 universal hashes into an m-bit space
+_BLOOM_A = (131, 1031, 8101, 65537)
+_BLOOM_B = (7, 911, 5021, 30011)
+_BLOOM_M = 4096
+
+
+@query(
+    "q_join_bloom_prefilter",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join reduction graded for EXACTNESS: before joining
+    the fact to a selective dim subset, the fact is prefiltered
+    through a 4-hash/4096-bit Bloom filter built from the dim's join
+    keys — expressed as FOUR successive BROADCAST LEFT-SEMI joins
+    against the distinct bit-position table (the Spark-native bloom
+    AND: every probe is map-side, the fact never shuffles, no driver
+    collect anywhere).  False positives survive the prefilter and are
+    removed by the real join; false negatives cannot exist (every dim
+    key set its own bits), so the aggregate must EQUAL the plain-join
+    oracle — result equality IS the proof of the rewrite, the
+    q_join_skew_salted grading pattern.
+
+    When it pays at 100 TB: the main join is a SHUFFLE join (dim too
+    big to broadcast) but the dim's KEY SET still fits a few KB of
+    bloom bits — the prefilter then drops the non-matching fact
+    majority before the exchange (this is what AQE's runtime bloom
+    filters automate; the manual form also works for stream-static
+    joins and pre-AQE engines).  With a broadcast-able dim like this
+    test bed the prefilter is pure overhead — documented, same honesty
+    policy as the salted join."""
+    apply_runtime_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    dim = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+
+    def pos(col, i):
+        return (
+            (F.lit(_BLOOM_A[i]) * col.cast("long") + F.lit(_BLOOM_B[i]))
+            % 2147483647
+        ) % _BLOOM_M
+
+    bits = None
+    for i in range(len(_BLOOM_A)):
+        p = dim.select(pos(F.col("o_orderkey"), i).alias("pos"))
+        bits = p if bits is None else bits.unionByName(p)
+    bits = bits.distinct()
+    probed = li
+    for i in range(len(_BLOOM_A)):
+        probed = probed.join(
+            F.broadcast(bits),
+            pos(F.col("l_orderkey"), i) == F.col("pos"),
+            "left_semi",
+        )
+    joined = probed.join(
+        F.broadcast(dim), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+    )
+
+
+def _f1_pred_sql() -> str:
+    """The lang-ID CASE generated from the SAME LANG_MARKERS constant
+    the Spark side uses (never hand-copy the markers — a divergent
+    list only surfaces on text that happens to contain one)."""
+    from etl_caltopo_spark.llm import text as _text
+
+    branches = []
+    for lang, markers in _text.LANG_MARKERS:
+        cond = " OR ".join(
+            f"(' ' || lower(text) || ' ') LIKE '% {m} %'" for m in markers
+        )
+        branches.append(f"WHEN ({cond}) THEN '{lang}'")
+    return "CASE " + " ".join(branches) + " ELSE 'en' END"
+
+
+@query(
+    "q_f1_macro",
+    oracle=f"""
+    WITH pred AS (
+        SELECT lang, {_f1_pred_sql()} AS pred_lang
+        FROM documents
+    ), classes AS (
+        SELECT DISTINCT lang AS c FROM documents
+    ), per_class AS (
+        SELECT c,
+               CAST(coalesce(sum(CASE WHEN lang = c AND pred_lang = c
+                                      THEN 1 END), 0) AS BIGINT) AS tp,
+               CAST(coalesce(sum(CASE WHEN lang <> c AND pred_lang = c
+                                      THEN 1 END), 0) AS BIGINT) AS fp,
+               CAST(coalesce(sum(CASE WHEN lang = c AND pred_lang <> c
+                                      THEN 1 END), 0) AS BIGINT) AS fn
+        FROM classes, pred GROUP BY c
+    ), scored AS (
+        SELECT c, tp, fp, fn,
+               CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+                    ELSE floor(2.0 * tp / (2 * tp + fp + fn) * 1000000)
+                         / 1000000 END AS f1
+        FROM per_class
+    )
+    SELECT c AS lang_class, tp, fp, fn, f1 FROM scored
+    UNION ALL
+    SELECT '__macro__', CAST(sum(tp) AS BIGINT), CAST(sum(fp) AS BIGINT),
+           CAST(sum(fn) AS BIGINT),
+           floor(sum(f1) / count(*) * 1000000) / 1000000
+    FROM scored
+    """,
+)
+def q_f1_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision-free F1 + macro-F1 of the marker-word
+    language-ID heuristic against the true lang label — the
+    multi-class classifier report card (the q_confusion_matrix
+    companion that rolls the matrix up the way a model eval does:
+    per-class F1 from exact tp/fp/fn integers, macro = unweighted
+    class mean so rare classes count equally).  The '__macro__' row
+    carries the micro tp/fp/fn totals beside the macro F1.
+
+    Exactness: predictions are the same codegen CASE in both engines
+    (LIKE on padded lowercase text — the q_lang_id oracle pattern);
+    counts are exact int64; per-class F1 is a ratio of identical
+    integers floored at 6 dp; the macro mean floors the 5-term sum.
+
+    Scale shape: one (lang, pred) partial-agg shuffle to the 25-cell
+    matrix would suffice; the classes x pred cross product is
+    |classes|-bounded and broadcast.  Nothing row-level survives the
+    first aggregation."""
+    apply_runtime_conf(spark)
+    from etl_caltopo_spark.llm import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        "lang", text.lang_id(F.col("text")).alias("pred_lang")
+    )
+    classes = docs.select(F.col("lang").alias("c")).distinct()
+    cells = pred.crossJoin(F.broadcast(classes))
+    per_class = cells.groupBy("c").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("lang") == F.col("c"))
+                    & (F.col("pred_lang") == F.col("c")),
+                    1,
+                )
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("tp"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("lang") != F.col("c"))
+                    & (F.col("pred_lang") == F.col("c")),
+                    1,
+                )
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("fp"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("lang") == F.col("c"))
+                    & (F.col("pred_lang") != F.col("c")),
+                    1,
+                )
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("fn"),
+    )
+    f1 = F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") == 0, F.lit(0.0)).otherwise(
+        fround(
+            2.0 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+            6,
+        )
+    )
+    scored = per_class.select("c", "tp", "fp", "fn", f1.alias("f1"))
+    macro = scored.agg(
+        F.lit("__macro__").alias("c"),
+        F.sum("tp").cast("bigint").alias("tp"),
+        F.sum("fp").cast("bigint").alias("fp"),
+        F.sum("fn").cast("bigint").alias("fn"),
+        fround(F.sum("f1") / F.count("*"), 6).alias("f1"),
+    ).select("c", "tp", "fp", "fn", "f1")
+    return scored.unionByName(macro).select(
+        F.col("c").alias("lang_class"), "tp", "fp", "fn", "f1"
+    )

@@ -310,3 +310,61 @@ def test_grouped_quantile_sketch_error_bound(spark, sf_dir):
             exact = vals[math.ceil(q * len(vals)) - 1]
             assert exact <= g[col] + 1e-6
             assert g[col] - exact <= g["max_err"] + 2e-6
+
+
+def test_f1_macro_on_planted_markers(spark, tmp_path):
+    """The synthetic corpus never triggers a language marker, so plant
+    docs that DO (and one cross-language confusion) and check the
+    confusion algebra against hand-computed tp/fp/fn."""
+    rows = [
+        (0, "der zug faehrt und haelt nicht", "de"),   # de -> de (tp)
+        (1, "le chat et la souris", "fr"),              # fr -> fr (tp)
+        (2, "el perro y los gatos", "es"),              # es -> es (tp)
+        (3, "plain english words only", "en"),          # en -> en (tp)
+        (4, "der words in an english doc", "en"),       # en -> de (fp for de)
+        (5, "no markers here either", "fr"),            # fr -> en (fn for fr)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    path = str(tmp_path / "f1")
+    df.write.mode("overwrite").parquet(path + "/documents.parquet")
+    got = {
+        r["lang_class"]: (r["tp"], r["fp"], r["fn"], r["f1"])
+        for r in REGISTRY["q_f1_macro"].fn(spark, path).collect()
+    }
+    assert got["de"][:3] == (1, 1, 0)
+    assert abs(got["de"][3] - 2 / 3) < 2e-6  # f1 = 2tp/(2tp+fp+fn)
+    assert got["fr"][:3] == (1, 0, 1)
+    assert got["es"][:3] == (1, 0, 0) and got["es"][3] == 1.0
+    assert got["en"][:3] == (1, 1, 1)
+    assert got["__macro__"][0] == 4  # micro tp total
+    per = [got[c][3] for c in ("de", "fr", "es", "en")]
+    assert abs(got["__macro__"][3] - sum(per) / 4) < 2e-6
+
+
+def test_bloom_prefilter_equals_plain_join(spark, sf_dir):
+    """The bloom-prefiltered aggregate must equal the plain join — no
+    false negatives by construction, false positives removed by the
+    real join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    plain = {
+        (r["o_orderpriority"], r["n_items"], r["revenue"])
+        for r in li.join(
+            orders, li["l_orderkey"] == orders["o_orderkey"]
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+        .collect()
+    }
+    got = {
+        (r["o_orderpriority"], r["n_items"], r["revenue"])
+        for r in REGISTRY["q_join_bloom_prefilter"].fn(spark, sf_dir).collect()
+    }
+    assert got == plain and got
