@@ -529,9 +529,10 @@ _QS_BINS = 128
                CAST(count(*) AS BIGINT) AS n
         FROM lineitem
     ), binned AS (
-        SELECT least(CAST(floor((l_extendedprice - stats.lo)
-                     / ((stats.hi - stats.lo) / {_QS_BINS})) AS BIGINT),
-                     {_QS_BINS - 1}) AS bin
+        SELECT CASE WHEN stats.hi = stats.lo THEN 0
+                    ELSE least(CAST(floor((l_extendedprice - stats.lo)
+                         / ((stats.hi - stats.lo) / {_QS_BINS})) AS BIGINT),
+                         {_QS_BINS - 1}) END AS bin
         FROM lineitem, stats
     ), hist AS (
         SELECT bin, CAST(count(*) AS BIGINT) AS c FROM binned GROUP BY bin
@@ -584,13 +585,19 @@ def q_quantile_sketch_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
     )
     wexpr = (F.col("hi") - F.col("lo")) / _QS_BINS
-    binned = li.crossJoin(F.broadcast(stats)).select(
+    # degenerate hi == lo (constant column): every row is bin 0 and the
+    # estimate collapses to lo with zero error — guarded explicitly
+    # because ANSI mode raises on the 0-width division
+    bin_expr = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
         F.least(
             F.floor((F.col("l_extendedprice") - F.col("lo")) / wexpr).cast(
                 "bigint"
             ),
             F.lit(_QS_BINS - 1),
-        ).alias("bin"),
+        )
+    )
+    binned = li.crossJoin(F.broadcast(stats)).select(
+        bin_expr.alias("bin"),
         "lo",
         "hi",
         "n",
@@ -1006,9 +1013,10 @@ def q_hll_merge_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_returnflag
     ), binned AS (
         SELECT s.flag, s.lo, s.hi, s.n,
-               least(CAST(floor((l.l_extendedprice - s.lo)
-                     / ((s.hi - s.lo) / {_QS_BINS})) AS BIGINT),
-                     {_QS_BINS - 1}) AS bin
+               CASE WHEN s.hi = s.lo THEN 0
+                    ELSE least(CAST(floor((l.l_extendedprice - s.lo)
+                         / ((s.hi - s.lo) / {_QS_BINS})) AS BIGINT),
+                         {_QS_BINS - 1}) END AS bin
         FROM lineitem l JOIN stats s ON l.l_returnflag = s.flag
     ), hist AS (
         SELECT flag, lo, hi, n, bin, CAST(count(*) AS BIGINT) AS c
@@ -1054,17 +1062,23 @@ def q_quantile_sketch_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
     )
     wexpr = (F.col("hi") - F.col("lo")) / _QS_BINS
-    binned = li.join(F.broadcast(stats), "flag").select(
-        "flag",
-        "lo",
-        "hi",
-        "n",
+    # same degenerate-range guard as the global sibling: a group whose
+    # values are all equal maps to bin 0 (ANSI raises on the 0-width
+    # division otherwise)
+    bin_expr = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
         F.least(
             F.floor((F.col("l_extendedprice") - F.col("lo")) / wexpr).cast(
                 "bigint"
             ),
             F.lit(_QS_BINS - 1),
-        ).alias("bin"),
+        )
+    )
+    binned = li.join(F.broadcast(stats), "flag").select(
+        "flag",
+        "lo",
+        "hi",
+        "n",
+        bin_expr.alias("bin"),
     )
     hist = binned.groupBy("flag", "lo", "hi", "n", "bin").agg(
         F.count("*").cast("bigint").alias("c")

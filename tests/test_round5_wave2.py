@@ -368,3 +368,52 @@ def test_bloom_prefilter_equals_plain_join(spark, sf_dir):
         for r in REGISTRY["q_join_bloom_prefilter"].fn(spark, sf_dir).collect()
     }
     assert got == plain and got
+
+
+def _write_lineitem(spark, tmp_path, rows, name):
+    df = spark.createDataFrame(
+        rows, "l_quantity double, l_returnflag string, l_extendedprice double"
+    )
+    path = str(tmp_path / name)
+    df.write.mode("overwrite").parquet(path + "/lineitem.parquet")
+    return path
+
+
+def test_ks_disjoint_supports_is_one(spark, tmp_path):
+    """Two samples with disjoint supports have KS D = 1 exactly."""
+    rows = [(float(q), "A", 10.0) for q in (1, 2, 3)] * 5 + [
+        (float(q), "R", 10.0) for q in (10, 11)
+    ] * 5
+    path = _write_lineitem(spark, tmp_path, rows, "ks1")
+    out = REGISTRY["q_ks_test"].fn(spark, path).collect()[0]
+    assert out["ks_d"] == 1.0
+
+
+def test_ks_identical_samples_is_zero(spark, tmp_path):
+    rows = [(float(q), f, 10.0) for q in (1, 2, 3, 4) for f in ("A", "R")]
+    path = _write_lineitem(spark, tmp_path, rows, "ks0")
+    out = REGISTRY["q_ks_test"].fn(spark, path).collect()[0]
+    assert out["ks_d"] == 0.0
+
+
+def test_mann_whitney_all_ties_gives_half(spark, tmp_path):
+    """All observations equal → U1 = U2 = n1*n2/2 exactly (pure
+    tie-midrank case)."""
+    rows = [(5.0, "A", 1.0)] * 7 + [(5.0, "R", 1.0)] * 4
+    path = _write_lineitem(spark, tmp_path, rows, "mw")
+    out = REGISTRY["q_mann_whitney"].fn(spark, path).collect()[0]
+    assert out["n1"] == 7 and out["n2"] == 4
+    assert out["u1"] == out["u2"] == 7 * 4 / 2
+
+
+def test_quantile_sketch_constant_column(spark, tmp_path):
+    """Degenerate hi == lo: bin width 0.  The sketch must not crash
+    and the estimates stay at the single value (or the id documents
+    the rejection)."""
+    rows = [(1.0, "A", 42.0)] * 10
+    path = _write_lineitem(spark, tmp_path, rows, "qs")
+    out = REGISTRY["q_quantile_sketch_portable"].fn(spark, path).collect()[0]
+    # w = 0 -> (x-lo)/w is NaN -> least(NaN-floor, 127)... accept either
+    # a clean 42.0 estimate or an explicit null, but never an exception
+    for col in ("p50_est", "p90_est", "p99_est"):
+        assert out[col] is None or abs(out[col] - 42.0) < 1e-6, out

@@ -111,6 +111,15 @@ PROBE_QUERIES = [
     "q_zorder_key",
     "q_quantile_sketch_portable",
     "q_graph_2hop",
+    "q_mrr",
+    "q_ndcg",
+    "q_stream_enrich",
+    "q_video_mjpeg",
+    "q_hll_merge_portable",
+    "q_quantile_sketch_grouped",
+    "q_stream_hll",
+    "q_join_bloom_prefilter",
+    "q_f1_macro",
 ]
 
 
