@@ -1315,3 +1315,195 @@ def q_f1_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.unionByName(macro).select(
         F.col("c").alias("lang_class"), "tp", "fp", "fn", "f1"
     )
+
+
+def _daily_series_sql() -> str:
+    """Day-grid event-count series CTEs (missing days filled with 0)."""
+    return """
+    d AS (
+        SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ), span AS (
+        SELECT min(day) AS d0, max(day) AS d1 FROM d
+    ), grid AS (
+        SELECT CAST(g AS BIGINT) AS day
+        FROM span, UNNEST(range(span.d0, span.d1 + 1)) AS u(g)
+    ), series AS (
+        SELECT grid.day, coalesce(d.c, 0) AS c
+        FROM grid LEFT JOIN d USING (day)
+    )"""
+
+
+def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).alias("day")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    span = d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    return grid.join(d, "day", "left").select(
+        F.col("day").cast("bigint").alias("day"),
+        F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+    )
+
+
+@query(
+    "q_autocorr",
+    oracle=f"""
+    WITH {_daily_series_sql()}, lags AS (
+        SELECT CAST(k AS BIGINT) AS lag FROM UNNEST(range(1, 8)) AS u(k)
+    ), pairs AS (
+        SELECT l.lag, a.c AS x, b.c AS y
+        FROM series a
+        JOIN lags l ON TRUE
+        JOIN series b ON b.day = a.day + l.lag
+    ), s AS (
+        SELECT lag, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM pairs GROUP BY lag
+    )
+    SELECT lag, n AS n_pairs,
+           CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) = 0
+                  OR (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) = 0
+                THEN 0.0
+                ELSE floor((CAST(n AS DOUBLE) * sxy
+                            - CAST(sx AS DOUBLE) * sy)
+                     / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                            * (CAST(n AS DOUBLE) * syy
+                               - CAST(sy AS DOUBLE) * sy))
+                     * 1000000) / 1000000 END AS acf
+    FROM s
+    """,
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily event-count series — the
+    ACF diagnostic behind seasonality detection and forecasting-model
+    selection (a weekly cycle shows as a lag-7 spike).  Missing days
+    fill with zero so the series is genuinely equi-spaced.
+
+    Exactness: the series lives on the bounded DAY grid, so every
+    Pearson term is an exact int64 sum over grid rows (bound:
+    T·c_max² < 2⁶³ — at 4e7 events/day that holds to ~15k days;
+    beyond, move partials to DECIMAL); the quotient runs on doubles
+    cast from identical integers, 6-dp floor, degenerate
+    zero-variance series short-circuit to 0.
+
+    Scale shape: ONE partial-agg shuffle to the day grid; the lag
+    self-join, grid fill, and correlation algebra all run on the
+    grid (thousands of rows at any corpus size) — the q_auc
+    bounded-domain argument applied to time."""
+    apply_runtime_conf(spark)
+    series = _daily_series(spark, sf_dir)
+    lags = spark.range(1, 8).select(F.col("id").cast("bigint").alias("lag"))
+    a = series.select(F.col("day").alias("da"), F.col("c").alias("x"))
+    b = series.select(F.col("day").alias("db"), F.col("c").alias("y"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("db") == F.col("da") + F.col("lag"))
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    vx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    acf = F.when((vx == 0) | (vy == 0), F.lit(0.0)).otherwise(
+        fround(
+            (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / F.sqrt(vx * vy),
+            6,
+        )
+    )
+    return s.select("lag", F.col("n").alias("n_pairs"), acf.alias("acf"))
+
+
+@query(
+    "q_cusum_changepoint",
+    oracle=f"""
+    WITH {_daily_series_sql()}, idx AS (
+        SELECT day, c,
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+               CAST(sum(c) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS ck
+        FROM series
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS t, CAST(sum(c) AS BIGINT) AS n
+        FROM series
+    ), scored AS (
+        SELECT day, k, t, n,
+               CAST(t * ck - k * n AS BIGINT) AS s_num
+        FROM idx, tot
+    )
+    SELECT CAST(any_value(t) AS BIGINT) AS t_days,
+           CAST(any_value(n) AS BIGINT) AS n_events,
+           CAST(min(CASE WHEN abs(s_num) = m THEN day END) AS BIGINT)
+               AS peak_day,
+           CAST(m AS BIGINT) AS cusum_peak_num,
+           floor(CAST(m AS DOUBLE) / (any_value(t) * any_value(n))
+                 * 1000000) / 1000000 AS cusum_stat
+    FROM scored, (SELECT max(abs(s_num)) AS m FROM scored) mm
+    GROUP BY m
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over the daily event-count series:
+    the day k maximizing |Σ_{{i≤k}}(c_i − mean)| marks the most likely
+    level shift (ingestion-rate regime change, pipeline monitoring).
+    The deviation sum is held INTEGER by scaling through the series
+    length — S_k = T·C_k − k·N — so the argmax, the peak numerator,
+    and the tie rule (earliest day) are exact int64 arithmetic in both
+    engines; only the final normalized statistic S/(T·N) touches a
+    double, floored at 6 dp.
+
+    Scale shape: one partial-agg shuffle to the day grid; the
+    cumulative pass and argmax run over the grid only (the expected
+    grid-sized single-partition window, documented)."""
+    apply_runtime_conf(spark)
+    series = _daily_series(spark, sf_dir)
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    idx = series.select(
+        "day",
+        "c",
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("k"),
+        F.sum("c").over(w).cast("bigint").alias("ck"),
+    )
+    tot = series.agg(
+        F.count("*").cast("bigint").alias("t"),
+        F.sum("c").cast("bigint").alias("n"),
+    )
+    scored = idx.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "k",
+        "t",
+        "n",
+        (F.col("t") * F.col("ck") - F.col("k") * F.col("n"))
+        .cast("bigint")
+        .alias("s_num"),
+    )
+    mm = scored.agg(F.max(F.abs(F.col("s_num"))).alias("m"))
+    j = scored.crossJoin(F.broadcast(mm))
+    return j.groupBy("m").agg(
+        F.any_value("t").cast("bigint").alias("t_days"),
+        F.any_value("n").cast("bigint").alias("n_events"),
+        F.min(F.when(F.abs(F.col("s_num")) == F.col("m"), F.col("day")))
+        .cast("bigint")
+        .alias("peak_day"),
+        F.any_value("m").cast("bigint").alias("cusum_peak_num"),
+        fround(
+            F.col("m").cast("double")
+            / (F.any_value("t") * F.any_value("n")),
+            6,
+        ).alias("cusum_stat"),
+    ).drop("m")

@@ -417,3 +417,64 @@ def test_quantile_sketch_constant_column(spark, tmp_path):
     # a clean 42.0 estimate or an explicit null, but never an exception
     for col in ("p50_est", "p90_est", "p99_est"):
         assert out[col] is None or abs(out[col] - 42.0) < 1e-6, out
+
+
+def _python_daily_series(rows):
+    from collections import Counter
+
+    days = Counter()
+    for r in rows:
+        days[(r["ts"].date() - __import__("datetime").date(1970, 1, 1)).days] += 1
+    d0, d1 = min(days), max(days)
+    return [days.get(d, 0) for d in range(d0, d1 + 1)], d0
+
+
+def test_autocorr_matches_python_reference(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("ts")
+    series, _ = _python_daily_series(ev.collect())
+    got = {
+        r["lag"]: (r["n_pairs"], r["acf"])
+        for r in REGISTRY["q_autocorr"].fn(spark, sf_dir).collect()
+    }
+    for k in range(1, 8):
+        xs, ys = series[:-k], series[k:]
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        num = sum((a - mx) * (b - my) for a, b in zip(xs, ys))
+        den = (
+            sum((a - mx) ** 2 for a in xs) * sum((b - my) ** 2 for b in ys)
+        ) ** 0.5
+        want = num / den if den else 0.0
+        assert got[k][0] == n
+        assert abs(got[k][1] - want) < 2e-6, (k, got[k][1], want)
+
+
+def test_cusum_finds_planted_level_shift(spark, tmp_path):
+    """A series that jumps from 5/day to 50/day on day 16 must peak
+    its CUSUM at the boundary day (the last low day)."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for d in range(30):
+        per_day = 5 if d < 15 else 50
+        for j in range(per_day):
+            rows.append((eid, t0 + datetime.timedelta(days=d, seconds=j)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp_ntz")
+    path = str(tmp_path / "cusum")
+    df.write.mode("overwrite").parquet(path + "/events.parquet")
+    out = REGISTRY["q_cusum_changepoint"].fn(spark, path).collect()[0]
+    assert out["t_days"] == 30
+    base_day = (t0.date() - datetime.date(1970, 1, 1)).days
+    assert out["peak_day"] == base_day + 14, out  # last low day
+    # python reference for the scaled cusum numerator
+    series = [5] * 15 + [50] * 15
+    t, n = 30, sum(series)
+    cum = 0
+    best = 0
+    for k, c in enumerate(series, start=1):
+        cum += c
+        best = max(best, abs(t * cum - k * n))
+    assert out["cusum_peak_num"] == best
