@@ -36,7 +36,9 @@ EXTRA = [
     # round-5 wave-2 ids
     "q_ks_test", "q_mutual_info", "q_seq_support", "q_zorder_key",
     "q_quantile_sketch_portable", "q_graph_2hop", "q_mrr", "q_ndcg",
-    "q_video_mjpeg",
+    "q_video_mjpeg", "q_hll_merge_portable", "q_quantile_sketch_grouped",
+    "q_join_bloom_prefilter", "q_f1_macro", "q_autocorr",
+    "q_cusum_changepoint",
 ]
 
 
