@@ -1507,3 +1507,78 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cusum_stat"),
     ).drop("m")
+
+
+@query(
+    "q_k_anonymity",
+    oracle="""
+    SELECT c_nationkey AS nation, c_mktsegment AS segment,
+           CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_bucket,
+           CAST(count(*) AS BIGINT) AS group_size,
+           count(*) < 5 AS k_violation
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment, floor(c_acctbal / 2000)
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier combination
+    (nation, market segment, balance bucket): any equivalence class
+    smaller than k = 5 re-identifies its members when the table is
+    released — the privacy check a pipeline runs BEFORE publishing
+    per-group statistics (and the reason q_dp_count/q_dp_histogram
+    exist for the groups that fail it).  Every class is emitted with
+    its size and violation flag so the release decision is auditable,
+    not just a pass/fail scalar.
+
+    Scale shape: ONE partial-agg shuffle to the quasi-identifier
+    grid — the audit costs the same as the groupBy it guards."""
+    apply_runtime_conf(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 2000).cast("bigint").alias("bal_bucket"),
+    ).agg(
+        F.count("*").cast("bigint").alias("group_size"),
+        (F.count("*") < 5).alias("k_violation"),
+    )
+
+
+@query(
+    "q_l_diversity",
+    oracle="""
+    SELECT c.c_nationkey AS nation, c.c_mktsegment AS segment,
+           CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+           CAST(count(DISTINCT o.o_orderpriority) AS BIGINT) AS n_sensitive,
+           count(DISTINCT o.o_orderpriority) < 3 AS l_violation
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey, c.c_mktsegment
+    """,
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit: within each quasi-identifier class (nation,
+    segment), the SENSITIVE attribute (order priority) must take at
+    least l = 3 distinct values — k-anonymity's necessary complement
+    (a class of 100 people who all share one sensitive value leaks it
+    to anyone who can place a person in the class).  Emitted per
+    class with customer and sensitive-value counts plus the flag.
+
+    Scale shape: one equi-join on the customer key (broadcast-eligible
+    dim side) and one partial-agg shuffle to the quasi grid; the
+    distinct counts are per-group, never global."""
+    apply_runtime_conf(spark)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    j = cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+    return j.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(
+        F.countDistinct("c_custkey").cast("bigint").alias("n_customers"),
+        F.countDistinct("o_orderpriority").cast("bigint").alias("n_sensitive"),
+        (F.countDistinct("o_orderpriority") < 3).alias("l_violation"),
+    )

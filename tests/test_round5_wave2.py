@@ -478,3 +478,48 @@ def test_cusum_finds_planted_level_shift(spark, tmp_path):
         cum += c
         best = max(best, abs(t * cum - k * n))
     assert out["cusum_peak_num"] == best
+
+
+def test_privacy_audits_match_python_reference(spark, sf_dir):
+    """k-anonymity class sizes and l-diversity distinct counts against
+    direct pure-python counting."""
+    from collections import Counter, defaultdict
+
+    cust = load_table(spark, sf_dir, "customer").collect()
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    ).collect()
+
+    sizes = Counter(
+        (r["c_nationkey"], r["c_mktsegment"], math.floor(r["c_acctbal"] / 2000))
+        for r in cust
+    )
+    got_k = {
+        (r["nation"], r["segment"], r["bal_bucket"]): (
+            r["group_size"], r["k_violation"]
+        )
+        for r in REGISTRY["q_k_anonymity"].fn(spark, sf_dir).collect()
+    }
+    assert {k: v[0] for k, v in got_k.items()} == dict(sizes)
+    assert all(v[1] == (v[0] < 5) for v in got_k.values())
+
+    quasi_of = {
+        r["c_custkey"]: (r["c_nationkey"], r["c_mktsegment"]) for r in cust
+    }
+    sens = defaultdict(set)
+    members = defaultdict(set)
+    for r in orders:
+        q = quasi_of.get(r["o_custkey"])
+        if q is not None:
+            sens[q].add(r["o_orderpriority"])
+            members[q].add(r["o_custkey"])
+    got_l = {
+        (r["nation"], r["segment"]): (
+            r["n_customers"], r["n_sensitive"], r["l_violation"]
+        )
+        for r in REGISTRY["q_l_diversity"].fn(spark, sf_dir).collect()
+    }
+    assert set(got_l) == set(sens)
+    for q, (nc, ns, viol) in got_l.items():
+        assert nc == len(members[q]) and ns == len(sens[q])
+        assert viol == (ns < 3)
