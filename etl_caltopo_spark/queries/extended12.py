@@ -1582,3 +1582,120 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderpriority").cast("bigint").alias("n_sensitive"),
         (F.countDistinct("o_orderpriority") < 3).alias("l_violation"),
     )
+
+
+#: geohash base32 alphabet (no a/i/l/o) and precision
+_GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GH_BITS = 20  # per axis -> 40 bits -> 8 chars
+
+
+def _gh_interleave_terms(lon_q: str, lat_q: str):
+    """Σ lon_bit_j·2^(39−2j) + lat_bit_j·2^(38−2j): geohash bit order
+    (MSB first, longitude on even positions)."""
+    total = F.lit(0).cast("long")
+    for j in range(_GH_BITS):
+        total = (
+            total
+            + (F.col(lon_q) / (1 << (_GH_BITS - 1 - j))).cast("long")
+            % 2
+            * (1 << (39 - 2 * j))
+            + (F.col(lat_q) / (1 << (_GH_BITS - 1 - j))).cast("long")
+            % 2
+            * (1 << (38 - 2 * j))
+        )
+    return total
+
+
+def _gh_interleave_sql(lon_q: str, lat_q: str) -> str:
+    parts = []
+    for j in range(_GH_BITS):
+        parts.append(
+            f"(({lon_q} // {1 << (_GH_BITS - 1 - j)}) % 2) * {1 << (39 - 2 * j)}"
+        )
+        parts.append(
+            f"(({lat_q} // {1 << (_GH_BITS - 1 - j)}) % 2) * {1 << (38 - 2 * j)}"
+        )
+    return " + ".join(parts)
+
+
+@query(
+    "q_geohash",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               CAST((c_custkey * 37) % 18000 - 9000 AS BIGINT) AS lat_c,
+               CAST((c_custkey * 91) % 36000 - 18000 AS BIGINT) AS lon_c
+        FROM customer
+    ), q AS (
+        SELECT c_custkey, lat_c, lon_c,
+               (lat_c + 9000) * {1 << _GH_BITS} // 18000 AS lat_q,
+               (lon_c + 18000) * {1 << _GH_BITS} // 36000 AS lon_q
+        FROM pts
+    ), g AS (
+        SELECT c_custkey, lat_c, lon_c,
+               {_gh_interleave_sql('lon_q', 'lat_q')} AS gh
+        FROM q
+    )
+    SELECT c_custkey, lat_c, lon_c,
+           concat(
+               {", ".join(f"'{_GH_ALPHABET}'[CAST((gh // {1 << (35 - 5 * t)}) % 32 + 1 AS INT)]" for t in range(8))}
+           ) AS geohash
+    FROM g
+    """,
+)
+def q_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard 8-character base32 geohash of each customer's derived
+    point — THE interoperable spatial bucketing key (prefix-truncation
+    gives coarser cells, shared prefixes mean nearby points), the
+    sibling of q_spatial_cell_join's ad-hoc cells and q_zorder_key's
+    Morton layout but in the encoding every geo system speaks.
+
+    Exactness: quantization runs ENTIRELY in integers —
+    (lat_c + 9000)·2²⁰ div 18000 — no doubles anywhere, so both
+    engines derive identical 40-bit codes; the bit interleave is the
+    div/mod generator (longitude on even positions per the spec) and
+    characters index the shared base32 alphabet.
+
+    Scale shape: map-only, zero shuffles; at 100 TB this is the
+    column you repartitionByRange + sort on to get spatially
+    clustered files (the DEPLOY.md Z-order recipe with a standard
+    key)."""
+    apply_runtime_conf(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 37) % 18000 - 9000)
+        .cast("bigint")
+        .alias("lat_c"),
+        ((F.col("c_custkey") * 91) % 36000 - 18000)
+        .cast("bigint")
+        .alias("lon_c"),
+    )
+    q = pts.select(
+        "c_custkey",
+        "lat_c",
+        "lon_c",
+        F.expr(f"(lat_c + 9000) * {1 << _GH_BITS} div 18000").alias("lat_q"),
+        F.expr(f"(lon_c + 18000) * {1 << _GH_BITS} div 36000").alias("lon_q"),
+    )
+    g = q.select(
+        "c_custkey",
+        "lat_c",
+        "lon_c",
+        _gh_interleave_terms("lon_q", "lat_q").alias("gh"),
+    )
+    # element_at on the split alphabet (substring with a column start
+    # is not portable across builds)
+    alpha = F.split(F.lit("/".join(_GH_ALPHABET)), "/")
+    chars = [
+        F.element_at(
+            alpha,
+            ((F.col("gh") / (1 << (35 - 5 * t))).cast("long") % 32 + 1).cast(
+                "int"
+            ),
+        )
+        for t in range(8)
+    ]
+    return g.select(
+        "c_custkey", "lat_c", "lon_c", F.concat(*chars).alias("geohash")
+    )

@@ -523,3 +523,51 @@ def test_privacy_audits_match_python_reference(spark, sf_dir):
     for q, (nc, ns, viol) in got_l.items():
         assert nc == len(members[q]) and ns == len(sens[q])
         assert viol == (ns < 3)
+
+
+def test_geohash_matches_standard_bisection(spark, sf_dir):
+    """The closed-form integer geohash must equal the textbook
+    successive-bisection algorithm run on exact rationals — proving
+    standard semantics, not just internal consistency."""
+    from fractions import Fraction
+
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+    def bisect_geohash(lat, lon, length=8):
+        lat_lo, lat_hi = Fraction(-90), Fraction(90)
+        lon_lo, lon_hi = Fraction(-180), Fraction(180)
+        bits = []
+        even = True
+        while len(bits) < length * 5:
+            if even:
+                mid = (lon_lo + lon_hi) / 2
+                if lon >= mid:
+                    bits.append(1)
+                    lon_lo = mid
+                else:
+                    bits.append(0)
+                    lon_hi = mid
+            else:
+                mid = (lat_lo + lat_hi) / 2
+                if lat >= mid:
+                    bits.append(1)
+                    lat_lo = mid
+                else:
+                    bits.append(0)
+                    lat_hi = mid
+            even = not even
+        out = []
+        for t in range(length):
+            idx = 0
+            for b in bits[5 * t : 5 * t + 5]:
+                idx = idx * 2 + b
+            out.append(alphabet[idx])
+        return "".join(out)
+
+    rows = REGISTRY["q_geohash"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:300]:
+        want = bisect_geohash(
+            Fraction(r["lat_c"], 100), Fraction(r["lon_c"], 100)
+        )
+        assert r["geohash"] == want, (r["lat_c"], r["lon_c"], r["geohash"], want)
