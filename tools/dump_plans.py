@@ -38,7 +38,8 @@ EXTRA = [
     "q_quantile_sketch_portable", "q_graph_2hop", "q_mrr", "q_ndcg",
     "q_video_mjpeg", "q_hll_merge_portable", "q_quantile_sketch_grouped",
     "q_join_bloom_prefilter", "q_f1_macro", "q_autocorr",
-    "q_cusum_changepoint",
+    "q_cusum_changepoint", "q_k_anonymity", "q_l_diversity",
+    "q_geohash",
 ]
 
 

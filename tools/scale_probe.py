@@ -120,6 +120,11 @@ PROBE_QUERIES = [
     "q_stream_hll",
     "q_join_bloom_prefilter",
     "q_f1_macro",
+    "q_autocorr",
+    "q_cusum_changepoint",
+    "q_k_anonymity",
+    "q_l_diversity",
+    "q_geohash",
 ]
 
 
