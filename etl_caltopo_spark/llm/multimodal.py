@@ -672,12 +672,106 @@ def encode_adpcm_wav(samples, sample_rate: int = 8000, block_samples: int = 505)
     )
 
 
+#: G.711 segment-end tables (Sun g711.c / CPython audioop lineage —
+#: both decoders are pinned bit-exact against audioop in tests)
+_SEG_UEND = (0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF)
+_SEG_AEND = (0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF)
+
+
+def lin2ulaw(samples):
+    """G.711 µ-law encode of an int16 array (audioop-bit-exact: the
+    14-bit arithmetic pre-shift happens BEFORE negation, which is
+    where naive implementations diverge on negative segment
+    boundaries)."""
+    import numpy as np
+
+    v = np.asarray(samples, dtype=np.int16).astype(np.int32) >> 2
+    mask = np.where(v < 0, 0x7F, 0xFF)
+    mag = np.minimum(np.where(v < 0, -v, v), 8159) + 33
+    seg = np.full_like(mag, 8)
+    for s in range(7, -1, -1):
+        seg = np.where(mag <= _SEG_UEND[s], s, seg)
+    out = np.where(
+        seg >= 8,
+        0x7F ^ mask,
+        ((seg << 4) | ((mag >> (seg + 1)) & 0xF)) ^ mask,
+    )
+    return (out & 0xFF).astype(np.uint8)
+
+
+def ulaw2lin(codes):
+    """G.711 µ-law decode to int16 (audioop-bit-exact)."""
+    import numpy as np
+
+    u = (~np.asarray(codes, dtype=np.uint8).astype(np.int32)) & 0xFF
+    t = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+    return np.where(u & 0x80 != 0, -t, t).astype(np.int16)
+
+
+def lin2alaw(samples):
+    """G.711 A-law encode of an int16 array (audioop-bit-exact; 13-bit
+    pre-shift, negatives map through −v−1)."""
+    import numpy as np
+
+    v = np.asarray(samples, dtype=np.int16).astype(np.int32) >> 3
+    mask = np.where(v >= 0, 0xD5, 0x55)
+    mag = np.where(v >= 0, v, -v - 1)
+    seg = np.full_like(mag, 8)
+    for s in range(7, -1, -1):
+        seg = np.where(mag <= _SEG_AEND[s], s, seg)
+    low = np.where(seg < 2, (mag >> 1) & 0xF, (mag >> seg) & 0xF)
+    out = np.where(seg >= 8, 0x7F ^ mask, ((seg << 4) | low) ^ mask)
+    return (out & 0xFF).astype(np.uint8)
+
+
+def alaw2lin(codes):
+    """G.711 A-law decode to int16 (audioop-bit-exact)."""
+    import numpy as np
+
+    u = np.asarray(codes, dtype=np.uint8).astype(np.int32) ^ 0x55
+    t = (u & 0xF) << 4
+    seg = (u >> 4) & 7
+    t = np.where(
+        seg == 0, t + 8, np.where(seg == 1, t + 0x108, (t + 0x108) << np.maximum(seg - 1, 0))
+    )
+    return np.where(u & 0x80 != 0, t, -t).astype(np.int16)
+
+
+def encode_g711_wav(samples, sample_rate: int = 8000, law: str = "ulaw") -> bytes:
+    """Encode a 1-D int16 array as a G.711 WAV (wFormatTag 7 = µ-law,
+    6 = A-law; 8 bits/sample, 2:1 vs PCM16) — the telephony codec pair
+    and the fixture generator for the compressed-audio decode path."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype="<i2")
+    data = (lin2ulaw(arr) if law == "ulaw" else lin2alaw(arr)).tobytes()
+    tag = 7 if law == "ulaw" else 6
+    fmt = struct.pack("<HHIIHHH", tag, 1, sample_rate, sample_rate, 1, 8, 0)
+    fact = struct.pack("<I", len(arr))
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + (8 + len(fmt)) + (8 + len(fact)) + (8 + len(data)))
+        + b"WAVEfmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"fact"
+        + struct.pack("<I", len(fact))
+        + fact
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
 def decode_wav(payload: bytes):
     """REAL decoder: RIFF/WAVE mono → (sample_rate, int16 numpy
-    array).  Two stream formats: PCM16 (wFormatTag 1 — a raw
-    length-prefixed container) and IMA ADPCM (wFormatTag 0x11 — a
-    genuinely compressed 4-bit codec, decoded block-by-block with the
-    reference Intel/DVI algorithm, :func:`_ima_decode_core`).
+    array).  Four stream formats: PCM16 (wFormatTag 1 — a raw
+    length-prefixed container), IMA ADPCM (0x11 — a genuinely
+    compressed 4-bit codec, decoded block-by-block with the reference
+    Intel/DVI algorithm, :func:`_ima_decode_core`), and the G.711
+    telephony pair (7 = µ-law, 6 = A-law; both audioop-bit-exact).
     Returns None for None / non-WAV / other formats (dirty rows
     become nulls, same policy as decode_ppm)."""
     import struct
@@ -712,6 +806,11 @@ def decode_wav(payload: bytes):
         return rate, np.frombuffer(
             data[: len(data) - (len(data) % 2)], dtype="<i2"
         )
+    if fmt in (6, 7) and bits == 8:
+        codes = np.frombuffer(data, dtype=np.uint8)
+        if n_samples is not None:
+            codes = codes[:n_samples]
+        return rate, (ulaw2lin(codes) if fmt == 7 else alaw2lin(codes))
     if fmt == 0x11 and bits == 4 and block_align > 4:
         if len(fmt_body) >= 20:
             (samples_per_block,) = struct.unpack("<H", fmt_body[18:20])

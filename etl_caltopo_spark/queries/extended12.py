@@ -1699,3 +1699,90 @@ def q_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "c_custkey", "lat_c", "lon_c", F.concat(*chars).alias("geohash")
     )
+
+
+@query(
+    "q_audio_g711",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS asset_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS law,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(600 + (doc_id % 7) * 50 AS BIGINT) AS n_samples,
+           CAST(CAST((600 + (doc_id % 7) * 50) / 8.0 AS REAL) AS DOUBLE)
+               AS duration_ms
+    FROM documents
+    """,
+)
+def q_audio_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 telephony-audio decode over REAL µ-law/A-law WAV
+    payloads (wFormatTag 7/6, alternating per document):
+    deterministic waveforms are companded to 8-bit log-PCM (2:1 vs
+    PCM16), carried as opaque binary assets, and expanded back inside
+    one Arrow-batched mapInPandas.  The oracle checks the structural
+    closed form — law, sample count (via the fact chunk), duration —
+    while both compand/expand directions are pinned BIT-EXACT against
+    stdlib audioop over the full 16-bit input domain in
+    tests/test_llm_ops.py (the codec is lossy, so content has no
+    cross-engine closed form — the q_audio_adpcm policy).
+
+    Scale shape: generate → decode is map-only, no shuffle; fan_out
+    spreads the codec work across cores."""
+    apply_runtime_conf(spark)
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from etl_caltopo_spark.io import fan_out
+    from etl_caltopo_spark.llm import multimodal
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id"))
+    gen_schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("law", StringType(), True),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            laws, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 600 + (d % 7) * 50
+                t = np.arange(n)
+                sig = (
+                    6000 * np.sin(t / (11.0 + d % 5))
+                    + 900 * np.sin(t / 3.0 + d)
+                ).astype(np.int16)
+                law = "ulaw" if d % 2 == 0 else "alaw"
+                laws.append(law)
+                payloads.append(multimodal.encode_g711_wav(sig, 8000, law))
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "law": laws, "payload": payloads}
+            )
+
+    raw = docs.mapInPandas(gen, schema=gen_schema)
+    assets = multimodal.as_binary_assets(
+        raw, "asset_id", F.col("payload"), "audio"
+    )
+    decoded = multimodal.decode_audio(assets)
+    return decoded.join(
+        raw.select(F.col("asset_id").alias("aid"), "law"),
+        F.col("asset_id") == F.col("aid"),
+    ).select(
+        "asset_id",
+        "law",
+        "sample_rate",
+        "n_samples",
+        F.col("duration_ms").cast("double").alias("duration_ms"),
+    )

@@ -82,7 +82,7 @@ def test_avi_roundtrip_any_shape(n, h, w, fps, seed):
 @settings(max_examples=30, deadline=None)
 @given(
     kind=st.sampled_from(
-        ["png", "ppm", "bmp", "gif", "jpeg", "wav", "adpcm", "avi", "mjpeg", "webp"]
+        ["png", "ppm", "bmp", "gif", "jpeg", "wav", "adpcm", "g711u", "g711a", "avi", "mjpeg", "webp"]
     ),
     seed=st.integers(0, 2**31 - 1),
     n_flips=st.integers(1, 8),
@@ -105,6 +105,8 @@ def test_decoders_never_raise_on_corruption(kind, seed, n_flips):
         "jpeg": lambda: b"\xff\xd8\xff\xe0" + bytes(rng.integers(0, 256, size=400, dtype=np.uint8).tolist()),
         "wav": lambda: mm.encode_wav(sig),
         "adpcm": lambda: mm.encode_adpcm_wav(sig),
+        "g711u": lambda: mm.encode_g711_wav(sig, 8000, "ulaw"),
+        "g711a": lambda: mm.encode_g711_wav(sig, 8000, "alaw"),
         "avi": lambda: mm.encode_avi(frames),
         "mjpeg": lambda: mm.encode_avi_mjpeg(frames),
         "webp": lambda: __import__(
@@ -116,7 +118,7 @@ def test_decoders_never_raise_on_corruption(kind, seed, n_flips):
         pos = int(rng.integers(0, len(buf)))
         buf[pos] = int(rng.integers(0, 256))
     corrupted = bytes(buf)
-    if kind in ("wav", "adpcm"):
+    if kind in ("wav", "adpcm", "g711u", "g711a"):
         out = mm.decode_wav(corrupted)
         assert out is None or (isinstance(out, tuple) and len(out) == 2)
     elif kind in ("avi", "mjpeg"):
@@ -223,3 +225,41 @@ def test_mjpeg_one_bad_frame_poisons_payload():
     # destroy the frame's SOI marker: that frame can no longer decode
     payload[second + 8 : second + 10] = b"\x00\x00"
     assert mm.decode_avi(bytes(payload)) is None
+
+
+def test_g711_bit_exact_vs_audioop_full_domain():
+    """Both G.711 laws, both directions, the ENTIRE 16-bit input
+    domain and all 256 code values — bit-exact against stdlib
+    audioop's reference implementation."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    xs = np.arange(-32768, 32768, dtype=np.int16)
+    assert mm.lin2ulaw(xs).tobytes() == audioop.lin2ulaw(xs.tobytes(), 2)
+    assert mm.lin2alaw(xs).tobytes() == audioop.lin2alaw(xs.tobytes(), 2)
+    us = np.arange(256, dtype=np.uint8)
+    assert mm.ulaw2lin(us).tobytes() == audioop.ulaw2lin(us.tobytes(), 2)
+    assert mm.alaw2lin(us).tobytes() == audioop.alaw2lin(us.tobytes(), 2)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    n=st.integers(1, 2000),
+    law=st.sampled_from(["ulaw", "alaw"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_g711_wav_roundtrip(n, law, seed):
+    rng = np.random.default_rng(seed)
+    sig = np.cumsum(rng.integers(-400, 401, size=n)).clip(-30000, 30000).astype(np.int16)
+    out = mm.decode_wav(mm.encode_g711_wav(sig, 8000, law))
+    assert out is not None
+    rate, dec = out
+    assert rate == 8000 and len(dec) == n
+    # companding error envelope: log-PCM keeps SNR high on smooth data
+    if (sig.astype(np.int64) ** 2).sum() > 0:
+        err = (sig.astype(np.int64) - dec.astype(np.int64)) ** 2
+        snr = 10 * np.log10((sig.astype(np.int64) ** 2).sum() / max(err.sum(), 1))
+        assert snr > 25, snr
