@@ -102,6 +102,8 @@ def decode_image(payload: bytes):
         from etl_caltopo_spark.llm.vp8l import decode_webp
 
         return decode_webp(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff(payload)
     return None
 
 
@@ -670,6 +672,133 @@ def encode_adpcm_wav(samples, sample_rate: int = 8000, block_samples: int = 505)
         + struct.pack("<I", len(data))
         + data
     )
+
+
+def encode_tiff(pixels, big_endian: bool = False) -> bytes:
+    """Encode an (H, W, 3) uint8 array as a minimal baseline TIFF
+    (uncompressed RGB, one strip, chunky planar config) in either
+    byte order — the fixture generator for the real TIFF decode
+    path.  Layout: 8-byte header → pixel strip → BitsPerSample
+    array → IFD."""
+    import struct
+
+    import numpy as np
+
+    e = ">" if big_endian else "<"
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    strip = arr.tobytes()
+    strip_off = 8
+    bps_off = strip_off + len(strip)
+    ifd_off = bps_off + 6
+
+    def entry(tag, typ, count, value):
+        return struct.pack(f"{e}HHI", tag, typ, count) + value
+
+    def long_val(v):
+        return struct.pack(f"{e}I", v)
+
+    def short_val(v):
+        # inline SHORT value occupies the first two bytes of the field
+        return struct.pack(f"{e}H", v) + b"\x00\x00"
+
+    entries = [
+        entry(256, 3, 1, short_val(w)),            # ImageWidth
+        entry(257, 3, 1, short_val(h)),            # ImageLength
+        entry(258, 3, 3, long_val(bps_off)),       # BitsPerSample -> offset
+        entry(259, 3, 1, short_val(1)),            # Compression: none
+        entry(262, 3, 1, short_val(2)),            # Photometric: RGB
+        entry(273, 4, 1, long_val(strip_off)),     # StripOffsets
+        entry(277, 3, 1, short_val(3)),            # SamplesPerPixel
+        entry(278, 3, 1, short_val(h)),            # RowsPerStrip
+        entry(279, 4, 1, long_val(len(strip))),    # StripByteCounts
+        entry(284, 3, 1, short_val(1)),            # PlanarConfig: chunky
+    ]
+    ifd = (
+        struct.pack(f"{e}H", len(entries))
+        + b"".join(entries)
+        + struct.pack(f"{e}I", 0)
+    )
+    header = (b"MM" if big_endian else b"II") + struct.pack(f"{e}HI", 42, ifd_off)
+    return header + strip + struct.pack(f"{e}HHH", 8, 8, 8) + ifd
+
+
+def decode_tiff(payload: bytes):
+    """REAL decoder: baseline TIFF (uncompressed 8-bit RGB, chunky,
+    either byte order, one or many strips) → (H, W, 3) uint8 array.
+    Compressed/planar/palette/grayscale variants and malformed
+    payloads return None (dirty-row policy)."""
+    import struct
+
+    import numpy as np
+
+    try:
+        if payload is None or len(payload) < 8:
+            return None
+        if payload[:4] == b"II*\x00":
+            e = "<"
+        elif payload[:4] == b"MM\x00*":
+            e = ">"
+        else:
+            return None
+        (ifd_off,) = struct.unpack(f"{e}I", payload[4:8])
+        if ifd_off + 2 > len(payload):
+            return None
+        (n_entries,) = struct.unpack(f"{e}H", payload[ifd_off : ifd_off + 2])
+        tags = {}
+        for i in range(n_entries):
+            off = ifd_off + 2 + 12 * i
+            if off + 12 > len(payload):
+                return None
+            tag, typ, count = struct.unpack(f"{e}HHI", payload[off : off + 8])
+            field = payload[off + 8 : off + 12]
+            if typ == 3:  # SHORT
+                if count * 2 <= 4:
+                    vals = struct.unpack(f"{e}{count}H", field[: 2 * count])
+                else:
+                    (p,) = struct.unpack(f"{e}I", field)
+                    vals = struct.unpack(
+                        f"{e}{count}H", payload[p : p + 2 * count]
+                    )
+            elif typ == 4:  # LONG
+                if count == 1:
+                    vals = struct.unpack(f"{e}I", field)
+                else:
+                    (p,) = struct.unpack(f"{e}I", field)
+                    vals = struct.unpack(
+                        f"{e}{count}I", payload[p : p + 4 * count]
+                    )
+            else:
+                continue
+            tags[tag] = vals
+        w = tags.get(256, (0,))[0]
+        h = tags.get(257, (0,))[0]
+        if w <= 0 or h <= 0:
+            return None
+        if tags.get(259, (1,))[0] != 1:  # compression
+            return None
+        if tags.get(262, (2,))[0] != 2:  # photometric RGB
+            return None
+        if tags.get(277, (3,))[0] != 3 or tags.get(284, (1,))[0] != 1:
+            return None
+        if tuple(tags.get(258, (8, 8, 8))) != (8, 8, 8):
+            return None
+        offs = tags.get(273)
+        counts = tags.get(279)
+        if not offs or not counts or len(offs) != len(counts):
+            return None
+        data = b"".join(
+            payload[o : o + c] for o, c in zip(offs, counts)
+        )
+        if len(data) < w * h * 3:
+            return None
+        return (
+            np.frombuffer(data[: w * h * 3], dtype=np.uint8)
+            .reshape(h, w, 3)
+            .copy()
+        )
+    except (struct.error, ValueError):
+        return None
 
 
 #: G.711 segment-end tables (Sun g711.c / CPython audioop lineage —

@@ -307,9 +307,9 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_image_formats",
     oracle="""
     SELECT CAST(doc_id AS BIGINT) AS asset_id,
-           CASE doc_id % 5 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
+           CASE doc_id % 6 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
                            WHEN 2 THEN 'bmp' WHEN 3 THEN 'gif'
-                           ELSE 'webp' END AS fmt,
+                           WHEN 4 THEN 'webp' ELSE 'tiff' END AS fmt,
            CAST(8 + (doc_id % 5) * 4 AS BIGINT) AS width,
            CAST(6 + (doc_id % 3) * 6 AS BIGINT) AS height,
            CAST(CAST((8 + (doc_id % 5) * 4 - 1) / 2.0
@@ -322,17 +322,17 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_image_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Five-codec image decode parity: deterministic gradient images
+    """Six-codec image decode parity: deterministic gradient images
     (pixel (x, y, c) = x + 2y + 85c) are encoded per document into a
     format cycling over binary PPM, PNG (scanline filter cycling),
     24-bit BMP, GIF (palette + LZW, interlaced for every other GIF
-    row), and WebP lossless (VP8L prefix-coded bitstream, every other
-    one through the subtract-green transform) — then carried as opaque
-    binary assets and decoded back through the magic-sniffing
-    dispatcher inside ONE Arrow-batched mapInPandas pass.  The oracle
-    is the closed form of the gradient mean (identical for every
-    codec), so a bug in any one of the five encoders OR decoders
-    breaks the hash.
+    row), WebP lossless (VP8L prefix-coded bitstream, every other one
+    through the subtract-green transform), and baseline TIFF
+    (alternating byte order) — then carried as opaque binary assets
+    and decoded back through the magic-sniffing dispatcher inside ONE
+    Arrow-batched mapInPandas pass.  The oracle is the closed form of
+    the gradient mean (identical for every codec), so a bug in any
+    one of the six encoders OR decoders breaks the hash.
 
     Scale shape: generate → decode is map-only (fan_out first so the
     compute-bound codec work spreads across cores despite the
@@ -369,17 +369,17 @@ def q_image_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 y = np.arange(h, dtype=np.uint16)[:, None, None]
                 c = np.arange(3, dtype=np.uint16)[None, None, :]
                 img = (x + 2 * y + 85 * c).astype(np.uint8)
-                k = d % 5
+                k = d % 6
                 if k == 0:
                     fmts.append("ppm")
                     payloads.append(multimodal.encode_ppm(img))
                 elif k == 1:
                     fmts.append("png")
-                    # (d // 5) % 5 — with the 5-format cycle, d % 5 is
+                    # (d // 6) % 5 — with the 6-format cycle, d % 6 is
                     # constant for PNG docs; divide first so all five
                     # scanline filters keep cycling across assets
                     payloads.append(
-                        multimodal.encode_png(img, filter_type=(d // 5) % 5)
+                        multimodal.encode_png(img, filter_type=(d // 6) % 5)
                     )
                 elif k == 2:
                     fmts.append("bmp")
@@ -389,7 +389,7 @@ def q_image_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payloads.append(
                         multimodal.encode_gif(img, interlaced=bool(d % 8 == 3))
                     )
-                else:
+                elif k == 4:
                     from etl_caltopo_spark.llm.vp8l import (
                         encode_webp_lossless,
                     )
@@ -399,6 +399,11 @@ def q_image_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         encode_webp_lossless(
                             img, subtract_green=bool(d % 2)
                         )
+                    )
+                else:
+                    fmts.append("tiff")
+                    payloads.append(
+                        multimodal.encode_tiff(img, big_endian=bool(d % 4 == 1))
                     )
             yield pd.DataFrame(
                 {"asset_id": pdf["doc_id"], "fmt": fmts, "payload": payloads}
@@ -416,8 +421,9 @@ def q_image_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("bmp"),
             F.lit("gif"),
             F.lit("webp"),
+            F.lit("tiff"),
         ),
-        (F.col("asset_id") % 5 + 1).cast("int"),
+        (F.col("asset_id") % 6 + 1).cast("int"),
     )
     return decoded.select(
         "asset_id",

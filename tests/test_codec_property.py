@@ -82,7 +82,7 @@ def test_avi_roundtrip_any_shape(n, h, w, fps, seed):
 @settings(max_examples=30, deadline=None)
 @given(
     kind=st.sampled_from(
-        ["png", "ppm", "bmp", "gif", "jpeg", "wav", "adpcm", "g711u", "g711a", "avi", "mjpeg", "webp"]
+        ["png", "ppm", "bmp", "gif", "jpeg", "wav", "adpcm", "g711u", "g711a", "avi", "mjpeg", "webp", "tiff"]
     ),
     seed=st.integers(0, 2**31 - 1),
     n_flips=st.integers(1, 8),
@@ -109,6 +109,7 @@ def test_decoders_never_raise_on_corruption(kind, seed, n_flips):
         "g711a": lambda: mm.encode_g711_wav(sig, 8000, "alaw"),
         "avi": lambda: mm.encode_avi(frames),
         "mjpeg": lambda: mm.encode_avi_mjpeg(frames),
+        "tiff": lambda: mm.encode_tiff(img, big_endian=bool(seed % 2)),
         "webp": lambda: __import__(
             "etl_caltopo_spark.llm.vp8l", fromlist=["encode_webp_lossless"]
         ).encode_webp_lossless(img, subtract_green=bool(seed % 2)),
@@ -263,3 +264,35 @@ def test_g711_wav_roundtrip(n, law, seed):
         err = (sig.astype(np.int64) - dec.astype(np.int64)) ** 2
         snr = 10 * np.log10((sig.astype(np.int64) ** 2).sum() / max(err.sum(), 1))
         assert snr > 25, snr
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(1, 17),
+    w=st.integers(1, 17),
+    be=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_tiff_roundtrip_any_size_both_endians(h, w, be, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    enc = mm.encode_tiff(img, big_endian=be)
+    assert np.array_equal(mm.decode_tiff(enc), img)
+    assert np.array_equal(mm.decode_image(enc), img)  # magic dispatch
+
+
+def test_tiff_rejects_compressed_and_truncated():
+    import struct
+
+    img = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    enc = bytearray(mm.encode_tiff(img))
+    # find the Compression entry (tag 259) and flip to LZW (5)
+    ifd_off = struct.unpack("<I", enc[4:8])[0]
+    n = struct.unpack("<H", enc[ifd_off : ifd_off + 2])[0]
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        tag = struct.unpack("<H", enc[off : off + 2])[0]
+        if tag == 259:
+            enc[off + 8 : off + 10] = struct.pack("<H", 5)
+    assert mm.decode_tiff(bytes(enc)) is None
+    assert mm.decode_tiff(mm.encode_tiff(img)[:30]) is None
