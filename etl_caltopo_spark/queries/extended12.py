@@ -1786,3 +1786,130 @@ def q_audio_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_samples",
         F.col("duration_ms").cast("double").alias("duration_ms"),
     )
+
+
+@query(
+    "q_pr_auc",
+    oracle="""
+    WITH scored AS (
+        SELECT value AS score,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+        FROM events
+    ), grid AS (
+        SELECT score, CAST(sum(y) AS BIGINT) AS ps,
+               CAST(count(*) - sum(y) AS BIGINT) AS ns
+        FROM scored GROUP BY score
+    ), cum AS (
+        SELECT score, ps,
+               CAST(sum(ps) OVER (ORDER BY score DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS ctp,
+               CAST(sum(ps + ns) OVER (ORDER BY score DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cn
+        FROM grid
+    ), tot AS (
+        SELECT CAST(sum(ps) AS BIGINT) AS p,
+               CAST(sum(ns) AS BIGINT) AS n
+        FROM grid
+    )
+    SELECT tot.p AS n_pos, tot.n AS n_neg,
+           floor(sum(CAST(ps AS DOUBLE) * ctp / cn) / tot.p * 1000000)
+               / 1000000 AS pr_auc
+    FROM cum, tot GROUP BY tot.p, tot.n
+    """,
+)
+def q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Area under the precision-recall curve (average precision, the
+    step-wise AP of scikit-learn) for click-vs-rest on the event
+    score — the imbalanced-class companion of q_auc (ROC-AUC flatters
+    rare-positive problems; AP does not).
+
+    The lag-free identity: descending the distinct-score thresholds,
+    recall rises by EXACTLY ps_i/P at grid row i, so
+    AP = Σ (ps_i/P)·(ctp_i/cn_i) — no window lag, every term a ratio
+    of exact int64 cumulative counts, one 6-dp floor on the sum.
+
+    Scale shape: one partial-agg shuffle to the distinct-score grid
+    (the q_auc bounded-domain argument — scores live on a 2-dp grid),
+    one grid-sized ordered pass, a scalar rollup."""
+    apply_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("y"),
+    )
+    grid = scored.groupBy("score").agg(
+        F.sum("y").cast("bigint").alias("ps"),
+        (F.count("*") - F.sum("y")).cast("bigint").alias("ns"),
+    )
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = grid.select(
+        "ps",
+        F.sum("ps").over(w).cast("bigint").alias("ctp"),
+        F.sum(F.col("ps") + F.col("ns")).over(w).cast("bigint").alias("cn"),
+    )
+    tot = grid.agg(
+        F.sum("ps").cast("bigint").alias("p"),
+        F.sum("ns").cast("bigint").alias("n"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    return j.groupBy("p", "n").agg(
+        fround(
+            F.sum(F.col("ps").cast("double") * F.col("ctp") / F.col("cn"))
+            / F.col("p"),
+            6,
+        ).alias("pr_auc")
+    ).select(F.col("p").alias("n_pos"), F.col("n").alias("n_neg"), "pr_auc")
+
+
+@query(
+    "q_log_loss",
+    oracle="""
+    WITH scored AS (
+        SELECT least(greatest((value + 1) / 1024.0, 1.0 / 1024),
+                     1023.0 / 1024) AS p,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+        FROM events
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           floor(-sum(CASE WHEN y = 1 THEN ln(p) ELSE ln(1 - p) END)
+                 / count(*) * 10000) / 10000 AS log_loss
+    FROM scored
+    """,
+)
+def q_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary cross-entropy (log loss) of the calibrated event score
+    ((value + 1)/1024, clamped to the open unit interval with exact
+    dyadic bounds — value = 0 and any future range growth stay
+    finite) against the click label — the proper scoring rule that
+    q_calibration_bins complements: calibration bins show WHERE
+    probabilities are off, log loss penalizes BY HOW MUCH.
+
+    Cross-engine exactness: value sits on a 2-dp grid, so
+    (value + 1)/1024 is the identical IEEE double in both engines
+    (the clamp bounds 1/1024 and 1023/1024 are exactly representable),
+    ln of identical doubles is the identical libm double, and the
+    4-dp floor on the mean absorbs summation-order drift (the
+    q_word_entropy ln-sum policy).
+
+    Scale shape: one map-side expression + one scalar aggregate —
+    nothing but a partial-agg reduction at any size."""
+    apply_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        F.least(
+            F.greatest((F.col("value") + 1) / 1024.0, F.lit(1.0 / 1024)),
+            F.lit(1023.0 / 1024),
+        ).alias("p"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("y"),
+    )
+    term = F.when(F.col("y") == 1, F.log("p")).otherwise(F.log(1 - F.col("p")))
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        fround(-F.sum(term) / F.count("*"), 4).alias("log_loss"),
+    )

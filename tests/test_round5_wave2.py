@@ -571,3 +571,38 @@ def test_geohash_matches_standard_bisection(spark, sf_dir):
             Fraction(r["lat_c"], 100), Fraction(r["lon_c"], 100)
         )
         assert r["geohash"] == want, (r["lat_c"], r["lon_c"], r["geohash"], want)
+
+
+def test_pr_auc_and_log_loss_match_python_reference(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("value", "event_type")
+    rows = [(r["value"], 1 if r["event_type"] == "click" else 0) for r in ev.collect()]
+
+    # step-wise AP over descending distinct thresholds
+    from collections import defaultdict
+
+    by_score = defaultdict(lambda: [0, 0])
+    for v, y in rows:
+        by_score[v][y] += 1  # [neg, pos]
+    p_total = sum(y for _, y in rows)
+    ctp = cn = 0
+    ap = 0.0
+    for s in sorted(by_score, reverse=True):
+        neg, pos = by_score[s]
+        ctp += pos
+        cn += pos + neg
+        ap += (pos / p_total) * (ctp / cn)
+    got = REGISTRY["q_pr_auc"].fn(spark, sf_dir).collect()[0]
+    assert got["n_pos"] == p_total
+    assert abs(got["pr_auc"] - ap) < 2e-6, (got["pr_auc"], ap)
+    # AP of a random-ish scorer hovers near the positive rate
+    assert 0.0 < got["pr_auc"] < 1.0
+
+    def _p(v):
+        return min(max((v + 1) / 1024.0, 1.0 / 1024), 1023.0 / 1024)
+
+    ll = -sum(
+        math.log(_p(v)) if y else math.log(1 - _p(v)) for v, y in rows
+    ) / len(rows)
+    got_ll = REGISTRY["q_log_loss"].fn(spark, sf_dir).collect()[0]
+    assert got_ll["n"] == len(rows)
+    assert abs(got_ll["log_loss"] - ll) < 2e-4, (got_ll["log_loss"], ll)
