@@ -125,6 +125,9 @@ PROBE_QUERIES = [
     "q_k_anonymity",
     "q_l_diversity",
     "q_geohash",
+    "q_audio_g711",
+    "q_pr_auc",
+    "q_log_loss",
 ]
 
 
