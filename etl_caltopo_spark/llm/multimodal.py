@@ -78,9 +78,10 @@ def decode_image(payload: bytes):
     (:mod:`etl_caltopo_spark.llm.jpeg`), PNG (:func:`decode_png`,
     zlib is stdlib), binary PPM (:func:`decode_ppm`), BMP
     (:func:`decode_bmp`), GIF (:func:`decode_gif`, pure-python
-    LZW), or WebP lossless (:mod:`etl_caltopo_spark.llm.vp8l` —
+    LZW), WebP lossless (:mod:`etl_caltopo_spark.llm.vp8l` —
     VP8L prefix codes, color cache, LZ77, all four inverse
-    transforms).  Formats without a pure-python decoder here (lossy
+    transforms), or baseline TIFF (:func:`decode_tiff`, both byte
+    orders).  Formats without a pure-python decoder here (lossy
     WebP/AVIF/...) and any undecodable payload return None — dirty
     rows flow through as nulls instead of failing the job, the same
     policy as try_* expressions."""
