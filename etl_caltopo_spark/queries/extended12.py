@@ -1913,3 +1913,111 @@ def q_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("bigint").alias("n_pos"),
         fround(-F.sum(term) / F.count("*"), 4).alias("log_loss"),
     )
+
+
+@query(
+    "q_lift_deciles",
+    oracle="""
+    WITH scored AS (
+        SELECT value AS score,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+        FROM events
+    ), grid AS (
+        SELECT score, CAST(count(*) AS BIGINT) AS ng,
+               CAST(sum(y) AS BIGINT) AS ps
+        FROM scored GROUP BY score
+    ), cum AS (
+        SELECT score, ng, ps,
+               CAST(sum(ng) OVER (ORDER BY score DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_n
+        FROM grid
+    ), tot AS (
+        SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(sum(ps) AS BIGINT) AS p
+        FROM grid
+    ), bucketed AS (
+        SELECT (cum_n - ng) * 10 // tot.n AS decile, ng, ps, tot.n, tot.p
+        FROM cum, tot
+    ), per AS (
+        SELECT decile, CAST(sum(ng) AS BIGINT) AS n_rows,
+               CAST(sum(ps) AS BIGINT) AS n_pos,
+               any_value(n) AS n, any_value(p) AS p
+        FROM bucketed GROUP BY decile
+    )
+    SELECT decile, n_rows, n_pos,
+           floor(CAST(n_pos AS DOUBLE) / n_rows * 1000000) / 1000000
+               AS response_rate,
+           floor(CAST(n_pos AS DOUBLE) * n / (CAST(n_rows AS DOUBLE) * p)
+                 * 1000000) / 1000000 AS lift,
+           floor(CAST(sum(n_pos) OVER (ORDER BY decile
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE) / p * 1000000) / 1000000 AS cum_gain
+    FROM per
+    """,
+)
+def q_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift and cumulative-gains table for click-vs-rest on the
+    event score — the campaign-targeting report (how much better than
+    random is each scored decile, what fraction of all positives the
+    top-k deciles capture) completing the ranking-eval family
+    (q_auc/q_pr_auc/q_mrr/q_ndcg).
+
+    Tie discipline: deciles are assigned on the DISTINCT-score grid by
+    each tie group's STARTING rank — whole tied-score groups land in
+    one decile, so the split is deterministic in both engines (ntile
+    would split ties arbitrarily and never hash-match); with heavy
+    ties deciles are intentionally uneven, carrying their true sizes.
+
+    Scale shape: one partial-agg shuffle to the score grid, grid-sized
+    cumulative pass, ≤10-row decile rollup + window."""
+    apply_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("y"),
+    )
+    grid = scored.groupBy("score").agg(
+        F.count("*").cast("bigint").alias("ng"),
+        F.sum("y").cast("bigint").alias("ps"),
+    )
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = grid.select(
+        "ng", "ps", F.sum("ng").over(w).cast("bigint").alias("cum_n")
+    )
+    tot = grid.agg(
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum("ps").cast("bigint").alias("p"),
+    )
+    bucketed = cum.crossJoin(F.broadcast(tot)).select(
+        F.expr("(cum_n - ng) * 10 div n").alias("decile"),
+        "ng",
+        "ps",
+        "n",
+        "p",
+    )
+    per = bucketed.groupBy("decile").agg(
+        F.sum("ng").cast("bigint").alias("n_rows"),
+        F.sum("ps").cast("bigint").alias("n_pos"),
+        F.any_value("n").alias("n"),
+        F.any_value("p").alias("p"),
+    )
+    wd = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        fround(F.col("n_pos").cast("double") / F.col("n_rows"), 6).alias(
+            "response_rate"
+        ),
+        fround(
+            F.col("n_pos").cast("double")
+            * F.col("n")
+            / (F.col("n_rows").cast("double") * F.col("p")),
+            6,
+        ).alias("lift"),
+        fround(
+            F.sum("n_pos").over(wd).cast("double") / F.col("p"), 6
+        ).alias("cum_gain"),
+    )

@@ -606,3 +606,38 @@ def test_pr_auc_and_log_loss_match_python_reference(spark, sf_dir):
     got_ll = REGISTRY["q_log_loss"].fn(spark, sf_dir).collect()[0]
     assert got_ll["n"] == len(rows)
     assert abs(got_ll["log_loss"] - ll) < 2e-4, (got_ll["log_loss"], ll)
+
+
+def test_lift_deciles_invariants_and_python_reference(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("value", "event_type")
+    rows = [(r["value"], 1 if r["event_type"] == "click" else 0) for r in ev.collect()]
+    n, p = len(rows), sum(y for _, y in rows)
+
+    from collections import defaultdict
+
+    by_score = defaultdict(lambda: [0, 0])  # [count, pos]
+    for v, y in rows:
+        by_score[v][0] += 1
+        by_score[v][1] += y
+    want = defaultdict(lambda: [0, 0])
+    cum_n = 0
+    for s in sorted(by_score, reverse=True):
+        ng, ps = by_score[s]
+        d = cum_n * 10 // n
+        want[d][0] += ng
+        want[d][1] += ps
+        cum_n += ng
+    got = {
+        r["decile"]: r
+        for r in REGISTRY["q_lift_deciles"].fn(spark, sf_dir).collect()
+    }
+    assert {k: (v["n_rows"], v["n_pos"]) for k, v in got.items()} == {
+        k: tuple(v) for k, v in want.items()
+    }
+    assert sum(v["n_rows"] for v in got.values()) == n
+    assert sum(v["n_pos"] for v in got.values()) == p
+    # cumulative gain reaches 1 at the last decile; lift is rate ratio
+    last = got[max(got)]
+    assert abs(last["cum_gain"] - 1.0) < 2e-6
+    for v in got.values():
+        assert abs(v["lift"] - (v["n_pos"] / v["n_rows"]) / (p / n)) < 2e-6
