@@ -1,12 +1,27 @@
-"""Round-5 second wave: distribution tests, drift metrics, feature
-selection, sequential-pattern support, data-layout keys, and a
-portable quantile sketch — the statistics a 100-TB corpus pipeline
-runs between ingestion and training, each hash-graded against a
-DuckDB replay.
+"""Round-5 continuation waves: the statistics a 100-TB corpus
+pipeline runs between ingestion and training, each hash-graded
+against a DuckDB replay —
+
+- distribution tests (KS, Mann-Whitney) and drift metrics (PSI) on
+  bounded distinct-value grids;
+- feature selection (token-class mutual information) and classifier
+  reports (macro-F1);
+- sequential-pattern support and time-series diagnostics (ACF, CUSUM
+  changepoint) on the day grid;
+- data-layout keys (Morton/Z-order, geohash) and join rewrites
+  (bloom semi-join reduction) graded for exactness;
+- mergeable sketches (global + grouped histogram quantiles, HLL
+  register merge) and a disjoint-bins DP histogram release;
+- ranking/probability eval (MRR, NDCG@10, PR-AUC, log loss, decile
+  lift/gains);
+- privacy audits (k-anonymity, l-diversity);
+- friend-of-friend graph reach with a hub cap; G.711 compressed-audio
+  decode under the multimodal contract.
 
 Reference scope note: the reference engine (task.ts:63-160) stops at
 single-map feature ETL; these extend the analytics surface the brief
-mandates (corpus drift detection, feature selection, storage layout).
+mandates (corpus drift detection, feature selection, storage layout,
+model/privacy evaluation).
 """
 
 from __future__ import annotations
