@@ -39,7 +39,7 @@ EXTRA = [
     "q_video_mjpeg", "q_hll_merge_portable", "q_quantile_sketch_grouped",
     "q_join_bloom_prefilter", "q_f1_macro", "q_autocorr",
     "q_cusum_changepoint", "q_k_anonymity", "q_l_diversity",
-    "q_geohash", "q_audio_g711", "q_pr_auc", "q_log_loss",
+    "q_geohash", "q_audio_g711", "q_pr_auc", "q_log_loss", "q_lift_deciles",
 ]
 
 

@@ -128,6 +128,7 @@ PROBE_QUERIES = [
     "q_audio_g711",
     "q_pr_auc",
     "q_log_loss",
+    "q_lift_deciles",
 ]
 
 
