@@ -3,16 +3,29 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"q_...": sec, ...}, "sf": <sf>}
+   "queries": {"q_...": sec, ...}, "spread": {"q_...": [min, med, max]},
+   "sf": <sf>}
 
 Timing = wall time of one terminal action (count of a fully-computed
 result) per query on a warm SparkSession, AQE on.
+
+Protocol (round 6, drift-proofing per VERDICT r5 #2): one warm-up pass
+over every query (amortizes whole-stage-codegen compilation), then
+three full measurement PASSES; within each pass every query runs once
+and the pass visits queries in a different deterministic shuffled
+order.  Per query we report the median of the three samples, plus
+[min, median, max] in "spread".  Interleaving passes (rather than
+running one query's samples back-to-back) decorrelates slow-box drift
+from per-query regressions: a machine that is globally 10% slower
+moves every query's median together, while a genuine plan regression
+moves one query across all three passes.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import random
 import sys
 import time
 
@@ -29,10 +42,18 @@ from etl_caltopo_spark.session import build_spark
 #: cache-leak honesty correction, not a regression).  Clear entries
 #: that are more than one round old.
 NOTES: dict[str, str] = {
-    # round 5: no headline query's plan or protocol changed (the
-    # q_dedup_jaccard/q_dedup_embed/q_knn_classify rewires are
-    # non-headline ids); baseline comparable to BENCH_r04.
+    "protocol": (
+        "round 6 cutover (VERDICT r5 #2): interleaved median-of-3 — "
+        "three order-shuffled full passes, one sample per query per "
+        "pass, median reported (was: median-of-5 back-to-back). "
+        "Decorrelates global box drift from per-query regressions; "
+        "'spread' carries [min, median, max] per query. Medians are "
+        "protocol-comparable to BENCH_r05 values."
+    ),
 }
+
+#: Number of interleaved measurement passes (1 sample/query/pass).
+PASSES = 3
 
 
 def main() -> None:
@@ -43,23 +64,32 @@ def main() -> None:
 
     headline = [name for name, spec in REGISTRY.items() if spec.headline]
 
-    times: dict[str, float] = {}
+    # Warm-up pass: amortizes one-time whole-stage-codegen compilation
+    # (seconds for the larger expression trees; irrelevant at real
+    # scale where a query runs minutes).  count() forces every
+    # operator in the plan.
     for name in headline:
-        spec = REGISTRY[name]
-        # run once to amortize one-time whole-stage-codegen compilation
-        # (seconds for the larger expression trees; irrelevant at real
-        # scale where a query runs minutes), then report the median of
-        # five warm runs — count() forces every operator in the plan.
-        # Median-of-5 over min-of-2 because sub-second queries see
-        # ±20% scheduler jitter that made round-over-round deltas
-        # meaningless noise.
-        spec.fn(spark, sf_dir).count()
-        samples = []
-        for _ in range(5):
+        REGISTRY[name].fn(spark, sf_dir).count()
+
+    # Interleaved measurement passes, each in a fresh deterministic
+    # shuffled order so that slow-box drift spreads evenly across
+    # queries instead of penalizing whichever query ran last.
+    samples: dict[str, list[float]] = {name: [] for name in headline}
+    rng = random.Random(0x5F0C6)
+    for _ in range(PASSES):
+        order = list(headline)
+        rng.shuffle(order)
+        for name in order:
             t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).count()
-            samples.append(time.perf_counter() - t0)
-        times[name] = round(sorted(samples)[2], 3)
+            REGISTRY[name].fn(spark, sf_dir).count()
+            samples[name].append(time.perf_counter() - t0)
+
+    times: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    for name in headline:
+        s = sorted(samples[name])
+        times[name] = round(s[len(s) // 2], 3)
+        spread[name] = [round(s[0], 3), round(s[len(s) // 2], 3), round(s[-1], 3)]
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -68,6 +98,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "spread": spread,
                 "notes": NOTES,
                 "sf": sf,
             }
