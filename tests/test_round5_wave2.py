@@ -641,3 +641,47 @@ def test_lift_deciles_invariants_and_python_reference(spark, sf_dir):
     assert abs(last["cum_gain"] - 1.0) < 2e-6
     for v in got.values():
         assert abs(v["lift"] - (v["n_pos"] / v["n_rows"]) / (p / n)) < 2e-6
+
+
+def test_graph_2hop_sketch_estimates_ball_size(spark, sf_dir):
+    """q_graph_2hop_sketch estimates |ball_2(a)| (distinct nodes within
+    <=2 hops, self re-entering via back-paths) with 64-register HLL
+    accuracy: every estimate within a per-node band and the median
+    relative error well inside the published 1.04/sqrt(64) = 13%
+    sigma.  Also pins the register semantics (n_buckets <= 64)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    rows = li.collect()
+    from collections import defaultdict
+
+    by_order = defaultdict(set)
+    for r in rows:
+        by_order[r["l_orderkey"]].add(r["l_partkey"])
+    adj = defaultdict(set)
+    for parts in by_order.values():
+        for p in parts:
+            for q in parts:
+                if p != q:
+                    adj[p].add(q)
+    true_ball = {}
+    for a, nbs in adj.items():
+        ball = set(nbs)
+        for m in nbs:
+            ball |= adj[m]  # includes a itself via back-path a->m->a
+        true_ball[a] = len(ball)
+    got = {
+        r["part"]: (r["n_buckets"], r["est_reach2"])
+        for r in REGISTRY["q_graph_2hop_sketch"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(true_ball)
+    rel_errs = []
+    for a, true_n in true_ball.items():
+        nz, est = got[a]
+        assert 1 <= nz <= 64
+        assert est > 0
+        # individual m=64 HLL estimates stay within ~3 sigma (40%)
+        assert 0.5 * true_n <= est <= 2.0 * true_n + 5, (a, true_n, est)
+        rel_errs.append(abs(est - true_n) / true_n)
+    rel_errs.sort()
+    assert rel_errs[len(rel_errs) // 2] < 0.15, rel_errs[len(rel_errs) // 2]
