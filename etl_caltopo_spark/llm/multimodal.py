@@ -228,20 +228,30 @@ def decode_png(payload: bytes):
             out[r] = row
         elif f == 2:  # Up: no intra-row dependency, vector add
             out[r] = (row + prev) & 0xFF
-        elif f in (1, 3, 4):  # Sub/Average/Paeth: left-to-right chain
-            cur = out[r]
+        elif f == 1:  # Sub: recon[i] = raw[i] + recon[i-bpp] — a
+            # per-channel-lane prefix sum, so mod-256 cumsum per lane
+            # replaces the left-to-right byte chain entirely
+            out[r] = (
+                np.cumsum(row.reshape(w, bpp), axis=0, dtype=np.int64) & 0xFF
+            ).reshape(-1)
+        elif f in (3, 4):  # Average/Paeth: inherent left-to-right chain
+            # (the >>1 / min() make it non-linear — no prefix-sum form);
+            # run it over Python lists, ~10x faster than numpy scalar
+            # indexing in a per-byte loop
+            row_l = row.tolist()
+            prev_l = prev.tolist()
+            cur = [0] * stride
             for i in range(stride):
                 a = cur[i - bpp] if i >= bpp else 0
-                if f == 1:
-                    pred = a
-                elif f == 3:
-                    pred = (a + prev[i]) >> 1
+                if f == 3:
+                    pred = (a + prev_l[i]) >> 1
                 else:
-                    b, c = prev[i], (prev[i - bpp] if i >= bpp else 0)
+                    b, c = prev_l[i], (prev_l[i - bpp] if i >= bpp else 0)
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                cur[i] = (row[i] + pred) & 0xFF
+                cur[i] = (row_l[i] + pred) & 0xFF
+            out[r] = cur
         else:
             return None
     arr = out.astype(np.uint8).reshape(h, w, channels)
