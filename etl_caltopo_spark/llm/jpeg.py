@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import struct
 
+from functools import lru_cache
+
 import numpy as np
 
 # ---------------------------------------------------------------- tables
@@ -125,7 +127,16 @@ _DCT = _dct_matrix()
 
 
 def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
-    """value → (code, length), canonical Huffman assignment."""
+    """value → (code, length), canonical Huffman assignment (memoized:
+    decoding a corpus re-reads the same DHT vectors per frame, and the
+    tables are immutable after construction)."""
+    return dict(_canonical_codes_cached(tuple(bits), tuple(vals)))
+
+
+@lru_cache(maxsize=64)
+def _canonical_codes_cached(
+    bits: tuple[int, ...], vals: tuple[int, ...]
+) -> tuple[tuple[int, tuple[int, int]], ...]:
     codes: dict[int, tuple[int, int]] = {}
     code, k = 0, 0
     for length in range(1, 17):
@@ -134,16 +145,24 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
             code += 1
             k += 1
         code <<= 1
-    return codes
+    return tuple(codes.items())
 
 
 def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
     """(length, code) → value — the encoder's canonical assignment,
-    inverted, so both directions share one construction."""
-    return {
-        (length, code): v
-        for v, (code, length) in _canonical_codes(bits, vals).items()
-    }
+    inverted, so both directions share one construction (memoized by
+    the DHT vectors, same rationale as _canonical_codes)."""
+    return dict(_decode_table_cached(tuple(bits), tuple(vals)))
+
+
+@lru_cache(maxsize=64)
+def _decode_table_cached(
+    bits: tuple[int, ...], vals: tuple[int, ...]
+) -> tuple[tuple[tuple[int, int], int], ...]:
+    return tuple(
+        ((length, code), v)
+        for v, (code, length) in _canonical_codes_cached(bits, vals)
+    )
 
 
 # ---------------------------------------------------------------- encoder
