@@ -40,6 +40,8 @@ EXTRA = [
     "q_join_bloom_prefilter", "q_f1_macro", "q_autocorr",
     "q_cusum_changepoint", "q_k_anonymity", "q_l_diversity",
     "q_geohash", "q_audio_g711", "q_pr_auc", "q_log_loss", "q_lift_deciles",
+    # round-6 ids
+    "q_graph_2hop_sketch", "q_caltopo_pipeline",
 ]
 
 
