@@ -884,6 +884,11 @@ def q_graph_2hop_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # e has two consumers (register derivation + the frontier join) and
+    # Catalyst re-runs the pair-gen for each; unlike q_graph_2hop (four
+    # consumers) a localCheckpoint here is a measured LOSS — 18.1 s vs
+    # 15.5 s at the 10x probe — because serializing the edge list costs
+    # more than one extra broadcast-join + partial-distinct pass.
     hv = ((F.col("dst") * 1000003) % 2147483648) * 2654435761 % 4294967296
     r = e.select(
         "src",
