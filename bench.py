@@ -47,8 +47,12 @@ NOTES: dict[str, str] = {
         "three order-shuffled full passes, one sample per query per "
         "pass, median reported (was: median-of-5 back-to-back). "
         "Decorrelates global box drift from per-query regressions; "
-        "'spread' carries [min, median, max] per query. Medians are "
-        "protocol-comparable to BENCH_r05 values."
+        "'spread' carries [min, median, max] per query. MEASURED "
+        "SHIFT vs the old protocol: interleaving reads ~15% higher "
+        "totals (back-to-back samples rode each query's still-warm "
+        "codegen/shuffle state; q_market_basket alone reads ~1.6x) — "
+        "r6 numbers are a NEW baseline, not comparable to BENCH_r05; "
+        "r6-vs-r6 repeats agree within ~2% (11.1 vs 11.3 s totals)."
     ),
 }
 
