@@ -339,3 +339,96 @@ def test_encoder_rejects_bad_shapes():
         vp8l.encode_webp_lossless(np.zeros((4, 4), np.uint8))
     with pytest.raises(ValueError):
         vp8l.encode_webp_lossless(np.zeros((0, 4, 3), np.uint8))
+
+
+def test_lz77_overlapping_run_and_long_copy():
+    """Backward reference with 1 < dist < length (the stepwise overlap
+    branch of _decode_pixels_fast) AND a second non-overlapping copy
+    (the dist >= length slice branch): 3 literals A B C, then length-5
+    dist-3 (-> A B C A B), then length-3 dist-8 (-> A B C again)."""
+    bw = _BitWriter()
+    _header(bw, 11, 1)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no meta
+    bw.write(0, 1)  # no cache
+    # greens 1,2,3; length sym 260 = prefix 4 (1 extra bit) and
+    # length sym 258 = prefix 2 (-> 3, no extra)
+    gtab = _codes_for(bw, [1, 2, 3, 258, 260], 280)
+    for sym in (10, 30, 255):  # r, b, a: 1-symbol simple codes
+        bw.write(1, 1)
+        bw.write(0, 1)
+        bw.write(1, 1)
+        bw.write(sym, 8)
+    # distance prefix 13 (1-symbol code, zero bits): offset
+    # (2+1)<<5 = 96, plain distance = 96 + extra + 1 - 120
+    dtab = _codes_for(bw, [13], 40)
+    for g in (1, 2, 3):
+        _e(bw, gtab, g)
+    _e(bw, gtab, 260)  # length prefix 4: offset (2+0)<<1 = 4
+    bw.write(0, 1)  # extra 0 -> length 5
+    _e(bw, dtab, 13)
+    bw.write(26, 5)  # 96 + 26 + 1 = 123 -> plain dist 3
+    _e(bw, gtab, 258)  # length 3, no extra
+    _e(bw, dtab, 13)
+    bw.write(31, 5)  # 96 + 31 + 1 = 128 -> plain dist 8
+    dec = vp8l.decode_webp(_container(bw.done()))
+    greens = [1, 2, 3, 1, 2, 3, 1, 2, 1, 2, 3]
+    want = np.array(
+        [[[10, g, 30, 255] for g in greens]], np.uint8
+    )
+    assert dec is not None and np.array_equal(dec, want)
+
+def test_cache_insert_during_backward_copy():
+    """Copied pixels must enter the color cache: literal A fills
+    bucket k, literal C (chosen to COLLIDE with A's bucket) evicts it,
+    then a length-1 dist-3 backward copy re-copies A — the copy's ONLY
+    write to bucket k — and a final cache-hit on bucket k must decode
+    A.  If the copy path skipped cache insertion the hit would yield
+    C (the last literal insert into k)."""
+    cache_bits = 4
+
+    def bucket(px):
+        return ((0x1E35A7BD * px) & 0xFFFFFFFF) >> (32 - cache_bits)
+
+    A = _argb(10, 1, 30)
+    B = _argb(10, 2, 30)
+    C = None
+    for g in range(3, 256):
+        cand = _argb(10, g, 30)
+        if bucket(cand) == bucket(A) and g != 1:
+            C = cand
+            break
+    assert C is not None, "no colliding green found"
+    gC = (C >> 8) & 0xFF
+    assert bucket(B) != bucket(A), "pick B outside the collision bucket"
+    bw = _BitWriter()
+    _header(bw, 5, 1)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no meta
+    bw.write(1, 1)  # cache on
+    bw.write(cache_bits, 4)
+    # greens: 1 (A), gC (C), 2 (B); length sym 256 (prefix 0 ->
+    # length 1, no extra); cache-hit sym 280 + bucket(A)
+    gtab = _codes_for(bw, [1, 2, gC, 256, 280 + bucket(A)], 280 + 16)
+    for sym in (10, 30, 255):  # r, b, a single-symbol
+        bw.write(1, 1)
+        bw.write(0, 1)
+        bw.write(1, 1)
+        bw.write(sym, 8)
+    # distance prefix 7 + 2 extra bits -> dist_code 12 + extra + 1;
+    # extra 1 -> 14 -> _DIST_MAP[13] = (3, 0) -> plain dist 3
+    dtab = _codes_for(bw, [7], 40)
+    from etl_caltopo_spark.llm.vp8l import _DIST_MAP
+
+    assert _DIST_MAP[13] == (3, 0)
+    _e(bw, gtab, 1)  # A  (cache: k <- A)
+    _e(bw, gtab, gC)  # C  (cache: k <- C, evicts A)
+    _e(bw, gtab, 2)  # B
+    _e(bw, gtab, 256)  # length 1
+    _e(bw, dtab, 7)
+    bw.write(1, 2)  # dist_code 14 -> dist 3 -> copies A (k <- A)
+    _e(bw, gtab, 280 + bucket(A))  # cache hit -> must be A
+    dec = vp8l.decode_webp(_container(bw.done()))
+    want_greens = [1, gC, 2, 1, 1]
+    want = np.array([[[10, g, 30, 255] for g in want_greens]], np.uint8)
+    assert dec is not None and np.array_equal(dec, want)
