@@ -463,22 +463,20 @@ def _decode_entropy_image(
         if not 1 <= cache_bits <= 11:
             raise ValueError("bad cache bits")
     cache_size = (1 << cache_bits) if cache_bits else 0
-    cache = [0] * cache_size
     groups = _read_code_groups(br, cache_size, n_groups)
 
     if meta_codes is None:
         fast = _decode_pixels_fast(br, w, h, groups[0], cache_bits)
         return np.array(fast, dtype=np.uint32).reshape(h, w)
 
+    # general (meta-group) loop — only multi-group images reach here
+    cache = [0] * cache_size
     n = w * h
     out = np.zeros(n, dtype=np.uint32)
     pos = 0
     while pos < n:
-        if meta_codes is not None:
-            x, y = pos % w, pos // w
-            g = groups[int(meta_codes[y >> meta_bits, x >> meta_bits])]
-        else:
-            g = groups[0]
+        x, y = pos % w, pos // w
+        g = groups[int(meta_codes[y >> meta_bits, x >> meta_bits])]
         sym = g[0].decode(br)
         if sym < 256:  # literal: green, then red, blue, alpha
             green = sym

@@ -230,7 +230,13 @@ def q_caltopo_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "icon",
         "geometry_type",
         "path",
-        F.size("_pos0").cast("int").alias("pos_dims"),
+        # null-guarded: F.size(NULL) is -1 under non-ANSI defaults while
+        # the oracle's json_array_length(NULL) is NULL — matters the day
+        # the fixture envelope gains a geometry type outside the pos0
+        # CASE (e.g. GeometryCollection via the walker fallback)
+        F.when(F.col("_pos0").isNotNull(), F.size("_pos0"))
+        .cast("int")
+        .alias("pos_dims"),
         F.get("_pos0", 0).alias("pos0_x"),
         F.get("_pos0", 1).alias("pos0_y"),
         F.get("_pos0", 2).alias("pos0_z"),

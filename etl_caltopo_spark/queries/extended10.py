@@ -1688,9 +1688,9 @@ def q_embed_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(regs.bucket AS BIGINT) AS bucket,
            CAST(regs.mx AS BIGINT) AS max_rank,
-           floor(CASE WHEN (0.673 * 256 / s) <= 40 AND nz < 16
+           floor(CASE WHEN (0.673 * 256 / (s + 16 - nz)) <= 40 AND nz < 16
                       THEN 16 * ln(16.0 / (16 - nz))
-                      ELSE 0.673 * 256 / s END * 10000) / 10000 AS estimate
+                      ELSE 0.673 * 256 / (s + 16 - nz) END * 10000) / 10000 AS estimate
     FROM regs, agg
     """,
 )
@@ -1732,7 +1732,8 @@ def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("s"),
         F.count("*").alias("nz"),
     )
-    raw = 0.673 * 256 / F.col("s")
+    # empty registers contribute 2^0 = 1 each (sparse-correct HLL)
+    raw = 0.673 * 256 / (F.col("s") + 16 - F.col("nz"))
     est = F.when(
         (raw <= 40) & (F.col("nz") < 16),
         16 * F.log(16.0 / (16 - F.col("nz"))),

@@ -830,9 +830,9 @@ def q_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM merged GROUP BY a
     )
     SELECT a AS part, CAST(nz AS BIGINT) AS n_buckets,
-           floor(CASE WHEN (0.709 * 4096 / s) <= 160 AND nz < 64
+           floor(CASE WHEN (0.709 * 4096 / (s + 64 - nz)) <= 160 AND nz < 64
                       THEN 64 * ln(64.0 / (64 - nz))
-                      ELSE 0.709 * 4096 / s END * 10000) / 10000
+                      ELSE 0.709 * 4096 / (s + 64 - nz) END * 10000) / 10000
                AS est_reach2
     FROM agg
     """,
@@ -858,10 +858,13 @@ def q_graph_2hop_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_hll_merge_portable proves DuckDB replays bit-identically
     (associative/commutative/idempotent max ⇒ order-free), and the
     same estimate discipline as q_hll_portable: Σ2^−mx is a sum of
-    dyadic rationals (exact in double in any order), ln only of exact
-    integer ratios, 4-dp floor.  Measured quality: 5 % median / 11.5 %
-    max relative error vs the exact ball sizes at sf0.01 (m = 16 was
-    44 % — too few registers for ~2000-node balls); pinned in
+    dyadic rationals (exact in double in any order — and the harmonic
+    denominator adds (m − nz) so EMPTY registers contribute 2⁰ = 1
+    each, the standard-HLL term that keeps sparse balls in the
+    linear-counting range), ln only of exact integer ratios, 4-dp
+    floor.  Measured quality: 5 % median / 11.5 % max relative error
+    vs the exact ball sizes at sf0.01 (m = 16 was 44 % — too few
+    registers for ~2000-node balls); dense + sparse pins in
     tests/test_round5_wave2.py.
 
     Scale shapes: order-co-located pair gen (shared with q_graph_2hop),
@@ -914,7 +917,11 @@ def q_graph_2hop_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("s"),
         F.count("*").alias("nz"),
     )
-    raw = 0.709 * 4096 / F.col("s")
+    # the harmonic denominator MUST count empty registers at 2^0 = 1
+    # each (s is aggregated only over present buckets): without the
+    # (m - nz) term a sparse ball (nz << 64) blows raw past the
+    # linear-counting gate and overestimates by orders of magnitude
+    raw = 0.709 * 4096 / (F.col("s") + 64 - F.col("nz"))
     est = F.when(
         (raw <= 160) & (F.col("nz") < 64),
         64 * F.log(64.0 / (64 - F.col("nz"))),
@@ -1088,9 +1095,9 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM all_scopes GROUP BY scope
     )
     SELECT scope, CAST(nz AS BIGINT) AS n_buckets,
-           floor(CASE WHEN (0.673 * 256 / s) <= 40 AND nz < 16
+           floor(CASE WHEN (0.673 * 256 / (s + 16 - nz)) <= 40 AND nz < 16
                       THEN 16 * ln(16.0 / (16 - nz))
-                      ELSE 0.673 * 256 / s END * 10000) / 10000 AS estimate
+                      ELSE 0.673 * 256 / (s + 16 - nz) END * 10000) / 10000 AS estimate
     FROM agg
     """,
 )
@@ -1135,7 +1142,10 @@ def q_hll_merge_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("s"),
         F.count("*").alias("nz"),
     )
-    raw = 0.673 * 256 / F.col("s")
+    # empty registers contribute 2^0 = 1 to the harmonic sum (s only
+    # aggregates present buckets; saturated event data has nz = 16 so
+    # the term is 0 there, but the estimator is now sparse-correct)
+    raw = 0.673 * 256 / (F.col("s") + 16 - F.col("nz"))
     est = F.when(
         (raw <= 40) & (F.col("nz") < 16),
         16 * F.log(16.0 / (16 - F.col("nz"))),

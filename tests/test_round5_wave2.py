@@ -685,3 +685,32 @@ def test_graph_2hop_sketch_estimates_ball_size(spark, sf_dir):
         rel_errs.append(abs(est - true_n) / true_n)
     rel_errs.sort()
     assert rel_errs[len(rel_errs) // 2] < 0.15, rel_errs[len(rel_errs) // 2]
+
+
+def test_graph_2hop_sketch_sparse_graph(spark, tmp_path):
+    """Sparse-ball regression (code-review r6 finding): the HLL
+    harmonic denominator must count EMPTY registers at 2^0 = 1 each.
+    Before the fix, a 3-node ball read raw = alpha*m^2/s ~ 3319 (>
+    the 2.5m linear-counting gate), returning a ~1000x overestimate;
+    correct small-range handling gives ~|ball| via linear counting.
+    Built on a tiny synthetic co-purchase graph: two disjoint orders
+    of 3 and 4 parts -> every ball is its own clique (sizes 3, 4)."""
+    import pandas as pd
+
+    rows = []
+    for ok, parts in ((1, [101, 102, 103]), (2, [201, 202, 203, 204])):
+        rows += [(ok, p) for p in parts]
+    pdf = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    sf = str(tmp_path / "sparse")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(f"{sf}/lineitem.parquet")
+    got = {
+        r["part"]: (r["n_buckets"], r["est_reach2"])
+        for r in REGISTRY["q_graph_2hop_sketch"].fn(spark, sf).collect()
+    }
+    assert set(got) == {101, 102, 103, 201, 202, 203, 204}
+    for part, (nz, est) in got.items():
+        true_n = 3 if part < 200 else 4
+        # linear counting at nz << 64 is near-exact; allow hash
+        # collisions one register short
+        assert nz <= true_n
+        assert 0.5 * true_n <= est <= 2.0 * true_n, (part, nz, est)
