@@ -86,15 +86,32 @@ def truncate_coordinates(
 ) -> DataFrame:
     """Apply the <=3-element position truncation across all geometry
     types; typed codegen paths for the standard six, UDF walker
-    otherwise."""
+    otherwise.
+
+    Scale note: Spark HOISTS the pandas UDF out of the CASE into an
+    ArrowEvalPython node evaluated for EVERY row — conditional
+    branches do not short-circuit Python UDF evaluation.  So the
+    walker's INPUT is masked to NULL for the standard six types: the
+    Arrow batch ships a null column and the walker's per-row work for
+    standard rows is a single None check, keeping the whole-corpus
+    cost of the fallback proportional to the ragged rows only."""
     t = F.col(type_col)
     j = F.col(json_col)
+    standard = t.isin(
+        "Point", "MultiPoint", "LineString", "MultiLineString", "Polygon",
+        "MultiPolygon",
+    )
+    # null geometry_type with non-null coordinates still walks
+    # (coalesce: NULL type is "not standard", not "skip")
+    walker_input = F.when(
+        ~F.coalesce(standard, F.lit(False)) & j.isNotNull(), j
+    )
     expr = (
         F.when(j.isNull(), F.lit(None).cast("string"))
         .when(t == "Point", _truncate_typed(j, 1, keep))
         .when((t == "MultiPoint") | (t == "LineString"), _truncate_typed(j, 2, keep))
         .when((t == "MultiLineString") | (t == "Polygon"), _truncate_typed(j, 3, keep))
         .when(t == "MultiPolygon", _truncate_typed(j, 4, keep))
-        .otherwise(_truncate_walker(j))
+        .otherwise(_truncate_walker(walker_input))
     )
     return df.withColumn(json_col, expr)
