@@ -14,7 +14,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_caltopo_spark.functions.numeric import fround
-from etl_caltopo_spark.functions.portable import portable_string_hash_sql
+from etl_caltopo_spark.functions.portable import (
+    portable_string_hash,
+    portable_string_hash_sql,
+)
 from etl_caltopo_spark.io import load_table
 from etl_caltopo_spark.queries.registry import query
 from etl_caltopo_spark.session import apply_runtime_conf
@@ -48,6 +51,21 @@ def _winnow_fingerprints(docs: DataFrame) -> DataFrame:
     toks = docs.select(
         "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("ts")
     ).filter((F.size("ts") > 0) & (F.element_at("ts", 1) != ""))
+    # ENFORCED precondition (code-review r6): the position encoding
+    # packs pos into the low 20 bits, so a document with >= 2^20
+    # k-grams would bleed into the hash field and silently corrupt
+    # fingerprints IN BOTH ENGINES (hash-parity cannot catch it).
+    # assert_true raises at execution instead — chunk longer docs
+    # upstream (q_doc_chunk) before winnowing.
+    toks = toks.filter(
+        F.assert_true(
+            F.size("ts") < _POS_BASE + _WIN_K - 1,
+            F.concat(
+                F.lit("winnowing: document too long for 20-bit positions: "),
+                F.col("doc_id").cast("string"),
+            ),
+        ).isNull()
+    )
     n_grams = F.greatest(F.size("ts") - (_WIN_K - 1), F.lit(1))
     grams = toks.select(
         "doc_id",
@@ -64,8 +82,6 @@ def _winnow_fingerprints(docs: DataFrame) -> DataFrame:
         (F.col("i0") + 1).alias("pos"),
         F.col("gram"),
     )
-    from etl_caltopo_spark.functions.portable import portable_string_hash
-
     hashed = grams.select(
         "doc_id",
         "n_grams",
@@ -212,9 +228,14 @@ def q_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _silhouette_oracle() -> str:
+    # greatest(..., 0): a point sitting on its centroid can produce a
+    # tiny NEGATIVE cancellation residue that the 6-dp floor turns into
+    # -1e-6 — DuckDB's sqrt() hard-errors on negatives (Spark yields
+    # NaN), so both engines clamp before sqrt (code-review r6)
     d2 = (
-        "floor((list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)"
-        " + list_dot_product(c.cv, c.cv)) * 1000000) / 1000000"
+        "greatest(floor((list_dot_product(e.v, e.v)"
+        " - 2 * list_dot_product(e.v, c.cv)"
+        " + list_dot_product(c.cv, c.cv)) * 1000000) / 1000000, 0)"
     )
     return f"""
     WITH e AS (
@@ -246,7 +267,7 @@ def _silhouette_oracle() -> str:
     )
     SELECT label,
            CAST(count(*) AS BIGINT) AS n_points,
-           floor(round(sum(sil), 4) / count(*) * 1000000) / 1000000 AS avg_sil
+           floor(floor(sum(sil) * 10000) / 10000 / count(*) * 1000000) / 1000000 AS avg_sil
     FROM s GROUP BY label
     """
 
@@ -263,10 +284,11 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness chain (the q_kmeans_converge discipline): centroid
     components are exact integer ten-thousandths means floored at
     4 dp; squared distances compose sequential-fold dot products
-    floored at 6 dp; a/b take sqrt of identical doubles
-    (IEEE-correctly-rounded), the per-point silhouette floors at 6 dp,
-    and the per-label mean rounds the sum at 4 dp before dividing —
-    every step replayed by the oracle.
+    floored at 6 dp and clamped at 0 (a centroid-coincident point's
+    cancellation residue must not reach sqrt); a/b take sqrt of
+    identical doubles (IEEE-correctly-rounded), the per-point
+    silhouette floors at 6 dp, and the per-label mean floors the sum
+    at 4 dp before dividing — every step replayed by the oracle.
 
     Scale shape: ONE k×64-group partial-agg shuffle builds centroids,
     the k-row centroid table broadcasts, per-point a/b is a map-side
@@ -296,11 +318,16 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s["m"],
         ).alias("cv")
     )
-    d2 = fround(
-        similarity.dot(F.col("v"), F.col("v"))
-        - 2 * similarity.dot(F.col("v"), F.col("cv"))
-        + similarity.dot(F.col("cv"), F.col("cv")),
-        6,
+    # clamped at 0: the 6-dp floor can turn a cancellation residue
+    # into -1e-6, which DuckDB's sqrt() rejects (code-review r6)
+    d2 = F.greatest(
+        fround(
+            similarity.dot(F.col("v"), F.col("v"))
+            - 2 * similarity.dot(F.col("v"), F.col("cv"))
+            + similarity.dot(F.col("cv"), F.col("cv")),
+            6,
+        ),
+        F.lit(0.0),
     )
     d = pts.crossJoin(F.broadcast(cent)).select(
         "vec_id", "label", "clabel", d2.alias("d2")
@@ -319,7 +346,11 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = ab.select("label", sil.alias("sil"))
     return s.groupBy("label").agg(
         F.count("*").cast("bigint").alias("n_points"),
-        fround(F.round(F.sum("sil"), 4) / F.count("*"), 6).alias("avg_sil"),
+        # fround, not F.round: Spark rounds the shortest-decimal repr
+        # half-up while DuckDB rounds the binary value — they disagree
+        # on half-boundary doubles; floor-scaling is the engine-portable
+        # policy everywhere else (code-review r6)
+        fround(fround(F.sum("sil"), 4) / F.count("*"), 6).alias("avg_sil"),
     )
 
 
@@ -459,16 +490,24 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("w") != "")
     sc = tok.groupBy("source", "w").agg(F.count("*").alias("c"))
     cc = tok.groupBy("w").agg(F.count("*").alias("d"))
-    big_t = tok.count()  # one scalar — the corpus token count
     st = sc.groupBy("source").agg(F.sum("c").alias("ts"))
-    j = sc.join(cc, "w").join(F.broadcast(st), "source")
+    # corpus token total as an IN-DAG broadcast scalar (code-review
+    # r6): the old tok.count() was a second driver action that
+    # re-scanned and re-tokenized the whole corpus just for one number
+    total = st.agg(F.sum("ts").cast("bigint").alias("big_t"))
+    j = (
+        sc.join(cc, "w")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(total))
+    )
+    big_t = F.col("big_t")
     denom_ln = F.log(F.col("c") * big_t + F.col("d") * F.col("ts"))
     p_term = (
         0.5 * (F.col("c") / F.col("ts"))
-        * (F.log(2 * F.col("c") * F.lit(big_t)) - denom_ln)
+        * (F.log(2 * F.col("c") * big_t) - denom_ln)
     )
     q_term = (
-        0.5 * (F.col("d") / F.lit(big_t))
+        0.5 * (F.col("d") / big_t)
         * (F.log(2 * F.col("d") * F.col("ts")) - denom_ln)
     )
     import math
@@ -480,7 +519,7 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.sum(q_term)
             + 0.5
             * math.log(2.0)
-            * (1.0 - F.sum("d").cast("double") / big_t)
+            * (1.0 - F.sum("d").cast("double") / F.any_value("big_t"))
         ).alias("_jsd"),
     )
     return per.select(
@@ -542,7 +581,6 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     through ~1.3e9 rows; beyond that the partial sums move to DECIMAL
     or the formula to centered doubles."""
     apply_runtime_conf(spark)
-    from pyspark.sql.window import Window
 
     li = load_table(spark, sf_dir, "lineitem")
     base = li.select(
@@ -577,9 +615,16 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("ry2") * F.col("ry2")).cast("bigint").alias("syy"),
     )
     nd = F.col("n").cast("double")
-    rho = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / F.sqrt(
-        (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
-        * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    den = (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")) * (
+        nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    )
+    # NULL (not a crash) for a constant variable: den = 0 raises
+    # DIVIDE_BY_ZERO under Spark 4's default ANSI mode while DuckDB's
+    # double x/0 yields NULL — guard to match (code-review r6)
+    rho = F.when(
+        den > 0,
+        (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+        / F.sqrt(den),
     )
     return s.select("n", fround(rho, 6).alias("rho"))
 
@@ -625,7 +670,6 @@ def q_gini_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_auc.  At 100 TB the vocab rollup is the only single-ordered
     stage and it is millions of rows, not trillions."""
     apply_runtime_conf(spark)
-    from pyspark.sql.window import Window
 
     from etl_caltopo_spark.llm import text
 
@@ -750,7 +794,8 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = pq.crossJoin(n_row).crossJoin(tx).crossJoin(ty)
     n0 = F.col("n").cast("double") * (F.col("n") - 1) / 2
-    tau = (F.col("p").cast("double") - F.col("q")) / F.sqrt(
-        (n0 - F.col("n1")) * (n0 - F.col("n2"))
-    )
+    den = (n0 - F.col("n1")) * (n0 - F.col("n2"))
+    # NULL for an all-ties variable (den = 0): ANSI Spark would raise
+    # DIVIDE_BY_ZERO where DuckDB yields NULL (code-review r6)
+    tau = F.when(den > 0, (F.col("p").cast("double") - F.col("q")) / F.sqrt(den))
     return joined.select("n", fround(tau, 6).alias("tau_b"))

@@ -305,7 +305,7 @@ def _mi_tokens_cte() -> str:
     ), grid AS (
         SELECT t.w, t.n_t, l.lang, l.nc, coalesce(c.n_tc, 0) AS n_tc, n.n
         FROM tokens t CROSS JOIN langs l
-        LEFT JOIN cells c ON c.w = t.w AND c.lang = l.lang
+        LEFT JOIN cells c ON c.w = t.w AND c.lang IS NOT DISTINCT FROM l.lang
         CROSS JOIN n
     ), terms AS (
         SELECT w, n_t,
@@ -360,9 +360,23 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = cells.groupBy("w").agg(F.sum("n_tc").cast("bigint").alias("n_t"))
     langs = docs.groupBy("lang").agg(F.count("*").cast("bigint").alias("nc"))
     n_docs = docs.count()  # one scalar — the corpus document count
+    # null-safe lang equality (code-review r6): a NULL-lang document
+    # group would otherwise never match its cells (NULL != NULL in
+    # both engines), silently dropping present-cell mass IDENTICALLY
+    # in Spark and the oracle — a shared-misconception class that
+    # hash-parity cannot catch.  Latent on current data (no NULL
+    # langs), enforced anyway.
+    cells_r = cells.select(
+        F.col("w").alias("cw"), F.col("lang").alias("clang"), "n_tc"
+    )
     grid = (
         tokens.crossJoin(F.broadcast(langs))
-        .join(cells, ["w", "lang"], "left")
+        .join(
+            cells_r,
+            (F.col("w") == F.col("cw"))
+            & F.col("lang").eqNullSafe(F.col("clang")),
+            "left",
+        )
         .select(
             "w",
             "n_t",
@@ -1701,27 +1715,34 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_l_diversity",
     oracle="""
     SELECT c.c_nationkey AS nation, c.c_mktsegment AS segment,
+           CAST(floor(c.c_acctbal / 2000) AS BIGINT) AS bal_bucket,
            CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
            CAST(count(DISTINCT o.o_orderpriority) AS BIGINT) AS n_sensitive,
            count(DISTINCT o.o_orderpriority) < 3 AS l_violation
     FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
-    GROUP BY c.c_nationkey, c.c_mktsegment
+    GROUP BY c.c_nationkey, c.c_mktsegment, floor(c.c_acctbal / 2000)
     """,
 )
 def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """l-diversity audit: within each quasi-identifier class (nation,
-    segment), the SENSITIVE attribute (order priority) must take at
-    least l = 3 distinct values — k-anonymity's necessary complement
-    (a class of 100 people who all share one sensitive value leaks it
-    to anyone who can place a person in the class).  Emitted per
-    class with customer and sensitive-value counts plus the flag.
+    """l-diversity audit: within each equivalence class of the SAME
+    quasi-identifier combination q_k_anonymity audits for release —
+    (nation, segment, balance bucket) — the SENSITIVE attribute
+    (order priority) must take at least l = 3 distinct values.
+    l-diversity is defined per released equivalence class, so the
+    partition MUST match the k-anonymity classes: auditing a coarser
+    grid (the original (nation, segment) form — code-review r6)
+    overstates diversity, since a passing coarse class can be made of
+    sub-classes that each carry a single sensitive value, leaking it
+    to anyone who can place a customer in its bucketed class.
+    Emitted per class with customer and sensitive-value counts plus
+    the flag.
 
     Scale shape: one equi-join on the customer key (broadcast-eligible
     dim side) and one partial-agg shuffle to the quasi grid; the
     distinct counts are per-group, never global."""
     apply_runtime_conf(spark)
     cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_nationkey", "c_mktsegment"
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
     )
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderpriority"
@@ -1730,6 +1751,7 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(
         F.col("c_nationkey").alias("nation"),
         F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 2000).cast("bigint").alias("bal_bucket"),
     ).agg(
         F.countDistinct("c_custkey").cast("bigint").alias("n_customers"),
         F.countDistinct("o_orderpriority").cast("bigint").alias("n_sensitive"),

@@ -503,8 +503,15 @@ def test_privacy_audits_match_python_reference(spark, sf_dir):
     assert {k: v[0] for k, v in got_k.items()} == dict(sizes)
     assert all(v[1] == (v[0] < 5) for v in got_k.values())
 
+    # l-diversity partitions on the SAME equivalence classes as the
+    # k-anonymity release audit (code-review r6 fix)
     quasi_of = {
-        r["c_custkey"]: (r["c_nationkey"], r["c_mktsegment"]) for r in cust
+        r["c_custkey"]: (
+            r["c_nationkey"],
+            r["c_mktsegment"],
+            math.floor(r["c_acctbal"] / 2000),
+        )
+        for r in cust
     }
     sens = defaultdict(set)
     members = defaultdict(set)
@@ -514,7 +521,7 @@ def test_privacy_audits_match_python_reference(spark, sf_dir):
             sens[q].add(r["o_orderpriority"])
             members[q].add(r["o_custkey"])
     got_l = {
-        (r["nation"], r["segment"]): (
+        (r["nation"], r["segment"], r["bal_bucket"]): (
             r["n_customers"], r["n_sensitive"], r["l_violation"]
         )
         for r in REGISTRY["q_l_diversity"].fn(spark, sf_dir).collect()
