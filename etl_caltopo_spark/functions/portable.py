@@ -40,7 +40,14 @@ def portable_string_hash_col(col: Column) -> Column:
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
-    return code_weighted % MH_P
+    # hash('') is DEFINED as 0: Spark's sequence(1, 0) yields the
+    # descending [1, 0] (summing two zero-ascii terms — accidentally
+    # 0) while DuckDB's range(1, 1) is [] and list_sum([]) is NULL;
+    # both sides pin the empty case explicitly so an empty shingle/
+    # token can never split the engines (code-review r6)
+    return F.when(F.length(col) == 0, F.lit(0)).otherwise(
+        code_weighted % MH_P
+    )
 
 
 def portable_string_hash(col_name: str) -> Column:
@@ -56,9 +63,9 @@ def portable_string_hash_sql(var: str) -> str:
     the string-valued SQL expression ``var`` (a column name inside the
     caller's CTE)."""
     return (
-        f"CAST(list_sum(list_transform(range(1, length({var}) + 1), "
+        f"CAST(coalesce(list_sum(list_transform(range(1, length({var}) + 1), "
         f"j -> ascii({var}[CAST(j AS INT)]) "
-        f"* (((j * 2654435761) + 40503) % 65536))) % {MH_P} AS BIGINT)"
+        f"* (((j * 2654435761) + 40503) % 65536))), 0) % {MH_P} AS BIGINT)"
     )
 
 

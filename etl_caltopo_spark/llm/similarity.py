@@ -39,7 +39,12 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # NULL (not an ANSI DIVIDE_BY_ZERO crash) for a zero-norm vector:
+    # Spark 4 runs ANSI by default and would abort the whole query on
+    # one all-zeros embedding, where DuckDB's double x/0 yields NULL
+    # and drops the pair — match the engines (code-review r6)
+    den = norm(a) * norm(b)
+    return F.when(den > 0, dot(a, b) / den)
 
 
 def brute_force_topk(

@@ -386,8 +386,11 @@ def q_image_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payloads.append(multimodal.encode_bmp(img))
                 elif k == 3:
                     fmts.append("gif")
+                    # (d // 6) % 2 — d % 6 is constant for GIF docs, so
+                    # divide first (the PNG-branch idiom); the old
+                    # d % 8 == 3 fired for only 1 in 4 GIFs
                     payloads.append(
-                        multimodal.encode_gif(img, interlaced=bool(d % 8 == 3))
+                        multimodal.encode_gif(img, interlaced=bool((d // 6) % 2))
                     )
                 elif k == 4:
                     from etl_caltopo_spark.llm.vp8l import (
@@ -395,9 +398,13 @@ def q_image_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
 
                     fmts.append("webp")
+                    # (d // 6) % 2: WebP docs have d % 6 == 4, so d is
+                    # always even and the old bool(d % 2) NEVER enabled
+                    # subtract-green — the docstring's claimed coverage
+                    # was dead (code-review r6)
                     payloads.append(
                         encode_webp_lossless(
-                            img, subtract_green=bool(d % 2)
+                            img, subtract_green=bool((d // 6) % 2)
                         )
                     )
                 else:
@@ -1027,7 +1034,7 @@ def q_kmeans_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            floor(l2 * 1000000) / 1000000 AS l2_norm,
            string_agg(
-               CAST(floor(c / l2 * 1000000) / 1000000 AS VARCHAR),
+               CAST(CAST(floor(c / l2 * 1000000) AS BIGINT) AS VARCHAR),
                ',' ORDER BY bucket) AS vec
     FROM normed
     GROUP BY doc_id, l2
@@ -1045,8 +1052,9 @@ def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness chain: bucket counts are exact integers; ‖v‖² is an
     exact integer sum; sqrt and division are IEEE-correctly-rounded
-    on identical inputs; components floor at 6 dp into the output
-    string (the q_embed_quantize policy).
+    on identical inputs; components floor to exact integer MICROS
+    (x·10⁶) in the output string — integer rendering is the only
+    double→string path both engines spell identically.
 
     Scale shape: explode → ONE partial-agg shuffle keyed by
     (doc, bucket) → per-doc windowless rollup via a second doc-keyed
@@ -1089,9 +1097,13 @@ def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("l2"),
         F.array_sort(F.collect_list(F.struct("bucket", "c"))).alias("parts"),
     )
+    # components render as exact integer MICROS (floor(c/l2*1e6) as
+    # bigint) — double-to-string rendering diverges across engines for
+    # |x| < 1e-3 (Spark '5.0E-4' vs DuckDB '0.0005'; code-review r6),
+    # and integers have exactly one spelling in both
     comp = F.transform(
         F.col("parts"),
-        lambda s: F.floor(s["c"] / F.col("l2") * 1000000) / 1000000,
+        lambda s: F.floor(s["c"] / F.col("l2") * 1000000).cast("long"),
     )
     return per.select(
         "doc_id",
@@ -1300,9 +1312,9 @@ def _minhash_oracle() -> str:
         FROM t
     ), fp AS (
         SELECT doc_id,
-               CAST(list_sum(list_transform(range(1, length(shingle) + 1),
+               CAST(coalesce(list_sum(list_transform(range(1, length(shingle) + 1),
                    j -> ascii(shingle[CAST(j AS INT)])
-                        * (((j * 2654435761) + 40503) % 65536))) % {_MH_P}
+                        * (((j * 2654435761) + 40503) % 65536))), 0) % {_MH_P}
                    AS BIGINT) AS x
         FROM sh
     ), sig AS (
@@ -1490,9 +1502,9 @@ def _simhash_oracle() -> str:
         FROM toks WHERE tok <> '' GROUP BY 1, 2
     ), fx AS (
         SELECT doc_id, m,
-               CAST(list_sum(list_transform(range(1, length(tok) + 1),
+               CAST(coalesce(list_sum(list_transform(range(1, length(tok) + 1),
                    j -> ascii(tok[CAST(j AS INT)])
-                        * (((j * 2654435761) + 40503) % 65536))) % 2147483647
+                        * (((j * 2654435761) + 40503) % 65536))), 0) % 2147483647
                    AS BIGINT) AS x
         FROM tc
     ), v AS (
@@ -1514,16 +1526,24 @@ def _simhash_oracle() -> str:
 
 @query("q_dedup_simhash_portable", oracle=_simhash_oracle())
 def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash near-duplicate candidates, HASH-GRADED — the
-    graded mechanism twin of the rows-only q_dedup_simhash (whose
-    xxhash64 bit-votes are engine-specific).  Token fingerprints come
-    from the portable position-weighted code-point hash; each of the
-    32 signature bits is the sign of the count-weighted bit vote; the
-    pigeonhole blocking splits the signature into four 8-bit chunks
-    (a pair within Hamming ≤ 3 differs in at most 3 of the 4 chunks,
-    so it MUST share at least one — the emitted set is therefore
-    exactly the complete ≤3-Hamming pair set); hamming distances
-    come out of bit_count(xor) in both engines.  The homogeneous
+    """SimHash near-duplicate candidates, HASH-GRADED — the graded
+    mechanism twin of the rows-only q_dedup_simhash (whose xxhash64
+    bit-votes are engine-specific).  Token fingerprints come from the
+    portable position-weighted code-point hash; each signature bit is
+    the sign of the count-weighted bit vote.  HONEST WIDTH NOTE
+    (code-review r6): the portable fingerprint is mod 2³¹−1, so bit
+    31 of every fingerprint is 0, its vote is always negative, and
+    the effective signature is 31 BITS — block 3 of the four 8-bit
+    pigeonhole chunks carries 7 informative bits, making its
+    collisions ~2× the idealized 32-bit design's (a denser candidate
+    set, never a missed pair).  The completeness guarantee is
+    unaffected: constant bits never differ, so Hamming distances are
+    exact and a pair within Hamming ≤ 3 still differs in at most 3
+    chunks and MUST share one — the emitted set remains exactly the
+    complete ≤3-Hamming pair set; hamming distances come out of
+    bit_count(xor) in both engines.  (The production q_dedup_simhash
+    twin votes on full 64-bit xxhash fingerprints and has no such
+    width quirk.)  The homogeneous
     synthetic corpus yields a dense candidate set — the grade is the
     mechanism (fingerprint → votes → signature → pigeonhole block →
     verify), not corpus selectivity.
@@ -1753,9 +1773,9 @@ def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ), fx AS (
         SELECT tok,
-               CAST(list_sum(list_transform(range(1, length(tok) + 1),
+               CAST(coalesce(list_sum(list_transform(range(1, length(tok) + 1),
                    j -> ascii(tok[CAST(j AS INT)])
-                        * (((j * 2654435761) + 40503) % 65536))) % 2147483647
+                        * (((j * 2654435761) + 40503) % 65536))), 0) % 2147483647
                    AS BIGINT) AS x
         FROM toks WHERE tok <> ''
     ), cells AS (
@@ -1863,9 +1883,9 @@ def q_cms_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM t
     ), fx AS (
         SELECT doc_id, source, shingle,
-               CAST(list_sum(list_transform(range(1, length(shingle) + 1),
+               CAST(coalesce(list_sum(list_transform(range(1, length(shingle) + 1),
                    j -> ascii(shingle[CAST(j AS INT)])
-                        * (((j * 2654435761) + 40503) % 65536))) % 2147483647
+                        * (((j * 2654435761) + 40503) % 65536))), 0) % 2147483647
                    AS BIGINT) AS x
         FROM sh
     ), bits AS (
@@ -2048,7 +2068,16 @@ def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.col("np").cast("bigint").alias("n_pos"),
         F.col("nn").cast("bigint").alias("n_neg"),
-        fround(F.col("u") / (F.col("np") * F.col("nn")), 6).alias("auc"),
+        # NULL auc for a single-class slice (np or nn = 0): ANSI Spark
+        # would raise DIVIDE_BY_ZERO where DuckDB yields NULL
+        # (code-review r6)
+        fround(
+            F.when(
+                F.col("np") * F.col("nn") > 0,
+                F.col("u") / (F.col("np") * F.col("nn")),
+            ),
+            6,
+        ).alias("auc"),
     )
 
 
@@ -2062,8 +2091,9 @@ def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), bounds AS (
         SELECT min(score) AS lo, max(score) AS hi FROM scored
     ), binned AS (
-        SELECT least(CAST(floor((score - lo) / ((hi - lo) / 10.0)) AS INT), 9)
-                   AS bin, y
+        SELECT CASE WHEN hi = lo THEN 0
+                    ELSE least(CAST(floor((score - lo)
+                         / ((hi - lo) / 10.0)) AS INT), 9) END AS bin, y
         FROM scored, bounds
     )
     SELECT CAST(bin AS BIGINT) AS bin,
@@ -2096,14 +2126,21 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "click").cast("int").alias("y"),
     )
     bounds = scored.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    # hi == lo (all scores identical) must bin to 0, not raise ANSI
+    # DIVIDE_BY_ZERO / emit a NULL bin (code-review r6) — mirrored in
+    # the oracle's CASE
     binned = scored.crossJoin(F.broadcast(bounds)).select(
-        F.least(
-            F.floor(
-                (F.col("score") - F.col("lo"))
-                / ((F.col("hi") - F.col("lo")) / 10.0)
-            ).cast("int"),
-            F.lit(9),
-        ).alias("bin"),
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("score") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / 10.0)
+                ).cast("int"),
+                F.lit(9),
+            )
+        )
+        .alias("bin"),
         "y",
     )
     return binned.groupBy("bin").agg(
@@ -2256,9 +2293,9 @@ def _minhash_accuracy_oracle() -> str:
         FROM t
     ), fp AS (
         SELECT doc_id, shingle,
-               CAST(list_sum(list_transform(range(1, length(shingle) + 1),
+               CAST(coalesce(list_sum(list_transform(range(1, length(shingle) + 1),
                    j -> ascii(shingle[CAST(j AS INT)])
-                        * (((j * 2654435761) + 40503) % 65536))) % {_MH_P}
+                        * (((j * 2654435761) + 40503) % 65536))), 0) % {_MH_P}
                    AS BIGINT) AS x
         FROM sh
     ), sig AS (
@@ -2273,12 +2310,18 @@ def _minhash_accuracy_oracle() -> str:
         FROM banded a JOIN banded c
           ON a.band_idx = c.band_idx AND a.band_val = c.band_val
          AND a.doc_id < c.doc_id
-    ), inter AS (
+    ), overlap AS (
         SELECT p.id_a, p.id_b, count(*) AS n_common
         FROM pairs p
         JOIN fp fa ON fa.doc_id = p.id_a
         JOIN fp fb ON fb.doc_id = p.id_b AND fb.shingle = fa.shingle
         GROUP BY p.id_a, p.id_b
+    ), inter AS (
+        -- LEFT join: zero-overlap banded candidates (LSH false
+        -- positives) must surface with exact_jaccard = 0, not vanish
+        SELECT p.id_a, p.id_b, coalesce(o.n_common, 0) AS n_common
+        FROM pairs p
+        LEFT JOIN overlap o ON o.id_a = p.id_a AND o.id_b = p.id_b
     )
     SELECT i.id_a, i.id_b,
            ({eq_sum}) / 8.0 AS est_sim,
@@ -2354,11 +2397,19 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fa = fp.select(F.col("doc_id").alias("id_a"), "shingle")
     fb = fp.select(F.col("doc_id").alias("id_b"), "shingle")
-    inter = (
+    # LEFT join back onto pairs + coalesce(n_common, 0): a banded
+    # candidate with ZERO shared shingles (a genuine LSH false
+    # positive — fingerprint collisions make these possible) must
+    # appear with exact_jaccard = 0, not vanish; dropping them
+    # overstated sketch quality (code-review r6)
+    overlap = (
         pairs.join(fa, "id_a")
         .join(fb, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
+    )
+    inter = pairs.join(overlap, ["id_a", "id_b"], "left").select(
+        "id_a", "id_b", F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common")
     )
     sa = sig.select(
         F.col("doc_id").alias("id_a"),

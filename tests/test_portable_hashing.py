@@ -194,3 +194,33 @@ def test_cdc_hash_no_int64_overflow_on_megatoken(spark):
     # the big token's UNREDUCED product exceeds int64 — the reduction is
     # what keeps Spark's long arithmetic exact
     assert sum(ord(c) for c in tok_big) * 2654435761 > 2**63
+
+
+def test_empty_string_hash_pinned_zero(spark):
+    """hash('') is DEFINED as 0 in both engines (code-review r6):
+    Spark's sequence(1,0) yields a descending [1,0] while DuckDB's
+    range(1,1) is [] (list_sum NULL) — without the explicit pin an
+    empty shingle from a whitespace-only document silently splits the
+    engines in every shingle-based graded id."""
+    import duckdb
+
+    from etl_caltopo_spark.functions.portable import (
+        portable_string_hash,
+        portable_string_hash_sql,
+    )
+
+    df = spark.createDataFrame([("",), ("a",), ("xy",)], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", portable_string_hash("s").alias("h")).collect()
+    }
+    want = {
+        s: h
+        for s, h in duckdb.connect()
+        .execute(
+            f"SELECT s, {portable_string_hash_sql('s')} AS h "
+            "FROM (VALUES (''), ('a'), ('xy')) t(s)"
+        )
+        .fetchall()
+    }
+    assert got == want and got[""] == 0
