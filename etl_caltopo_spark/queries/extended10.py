@@ -40,7 +40,9 @@ from etl_caltopo_spark.functions.portable import (
     MH_A,
     MH_B,
     MH_P,
+    minhash_signature_sql,
     portable_string_hash,
+    portable_string_hash_sql,
 )
 from etl_caltopo_spark.io import load_table
 from etl_caltopo_spark.llm import dedup, similarity, text
@@ -1286,10 +1288,7 @@ _MH_B = MH_B
 
 
 def _minhash_oracle() -> str:
-    hcols = ", ".join(
-        f"min(({a} * x + {b}) % {_MH_P}) AS h{i}"
-        for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
-    )
+    hcols = minhash_signature_sql("x")
     band_case = (
         f"CASE b.band_idx WHEN 0 THEN h0 * {_MH_P} + h1 "
         f"WHEN 1 THEN h2 * {_MH_P} + h3 "
@@ -1312,10 +1311,7 @@ def _minhash_oracle() -> str:
         FROM t
     ), fp AS (
         SELECT doc_id,
-               CAST(coalesce(list_sum(list_transform(range(1, length(shingle) + 1),
-                   j -> ascii(shingle[CAST(j AS INT)])
-                        * (((j * 2654435761) + 40503) % 65536))), 0) % {_MH_P}
-                   AS BIGINT) AS x
+               {portable_string_hash_sql('shingle')} AS x
         FROM sh
     ), sig AS (
         SELECT doc_id, {hcols} FROM fp GROUP BY doc_id
@@ -1502,10 +1498,7 @@ def _simhash_oracle() -> str:
         FROM toks WHERE tok <> '' GROUP BY 1, 2
     ), fx AS (
         SELECT doc_id, m,
-               CAST(coalesce(list_sum(list_transform(range(1, length(tok) + 1),
-                   j -> ascii(tok[CAST(j AS INT)])
-                        * (((j * 2654435761) + 40503) % 65536))), 0) % 2147483647
-                   AS BIGINT) AS x
+               {portable_string_hash_sql('tok')} AS x
         FROM tc
     ), v AS (
         SELECT doc_id, {votes} FROM fx GROUP BY doc_id
@@ -1767,16 +1760,13 @@ def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_cms_portable",
-    oracle=r"""
+    oracle=rf"""
     WITH toks AS (
         SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
         FROM documents
     ), fx AS (
         SELECT tok,
-               CAST(coalesce(list_sum(list_transform(range(1, length(tok) + 1),
-                   j -> ascii(tok[CAST(j AS INT)])
-                        * (((j * 2654435761) + 40503) % 65536))), 0) % 2147483647
-                   AS BIGINT) AS x
+               {portable_string_hash_sql('tok')} AS x
         FROM toks WHERE tok <> ''
     ), cells AS (
         SELECT r.i AS row_idx,
@@ -1869,7 +1859,7 @@ def q_cms_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_bloom_portable",
-    oracle=r"""
+    oracle=rf"""
     WITH t AS (
         SELECT doc_id, source,
                string_split_regex(trim(lower(text)), '\s+') AS ts
@@ -1883,10 +1873,7 @@ def q_cms_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM t
     ), fx AS (
         SELECT doc_id, source, shingle,
-               CAST(coalesce(list_sum(list_transform(range(1, length(shingle) + 1),
-                   j -> ascii(shingle[CAST(j AS INT)])
-                        * (((j * 2654435761) + 40503) % 65536))), 0) % 2147483647
-                   AS BIGINT) AS x
+               {portable_string_hash_sql('shingle')} AS x
         FROM sh
     ), bits AS (
         SELECT DISTINCT
@@ -2267,10 +2254,7 @@ def q_spatial_cell_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_accuracy_oracle() -> str:
-    hcols = ", ".join(
-        f"min(({a} * x + {b}) % {_MH_P}) AS h{i}"
-        for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
-    )
+    hcols = minhash_signature_sql("x")
     band_case = (
         f"CASE b.band_idx WHEN 0 THEN h0 * {_MH_P} + h1 "
         f"WHEN 1 THEN h2 * {_MH_P} + h3 "
@@ -2293,10 +2277,7 @@ def _minhash_accuracy_oracle() -> str:
         FROM t
     ), fp AS (
         SELECT doc_id, shingle,
-               CAST(coalesce(list_sum(list_transform(range(1, length(shingle) + 1),
-                   j -> ascii(shingle[CAST(j AS INT)])
-                        * (((j * 2654435761) + 40503) % 65536))), 0) % {_MH_P}
-                   AS BIGINT) AS x
+               {portable_string_hash_sql('shingle')} AS x
         FROM sh
     ), sig AS (
         SELECT doc_id, {hcols} FROM fp GROUP BY doc_id
