@@ -521,16 +521,44 @@ def clusters_within_blocks(
                 parent[i], i = root, parent[i]
             return root
 
+        # engines fold dots SEQUENTIALLY (similarity.dot's F.aggregate,
+        # DuckDB's list_dot_product); BLAS uses vectorized/pairwise
+        # summation, which can differ by ~1 ulp and flip floor(x*1e6)
+        # at a grid boundary — relabeling a whole component (the
+        # exact_knn_candidates hazard, code-review r6).  So: GEMM is
+        # only the SCREEN (one 1e-6 grid step of slack) and every
+        # candidate edge is re-scored with the exact sequential fold
+        # before it can union.
+        import math
+
+        rows_l = V.tolist()
+        seq_norm = [0.0] * n
+        for i in range(n):
+            v = rows_l[i]
+            t = 0.0
+            for x in v:
+                t += x * x
+            seq_norm[i] = math.sqrt(t)
+
+        def exact_edge(r: int, c: int) -> bool:
+            na, nb = seq_norm[r], seq_norm[c]
+            if na == 0.0 or nb == 0.0:
+                return False  # engines yield NULL cosine — no edge
+            a, b = rows_l[r], rows_l[c]
+            t = 0.0
+            for k in range(len(a)):
+                t += a[k] * b[k]
+            return math.floor(t / (na * nb) * 1e6) / 1e6 >= threshold
+
         chunk = 1024
         for s in range(0, n, chunk):
             e = min(s + chunk, n)
             block = (V[s:e] @ V.T) / np.outer(norms[s:e], norms)
-            sims = np.floor(block * 1e6) / 1e6
-            rows, cols = np.nonzero(sims >= threshold)
+            rows, cols = np.nonzero(block >= threshold - 1e-6)
             for r, c in zip(rows + s, cols):
                 if r < c:
                     ra, rb = find(r), find(c)
-                    if ra != rb:
+                    if ra != rb and exact_edge(r, c):
                         parent[max(ra, rb)] = min(ra, rb)
         # min id per component (roots are min-index, not min-id; ids
         # may not be sorted within the block)

@@ -27,8 +27,15 @@ LANG_MARKERS: tuple[tuple[str, tuple[str, ...]], ...] = (
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokenization of trimmed, lowercased text."""
-    return F.split(F.trim(F.lower(col)), r"\s+")
+    """Whitespace tokenization of trimmed, lowercased text.
+
+    The split class is written out explicitly as RE2's \\s set
+    ([ \\t\\n\\f\\r]) because Java's \\s ALSO matches vertical tab
+    (\\x0B) while RE2's (the DuckDB oracles') does not — a document
+    containing \\x0B would otherwise tokenize differently in the two
+    engines and skew every tokens()-derived graded id
+    (code-review r6)."""
+    return F.split(F.trim(F.lower(col)), r"[ \t\n\f\r]+")
 
 
 def token_count(col: Column) -> Column:

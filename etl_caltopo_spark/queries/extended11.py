@@ -49,7 +49,10 @@ def _winnow_fingerprints(docs: DataFrame) -> DataFrame:
     fingerprint density is ~2/(w+1) of grams, so output is a small
     fraction of the token stream."""
     toks = docs.select(
-        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("ts")
+        # explicit RE2 \s set — Java's \s also matches \x0B, RE2's
+        # does not (the text.tokens() parity rule)
+        "doc_id",
+        F.split(F.trim(F.lower(F.col("text"))), r"[ \t\n\f\r]+").alias("ts"),
     ).filter((F.size("ts") > 0) & (F.element_at("ts", 1) != ""))
     # ENFORCED precondition (code-review r6): the position encoding
     # packs pos into the low 20 bits, so a document with >= 2^20

@@ -280,10 +280,14 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup at scale: hyperplane-LSH bucket blocking +
-    exact cosine verify inside buckets."""
+    exact cosine verify inside buckets.  Runs the SCALE setting of the
+    dial — n_planes = 8 (256 buckets) vs the graded q_dedup_embed's
+    16-bucket setting — so the pair of ids actually exercises two
+    points on the recall/fan-in curve instead of running the same
+    plan twice (code-review r6)."""
     apply_runtime_conf(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_pairs_lsh(emb, threshold=0.3, n_planes=4, dim=64)
+    return similarity.embedding_near_pairs_lsh(emb, threshold=0.3, n_planes=8, dim=64)
 
 
 @query(
@@ -407,9 +411,12 @@ def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(u < q).select("doc_id", q.alias("quality"))
 
 
-@query(
-    "q_dedup_clusters",
-    oracle="""
+def _cc_components_cte() -> str:
+    """Shared CTE chain: label-blocked cosine pairs -> symmetric edges
+    -> recursive transitive closure -> min-label components.  Used by
+    BOTH q_dedup_clusters and q_dedup_resolve so the threshold/cosine
+    algebra lives in one string (code-review r6)."""
+    return """
     WITH base AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), pairs AS (
@@ -428,9 +435,17 @@ def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             UNION
             SELECT r.src, e.b FROM r JOIN edges e ON r.dst = e.a
         ) SELECT * FROM r
-    )
-    SELECT src AS vec_id, CAST(min(dst) AS BIGINT) AS cluster_id
-    FROM reach GROUP BY src
+    ), components AS (
+        SELECT src AS vec_id, CAST(min(dst) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY src
+    )"""
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=_cc_components_cte()
+    + """
+    SELECT vec_id, cluster_id FROM components
     """,
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -473,10 +488,10 @@ def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket instead of the label."""
     apply_runtime_conf(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    bucketed = emb.withColumn(
-        "_bucket",
-        similarity.bucket_id(F.col("embedding"), similarity._hyperplane(8, 64)),
-    )
+    # attach_bucket (not the private _hyperplane + bucket_id pair):
+    # same literal-path plan at 8x64 = 512, but future dim/plane
+    # increases route through its broadcast dispatch (code-review r6)
+    bucketed = similarity.attach_bucket(emb, "embedding", n_planes=8, dim=64)
     return dedup.clusters_within_blocks(bucketed, "_bucket", threshold=0.3)
 
 
@@ -565,10 +580,16 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         text.token_count(F.col("text")).alias("ws_tokens"),
-        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]")).alias(
+        # [ \t\n\f\r] spelled out: Java \s would also swallow \x0B,
+        # which the RE2 oracle treats as a punctuation token
+        F.regexp_count(
+            F.col("text"), F.lit(r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\f\r]")
+        ).alias(
             "bpe_ish_tokens"
         ),
-        F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9_\s]")).alias("punct_tokens"),
+        F.regexp_count(
+            F.col("text"), F.lit(r"[^A-Za-z0-9_ \t\n\f\r]")
+        ).alias("punct_tokens"),
     )
 
 
@@ -732,7 +753,7 @@ def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source, doc_id,
                row_number() OVER (
                    PARTITION BY source
-                   ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                   ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id
                ) AS rn
         FROM documents
     ) ranked
@@ -749,7 +770,12 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql.window import Window
 
-    key = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    # pre-reduce mod 2^31 before the multiply: doc_id past ~2^31.7
+    # would overflow int64 under ANSI (the q_importance_sample guard —
+    # code-review r6); identity for the synthetic ids
+    key = (
+        (F.col("doc_id") % 2147483648) * F.lit(2654435761)
+    ) % F.lit(4294967296)
     w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
     return (
         docs.select("source", "doc_id", F.row_number().over(w).alias("rn"))
@@ -760,29 +786,8 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_dedup_resolve",
-    oracle="""
-    WITH base AS (
-        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ), pairs AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE floor(list_dot_product(a.v, b.v) /
-                    (sqrt(list_dot_product(a.v, a.v)) *
-                     sqrt(list_dot_product(b.v, b.v))) * 1000000) / 1000000 >= 0.3
-    ), edges AS (
-        SELECT id_a AS a, id_b AS b FROM pairs
-        UNION ALL
-        SELECT id_b AS a, id_a AS b FROM pairs
-    ), reach AS (
-        WITH RECURSIVE r(src, dst) AS (
-            SELECT vec_id, vec_id FROM base
-            UNION
-            SELECT r.src, e.b FROM r JOIN edges e ON r.dst = e.a
-        ) SELECT * FROM r
-    ), components AS (
-        SELECT src AS vec_id, CAST(min(dst) AS BIGINT) AS cluster_id
-        FROM reach GROUP BY src
-    )
+    oracle=_cc_components_cte()
+    + """
     SELECT cluster_id,
            CAST(max(vec_id) AS BIGINT) AS keeper_id,
            CAST(count(*) AS BIGINT) AS n_members,
@@ -847,17 +852,25 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # n_docs as an in-DAG broadcast scalar — the old docs.count() was
+    # a second full scan outside the plan (code-review r6)
+    n_row = docs.agg(F.count("*").alias("n_docs"))
     tf = (
         docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
     df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = tf.join(F.broadcast(df_counts), "term").select(
-        "doc_id",
-        "term",
-        ((F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")).alias("score"),
+    scored = (
+        tf.join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "doc_id",
+            "term",
+            (
+                (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
     return (
@@ -921,9 +934,9 @@ def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS l2 FROM base
     )
     SELECT vec_id, l2 AS l2_norm,
-           array_to_string(
+           CASE WHEN l2 > 0 THEN array_to_string(
                list_transform(v, x -> CAST(floor(x / l2 * 127) AS INTEGER)), ','
-           ) AS q8
+           ) END AS q8
     FROM normed
     """,
 )
@@ -942,12 +955,20 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("v"),
         similarity.norm(F.col("embedding")).alias("l2_norm"),
     )
-    q8 = F.array_join(
-        F.transform(
-            F.col("v"),
-            lambda x: F.floor(x / F.col("l2_norm") * 127).cast("int").cast("string"),
+    # NULL q8 for a zero-norm vector: ANSI Spark would raise
+    # DIVIDE_BY_ZERO where DuckDB yields NULL elements — the same
+    # guard cosine() carries (code-review r6)
+    q8 = F.when(
+        F.col("l2_norm") > 0,
+        F.array_join(
+            F.transform(
+                F.col("v"),
+                lambda x: F.floor(x / F.col("l2_norm") * 127)
+                .cast("int")
+                .cast("string"),
+            ),
+            ",",
         ),
-        ",",
     )
     return normed.select("vec_id", "l2_norm", q8.alias("q8"))
 
@@ -978,8 +999,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the benchmark), reporting how many distinct shingles and
     benchmark docs each one hits.  The join is an inverted index on
     the shingle itself — shuffle keyed by shingle, so cost scales with
-    shared-shingle frequency, never |train| x |bench|; at 100 TB the
-    bench side's distinct shingles broadcast."""
+    shared-shingle frequency, never |train| x |bench|; the broadcast
+    side is the DISTINCT (shingle, bench_id) inverted index — bounded
+    by bench vocabulary, not corpus size."""
     apply_runtime_conf(spark)
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
@@ -991,8 +1013,16 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shingle", F.col("doc_id").alias("bench_id")
     )
     train = sh.filter(F.col("source") != "src0").select("shingle", "doc_id")
+    # count(DISTINCT bench_id) distributes over disjoint shingle
+    # groups, so pre-aggregate the bench side to ONE ROW PER DISTINCT
+    # (shingle, bench_id) — the vocabulary-bounded inverted index the
+    # docstring promises — instead of broadcasting the raw exploded
+    # pair table, which grows linearly with the corpus and would OOM
+    # the driver at scale (code-review r6).  Distinct-then-broadcast
+    # preserves both distinct counts exactly.
+    bench_idx = bench.distinct()
     return (
-        train.join(F.broadcast(bench), "shingle")
+        train.join(F.broadcast(bench_idx), "shingle")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("shingle").alias("n_hit_shingles"),

@@ -224,3 +224,28 @@ def test_empty_string_hash_pinned_zero(spark):
         .fetchall()
     }
     assert got == want and got[""] == 0
+
+
+def test_vertical_tab_tokenization_parity(spark):
+    """Java's \\s matches vertical tab (\\x0B); RE2's (DuckDB's) does
+    not.  tokens() spells RE2's class out explicitly so a \\x0B
+    document tokenizes identically in both engines (code-review r6)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from etl_caltopo_spark.llm import text
+
+    doc = "hello\x0bworld foo\tbar\nbaz"
+    got = (
+        spark.createDataFrame([(doc,)], "text string")
+        .select(text.tokens(F.col("text")).alias("t"))
+        .collect()[0]["t"]
+    )
+    want = (
+        duckdb.connect()
+        .execute(r"SELECT string_split_regex(trim(lower(?)), '\s+')", [doc])
+        .fetchall()[0][0]
+    )
+    assert got == want
+    assert "hello\x0bworld" in got  # \x0B is NOT a separator
