@@ -140,7 +140,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH marked AS (
         SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
                     THEN 1 ELSE 0 END AS is_new
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -160,7 +160,8 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization: a 30-minute-inactivity session
     id assigned with lag + running sum — the relational complement to
-    session_window (q_stream_session), and the shape analysts reach for
+    session_window (q_stream_session; same >= gap boundary), and the
+    shape analysts reach for
     when sessions must be numbered, not merely bounded.  One shuffle on
     user_id serves both windows and the final aggregate (microsecond integers
     are exact in both engines, so every measure and boundary is exact)."""
@@ -169,11 +170,16 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # >= (not >): an inactivity gap of EXACTLY 30 minutes starts a
+    # new session, matching session_window / q_stream_session's
+    # exclusive session-end contract (code-review r6 — both sides
+    # previously shared the off-by-one, so the grade was silently
+    # inconsistent with the claimed twin)
     is_new = F.when(
         F.lag("ts").over(w).isNull()
         | (
             (epoch_us("ts") - epoch_us(F.lag("ts").over(w)))
-            > 1_800_000_000
+            >= 1_800_000_000
         ),
         1,
     ).otherwise(0)
@@ -317,8 +323,17 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = spark.read.parquet(os.path.join(tmp, "b1")).schema
         out_dir = os.path.join(tmp, "out")
 
-        def emit(batch_df: DataFrame, _epoch_id: int) -> None:
-            batch_df.write.mode("append").parquet(out_dir)
+        # epoch-keyed OVERWRITE, not blind append: foreachBatch is
+        # at-least-once, and a replayed final batch after a crash
+        # before the commit-log write would otherwise duplicate rows
+        # in the graded emission multiset (code-review r6 — the
+        # ingest.foreach_batch_parquet idempotence pattern; epoch ids
+        # continue across the phase-2 checkpoint resume, so the
+        # directories stay unique)
+        def emit(batch_df: DataFrame, epoch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(
+                f"{out_dir}/epoch={epoch_id}"
+            )
 
         for i, bdir in enumerate(("b1", "b2")):
             for f in os.listdir(os.path.join(tmp, bdir)):
@@ -349,7 +364,7 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-        emitted = spark.read.parquet(out_dir)
+        emitted = spark.read.parquet(out_dir).drop("epoch")
         # localCheckpoint (eager) materializes the emission partitions on
         # the executors BEFORE the temp sink dir is deleted in finally:
         # detaches the result without pulling it through the driver
@@ -427,8 +442,17 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = spark.read.parquet(os.path.join(tmp, "b1")).schema
         out_dir = os.path.join(tmp, "out")
 
-        def emit(batch_df: DataFrame, _epoch_id: int) -> None:
-            batch_df.write.mode("append").parquet(out_dir)
+        # epoch-keyed OVERWRITE, not blind append: foreachBatch is
+        # at-least-once, and a replayed final batch after a crash
+        # before the commit-log write would otherwise duplicate rows
+        # in the graded emission multiset (code-review r6 — the
+        # ingest.foreach_batch_parquet idempotence pattern; epoch ids
+        # continue across the phase-2 checkpoint resume, so the
+        # directories stay unique)
+        def emit(batch_df: DataFrame, epoch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(
+                f"{out_dir}/epoch={epoch_id}"
+            )
 
         for i, bdir in enumerate(("b1", "b2")):
             for f in os.listdir(os.path.join(tmp, bdir)):
@@ -450,7 +474,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-        emitted = spark.read.parquet(out_dir)
+        emitted = spark.read.parquet(out_dir).drop("epoch")
         # localCheckpoint (eager) materializes the emission partitions on
         # the executors BEFORE the temp sink dir is deleted in finally:
         # detaches the result without pulling it through the driver
@@ -521,8 +545,17 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = spark.read.parquet(os.path.join(tmp, "b1")).schema
         out_dir = os.path.join(tmp, "out")
 
-        def emit(batch_df: DataFrame, _epoch_id: int) -> None:
-            batch_df.write.mode("append").parquet(out_dir)
+        # epoch-keyed OVERWRITE, not blind append: foreachBatch is
+        # at-least-once, and a replayed final batch after a crash
+        # before the commit-log write would otherwise duplicate rows
+        # in the graded emission multiset (code-review r6 — the
+        # ingest.foreach_batch_parquet idempotence pattern; epoch ids
+        # continue across the phase-2 checkpoint resume, so the
+        # directories stay unique)
+        def emit(batch_df: DataFrame, epoch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(
+                f"{out_dir}/epoch={epoch_id}"
+            )
 
         for i, bdir in enumerate(("b1", "b2")):
             for f in os.listdir(os.path.join(tmp, bdir)):
@@ -541,7 +574,7 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-        emitted = spark.read.parquet(out_dir)
+        emitted = spark.read.parquet(out_dir).drop("epoch")
         # localCheckpoint (eager) materializes the emission partitions on
         # the executors BEFORE the temp sink dir is deleted in finally:
         # detaches the result without pulling it through the driver
@@ -836,8 +869,17 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         c_schema = spark.read.parquet(os.path.join(tmp, "c1")).schema
         out_dir = os.path.join(tmp, "out")
 
-        def emit(batch_df: DataFrame, _epoch_id: int) -> None:
-            batch_df.write.mode("append").parquet(out_dir)
+        # epoch-keyed OVERWRITE, not blind append: foreachBatch is
+        # at-least-once, and a replayed final batch after a crash
+        # before the commit-log write would otherwise duplicate rows
+        # in the graded emission multiset (code-review r6 — the
+        # ingest.foreach_batch_parquet idempotence pattern; epoch ids
+        # continue across the phase-2 checkpoint resume, so the
+        # directories stay unique)
+        def emit(batch_df: DataFrame, epoch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(
+                f"{out_dir}/epoch={epoch_id}"
+            )
 
         for phase in ("1", "2"):
             for side in ("v", "c"):
@@ -862,7 +904,7 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-        emitted = spark.read.parquet(out_dir)
+        emitted = spark.read.parquet(out_dir).drop("epoch")
         # localCheckpoint (eager) materializes the emission partitions on
         # the executors BEFORE the temp sink dir is deleted in finally:
         # detaches the result without pulling it through the driver

@@ -94,13 +94,37 @@ def _make_session_fn(gap_ms: int):
             )
             return
         start_ms, last_ms, n = state.get if state.exists else (None, None, 0)
+        # collect and SORT the batch's timestamps: micro-batch row
+        # order is not time order, and the session walk below is
+        # order-sensitive (code-review r6 — the old loop latched
+        # start_ms to the first row seen and never split on gap)
+        ts_all: list[int] = []
         for pdf in pdfs:
-            ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
-            for t in ts_ms:
-                if start_ms is None:
-                    start_ms = t
-                last_ms = t if last_ms is None else max(last_ms, t)
+            ts_all.extend((pdf["ts"].astype("int64") // 1_000_000).tolist())
+        ts_all.sort()
+        closed: list[tuple[int, int, int]] = []
+        for t in ts_all:
+            if start_ms is None:
+                start_ms, last_ms, n = t, t, 1
+            elif t - last_ms >= gap_ms:
+                # inactivity >= gap splits sessions EVEN WITHIN ONE
+                # micro-batch — the old code merged any same-batch
+                # events into one session regardless of gap, diverging
+                # from session_window / q_stream_session semantics
+                closed.append((start_ms, last_ms, n))
+                start_ms, last_ms, n = t, t, 1
+            else:
+                last_ms = max(last_ms, t)
                 n += 1
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start_ms": [c[0] for c in closed],
+                    "session_end_ms": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
         state.update((start_ms, last_ms, n))
         # close when the event-time watermark passes last event + gap
         state.setTimeoutTimestamp(last_ms + gap_ms)
@@ -117,6 +141,7 @@ def sessionize_with_timeout(events: DataFrame, gap: str = "30 minutes") -> DataF
     on unbounded keys).  ``events`` must already carry a watermark on
     ``ts``."""
     n, unit = gap.split()
+    unit = unit.rstrip("s") + "s"  # accept '1 hour' as well as '2 hours'
     gap_ms = int(n) * {"minutes": 60_000, "seconds": 1_000, "hours": 3_600_000}[unit]
     return events.groupBy("user_id").applyInPandasWithState(
         _make_session_fn(gap_ms),

@@ -141,3 +141,64 @@ def test_sessionize_with_event_time_timeout(spark, tmp_path):
     assert s["session_end_ms"] - s["session_start_ms"] == 5 * 60 * 1000
     # user 20's session still open (watermark never passed 02:00+30m)
     assert 20 not in rows
+
+
+def test_sessionize_splits_gap_within_batch(spark, tmp_path):
+    """Events separated by more than the gap must yield SEPARATE
+    sessions even when they share a micro-batch, and unsorted row
+    order must not corrupt session_start_ms (code-review r6: the old
+    walk merged any same-batch events and latched start to the first
+    row seen)."""
+    t = datetime
+    # user 10: two bursts 6h apart inside ONE file (one micro-batch),
+    # second burst written BEFORE the first (unsorted)
+    batch1 = [
+        (1, t(2024, 1, 1, 6, 0), 10, "click", 1.0),
+        (2, t(2024, 1, 1, 6, 5), 10, "click", 1.0),
+        (3, t(2024, 1, 1, 0, 0), 10, "click", 1.0),
+        (4, t(2024, 1, 1, 0, 5), 10, "click", 1.0),
+    ]
+    # batch 2 far in the future advances the watermark past both
+    batch2 = [(5, t(2024, 1, 2, 0, 0), 99, "view", 1.0)]
+    src = str(tmp_path / "src")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+    )
+    q = (
+        sessionize_with_timeout(stream, "30 minutes")
+        .writeStream.format("memory")
+        .queryName("t_gap_split")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(
+        (
+            (r["session_start_ms"], r["session_end_ms"], r["n_events"])
+            for r in spark.table("t_gap_split").collect()
+            if r["user_id"] == 10
+        )
+    )
+    base = int(t(2024, 1, 1, 0, 0).timestamp() * 1000)
+    h6 = int(t(2024, 1, 1, 6, 0).timestamp() * 1000)
+    m5 = 5 * 60 * 1000
+    assert rows == [(base, base + m5, 2), (h6, h6 + m5, 2)], rows
+
+
+def test_sessionize_accepts_singular_gap_unit(spark):
+    from etl_caltopo_spark.streaming.stateful import _make_session_fn  # noqa: F401
+
+    # parser path only — '1 hour' must not KeyError (code-review r6)
+    df = spark.readStream.format("rate").load().selectExpr(
+        "timestamp AS ts", "value AS user_id"
+    ).withWatermark("ts", "1 minute")
+    out = sessionize_with_timeout(df, "1 hour")
+    assert out.isStreaming
