@@ -54,6 +54,12 @@ NOTES: dict[str, str] = {
         "r6 numbers are a NEW baseline, not comparable to BENCH_r05; "
         "r6-vs-r6 repeats agree within ~2% (11.1 vs 11.3 s totals)."
     ),
+    "q_market_basket": (
+        "round 6 plan change: the part-keyed item-count join sides "
+        "lost their forced broadcast hints (unbounded cardinality at "
+        "scale — AQE still picks broadcast-hash at bench SF, so the "
+        "measured plan is physically unchanged)."
+    ),
 }
 
 #: Number of interleaved measurement passes (1 sample/query/pass).

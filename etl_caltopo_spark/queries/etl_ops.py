@@ -30,7 +30,7 @@ from etl_caltopo_spark.session import apply_runtime_conf
                price + 1000 AS price, status
         FROM base WHERE k % 7 = 3 OR k % 10 = 0
         UNION ALL
-        SELECT k + 10000000 AS k, 'U' AS op, 1.0 AS price, 'N' AS status
+        SELECT -k AS k, 'U' AS op, 1.0 AS price, 'N' AS status
         FROM base WHERE k % 13 = 5
     ), merged AS (
         SELECT coalesce(b.k, c.k) AS k,
@@ -58,8 +58,12 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") + 1000).alias("o_totalprice"),
         F.col("o_orderstatus"),
     )
+    # insert keys are NEGATED source keys: collision-free against the
+    # positive orderkey space at ANY scale — the old k + 10,000,000
+    # collided with real keys past ~SF1.7 and silently produced
+    # duplicate-key merge outputs in both engines (code-review r6)
     inserts = base.filter(k % 13 == 5).select(
-        (k + 10000000).alias("o_orderkey"),
+        (-k).alias("o_orderkey"),
         F.lit("U").alias("op"),
         F.lit(1.0).alias("o_totalprice"),
         F.lit("N").alias("o_orderstatus"),
@@ -202,41 +206,60 @@ def q_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH moments AS (
         SELECT event_type,
-               round(sum(value), 2) AS s1,
-               round(sum(value * value), 4) AS s2,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s1c,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)
+                        * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s2c,
                CAST(count(*) AS BIGINT) AS n
         FROM events
         GROUP BY event_type
+    ), stats AS (
+        SELECT event_type, n, s1c / (100.0 * n) AS mean,
+               greatest(s2c / (10000.0 * n)
+                        - (s1c / (100.0 * n)) * (s1c / (100.0 * n)), 0) AS var
+        FROM moments
     )
     SELECT e.event_id, e.event_type,
-           (e.value - m.s1 / m.n)
-           / sqrt(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n)) AS zscore
-    FROM events e JOIN moments m ON e.event_type = m.event_type
-    WHERE abs((e.value - m.s1 / m.n)
-              / sqrt(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n))) > 2.5
+           (e.value - m.mean) / sqrt(m.var) AS zscore
+    FROM events e JOIN stats m ON e.event_type = m.event_type
+    WHERE m.var > 0
+      AND abs((e.value - m.mean) / sqrt(m.var)) > 2.5
     """,
 )
 def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group z-score outlier detection from MANUAL moments: mean
-    and variance are derived from exactly-recovered grid sums (value
-    on the 2-dp grid -> sum to 2 dp, value^2 on the 1e-4 grid -> sum
-    to 4 dp), so the z expression is arithmetic over identical doubles
-    in both engines — where builtin stddev (Welford, order-dependent)
-    would never hash-match.  One aggregate + one broadcast join back;
-    the anomaly scan of a 100 TB table is two passes, no sort."""
+    """Per-group z-score outlier detection from EXACT integer moments:
+    value sits on the 2-dp grid, so c = round(value·100) is an exact
+    int64 and s1c = Σc, s2c = Σc² are order-free exact integers at any
+    group size (bound: Σc² < 2⁶³ → ~9·10⁸ rows/group at value ≤ 1000;
+    beyond, promote the partial to DECIMAL) — the earlier
+    round(sum(value²), 4) form recovered the grid only while
+    accumulated float error stayed under 5e-5, a margin that shrinks
+    linearly with group size (code-review r6).  mean/var/z are then
+    arithmetic over identical doubles in both engines — builtin
+    stddev (Welford, order-dependent) would never hash-match.
+
+    Degenerate groups (constant values or a single event → var = 0,
+    and the clamp absorbs tiny negative cancellation) emit NO rows in
+    either engine instead of crashing ANSI Spark with DIVIDE_BY_ZERO
+    / DuckDB with sqrt(negative) (code-review r6).
+
+    One aggregate + one broadcast join back; the anomaly scan of a
+    100 TB table is two passes, no sort."""
     apply_runtime_conf(spark)
     ev = load_table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
     moments = ev.groupBy("event_type").agg(
-        F.round(F.sum("value"), 2).alias("s1"),
-        F.round(F.sum(F.col("value") * F.col("value")), 4).alias("s2"),
+        F.sum(c).alias("s1c"),
+        F.sum(c * c).alias("s2c"),
         F.count("*").alias("n"),
     )
-    mean = F.col("s1") / F.col("n")
-    var = F.col("s2") / F.col("n") - mean * mean
+    mean = F.col("s1c") / (100.0 * F.col("n"))
+    var = F.greatest(
+        F.col("s2c") / (10000.0 * F.col("n")) - mean * mean, F.lit(0.0)
+    )
     z = (F.col("value") - mean) / F.sqrt(var)
     return (
         ev.join(F.broadcast(moments), "event_type")
-        .filter(F.abs(z) > 2.5)
+        .filter((var > 0) & (F.abs(z) > 2.5))
         .select("event_id", "event_type", z.alias("zscore"))
     )
 
@@ -273,16 +296,17 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), changes AS (
-        SELECT user_id, event_type, ts
+        SELECT user_id, event_type, ts, event_id
         FROM ordered
         WHERE prev_type IS NULL OR prev_type <> event_type
     )
     SELECT user_id, event_type,
            CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
            CAST(epoch_us(lead(ts) OVER
-               (PARTITION BY user_id ORDER BY ts)) AS BIGINT) AS valid_to_us,
-           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL)
-               AS is_current
+               (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT)
+               AS valid_to_us,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               IS NULL) AS is_current
     FROM changes
     """,
 )
@@ -304,9 +328,12 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prev_type").isNull()
             | (F.col("prev_type") != F.col("event_type"))
         )
-        .select("user_id", "event_type", "ts")
+        .select("user_id", "event_type", "ts", "event_id")
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts")
+    # same (ts, event_id) total order as the change-detection window:
+    # ts-only ordering made valid_to/is_current nondeterministic for
+    # same-timestamp change rows (code-review r6)
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     valid_to = F.lead("ts").over(w2)
     return changes.select(
         "user_id",

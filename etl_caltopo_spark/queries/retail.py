@@ -56,8 +56,10 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair explosion at k² per order, k = basket size), self-join
     co-located on l_orderkey (one shuffle shared by both sides under
     AQE), then aggregate pairs — the only wide exchange whose key
-    space is part×part.  Item counts and the scalar order count join
-    back as broadcasts.  At 100 TB the extra lever is frequent-item
+    space is part×part.  Item counts join back
+    un-hinted (AQE broadcasts them while they fit; at part-universe
+    scale they degrade to shuffle joins instead of OOMing a forced
+    broadcast); the scalar order count broadcasts.  At 100 TB the extra lever is frequent-item
     pruning (drop parts below min support before pairing), which only
     shrinks the data and is omitted here to keep the oracle exact.
     Lift is an exact integer ratio evaluated in one double division —
@@ -96,9 +98,14 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     ib = item.select(
         F.col("l_partkey").alias("part_b"), F.col("item_count").alias("count_b")
     )
+    # NO broadcast hint on the item-count sides: their cardinality is
+    # the part universe (unbounded at 100 TB — a forced broadcast
+    # would OOM the driver); AQE picks broadcast-hash while they fit
+    # and degrades to a shuffle join when they don't (code-review r6).
+    # The scalar n_orders row stays an explicit broadcast.
     return (
-        pairs.join(F.broadcast(ia), "part_a")
-        .join(F.broadcast(ib), "part_b")
+        pairs.join(ia, "part_a")
+        .join(ib, "part_b")
         .crossJoin(F.broadcast(n))
         .select(
             "part_a",
