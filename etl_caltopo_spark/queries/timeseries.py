@@ -167,16 +167,20 @@ def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pareto",
     oracle=f"""
     WITH rev AS (
-        SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_c
         FROM orders GROUP BY o_custkey
     ), tot AS (
-        SELECT round(sum(revenue), 2) AS total_revenue FROM rev
+        SELECT CAST(sum(revenue_c) AS BIGINT) AS total_c FROM rev
     )
-    SELECT o_custkey, revenue,
-           round(sum(revenue) OVER (ORDER BY revenue DESC, o_custkey
-                                    ROWS UNBOUNDED PRECEDING), 2) AS cum_revenue,
-           {sql_fround("round(sum(revenue) OVER (ORDER BY revenue DESC, o_custkey"
-                       " ROWS UNBOUNDED PRECEDING), 2) / total_revenue", 8)}
+    SELECT o_custkey,
+           revenue_c / 100.0 AS revenue,
+           CAST(sum(revenue_c) OVER (ORDER BY revenue_c DESC, o_custkey
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) / 100.0 AS cum_revenue,
+           {sql_fround("CAST(sum(revenue_c) OVER (ORDER BY revenue_c DESC,"
+                       " o_custkey ROWS UNBOUNDED PRECEDING) AS DOUBLE)"
+                       " / total_c", 8)}
                AS cum_share
     FROM rev, tot
     """,
@@ -191,27 +195,31 @@ def q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     the honest cost of a global cumulative ranking — but it runs over
     customer-cardinality rows, not the order log; at larger scale the
     standard trick is range-partitioned ranking with per-partition
-    offsets (documented, not needed at any testable SF).  Every sum is
-    recovered on the 2-dp grid before the share division, so the
-    doubles match the oracle bit-for-bit.
+    offsets (documented, not needed at any testable SF).  Every sum —
+    per-customer, cumulative, and total — runs over EXACT integer
+    CENTS (round(price·100) int64), so order-of-accumulation can never
+    flip a grid cell at any scale; the earlier round(sum, 2) form's
+    0.005 margin shrank as the running total grew (code-review r6).
+    int64 bound: total revenue < $9.2e16.
     """
     apply_runtime_conf(spark)
     orders = load_table(spark, sf_dir, "orders")
-    rev = orders.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("revenue")
-    )
-    total = rev.agg(F.round(F.sum("revenue"), 2).alias("total_revenue"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    rev = orders.groupBy("o_custkey").agg(F.sum(cents).alias("revenue_c"))
+    total = rev.agg(F.sum("revenue_c").alias("total_c"))
     w = (
-        Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
+        Window.orderBy(F.desc("revenue_c"), F.asc("o_custkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.round(F.sum("revenue").over(w), 2)
+    cum_c = F.sum("revenue_c").over(w)
     return (
         rev.crossJoin(F.broadcast(total))
         .select(
             "o_custkey",
-            "revenue",
-            cum.alias("cum_revenue"),
-            fround(cum / F.col("total_revenue"), 8).alias("cum_share"),
+            (F.col("revenue_c") / 100.0).alias("revenue"),
+            (cum_c / 100.0).alias("cum_revenue"),
+            fround(cum_c.cast("double") / F.col("total_c"), 8).alias(
+                "cum_share"
+            ),
         )
     )
