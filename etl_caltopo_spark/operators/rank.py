@@ -1,0 +1,245 @@
+"""Distributed exact global ranking (VERDICT r6 #1).
+
+An unpartitioned ``Window.orderBy`` pulls the whole frame into ONE
+task — the one plan shape that cannot survive a 100 TB frame.  The
+operators here compute the SAME exact results with a two-pass,
+fully distributed plan:
+
+1. **Bucketize by value** — equal-frequency range buckets of the
+   primary sort column, cut points from one in-DAG
+   ``approx_percentile`` (broadcast as a 1-row literal array; the
+   bucket id is a deterministic pure function of the VALUE, so rows
+   that tie on the primary always share a bucket and the global
+   order is bucket-major regardless of where the cuts land).
+2. **One hash shuffle on the bucket id** — the per-bucket window's
+   own exchange; each bucket sorts locally and computes local
+   ``row_number`` / running sums.
+3. **Broadcast prefix offsets** — per-bucket counts/sums aggregate
+   to ≤ ``buckets`` rows; a window over that bounded frame turns
+   them into prefix offsets (this is the ONLY single-partition sort
+   in the plan, and its cardinality is the bucket count — a config
+   constant, not a function of the data).  ``global = local +
+   offset(bucket)``.
+
+Exactness: the result is identical to the single-partition window —
+bucket boundaries never split a tie group (bucket is a function of
+the value), and the offsets are exact counts.  Oracle hashes are
+unchanged by construction.
+
+Scale properties: the data shuffles ONCE (hash on ~``buckets``
+keys, each bucket ≈ n/buckets rows by the equal-frequency cuts);
+the base frame is scanned twice more for the cuts and the counts
+(column-pruned, cheap next to the shuffle; persist the input if
+scans dominate).  Skew bound: a single primary value with huge
+multiplicity collapses into one bucket — equal-frequency cuts can't
+split a value; that is the documented limit (same as any
+range-partitioned sort).
+
+The plan-guard test (tests/test_plans.py) recognizes the internal
+bounded offsets window by its ``_rank_bucket`` order key and flags
+any OTHER single-partition window sort registry-wide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: bucket column name — also the plan-guard marker for the bounded
+#: internal offsets window (tests/test_plans.py).
+BUCKET_COL = "_rank_bucket"
+
+_OFF = "_rank_off"
+_SUMOFF = "_rank_sumoff"
+_TOTAL = "_rank_total"
+
+
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact integer division for non-negative operands < 2^53 (the
+    difference ``a - a % b`` is an exact multiple, so the double
+    division is exact; 2^53 rows ≈ 9e15 — four orders above a
+    100 TB frame's row count)."""
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
+def with_value_buckets(
+    df: DataFrame,
+    primary: str,
+    *,
+    ascending: bool = True,
+    buckets: int = 32,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Attach ``_rank_bucket``: the equal-frequency range bucket of
+    ``primary`` in sort direction (bucket ids increase along the sort
+    order; ties of ``primary`` never split across buckets).  NULL
+    primaries follow Spark's window defaults: first for ascending,
+    last for descending."""
+    ps = F.array(*[F.lit(i / buckets) for i in range(1, buckets)])
+    cuts = df.agg(
+        F.sort_array(
+            F.approx_percentile(primary, ps, F.lit(accuracy)), asc=ascending
+        ).alias("_rank_cuts")
+    )
+    col = F.col(primary)
+    if ascending:
+        past_cut = lambda c: col > c  # noqa: E731
+        null_bucket = F.lit(-1)  # asc → NULLS FIRST
+    else:
+        past_cut = lambda c: col < c  # noqa: E731
+        null_bucket = F.lit(buckets)  # desc → NULLS LAST
+    bucket = F.when(col.isNull(), null_bucket).otherwise(
+        F.aggregate(
+            F.col("_rank_cuts"),
+            F.lit(0),
+            lambda acc, c: acc + F.when(past_cut(c), 1).otherwise(0),
+        )
+    )
+    return df.crossJoin(F.broadcast(cuts)).withColumn(BUCKET_COL, bucket).drop(
+        "_rank_cuts"
+    )
+
+
+def _bucket_offsets(
+    d: DataFrame, sum_col: str | None = None
+) -> DataFrame:
+    """Per-bucket prefix offsets (and totals) from the ≤buckets-row
+    aggregate — the only single-partition window, over a bounded
+    frame keyed by ``_rank_bucket``."""
+    aggs = [F.count("*").alias("_cnt")]
+    if sum_col is not None:
+        aggs.append(F.sum(sum_col).alias("_bsum"))
+    per = d.groupBy(BUCKET_COL).agg(*aggs)
+    w_prev = Window.orderBy(BUCKET_COL).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy(BUCKET_COL).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cols = [
+        F.col(BUCKET_COL),
+        F.coalesce(F.sum("_cnt").over(w_prev), F.lit(0)).alias(_OFF),
+        F.sum("_cnt").over(w_all).alias(_TOTAL),
+    ]
+    if sum_col is not None:
+        cols.append(
+            F.coalesce(F.sum("_bsum").over(w_prev), F.lit(0)).alias(_SUMOFF)
+        )
+    return per.select(*cols)
+
+
+def global_row_number(
+    df: DataFrame,
+    primary: str,
+    order_by: list[Column],
+    *,
+    ascending: bool = True,
+    buckets: int = 32,
+    rn_col: str = "rn",
+    total_col: str | None = None,
+) -> DataFrame:
+    """Exact global ``row_number()`` over ``order_by`` without a
+    single-partition sort of the data.
+
+    ``order_by`` must be a TOTAL order (end with a unique tiebreak)
+    whose leading key is ``primary`` in the ``ascending`` direction —
+    the bucket id is derived from ``primary`` alone, so any ordering
+    consistent with it bucket-major works.  ``total_col`` optionally
+    attaches the exact frame row count (for ntile / percent_rank /
+    cume_dist derivations)."""
+    d = with_value_buckets(df, primary, ascending=ascending, buckets=buckets)
+    off = _bucket_offsets(d)
+    w = Window.partitionBy(BUCKET_COL).orderBy(*order_by)
+    out = (
+        d.join(F.broadcast(off), BUCKET_COL)
+        .withColumn(rn_col, F.row_number().over(w) + F.col(_OFF))
+    )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col(_TOTAL))
+    return out.drop(BUCKET_COL, _OFF, _TOTAL)
+
+
+def global_running_sum(
+    df: DataFrame,
+    primary: str,
+    order_by: list[Column],
+    value_col: str,
+    *,
+    out_col: str,
+    ascending: bool = True,
+    buckets: int = 32,
+    rn_col: str | None = None,
+) -> DataFrame:
+    """Exact global running sum of ``value_col`` (ROWS UNBOUNDED
+    PRECEDING .. CURRENT ROW) over a total order — per-bucket running
+    sums plus broadcast per-bucket sum offsets.  Optionally also
+    attaches the global row number."""
+    d = with_value_buckets(df, primary, ascending=ascending, buckets=buckets)
+    off = _bucket_offsets(d, sum_col=value_col)
+    w = Window.partitionBy(BUCKET_COL).orderBy(*order_by)
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = (
+        d.join(F.broadcast(off), BUCKET_COL)
+        .withColumn(out_col, F.sum(value_col).over(w_run) + F.col(_SUMOFF))
+    )
+    if rn_col is not None:
+        out = out.withColumn(rn_col, F.row_number().over(w) + F.col(_OFF))
+    return out.drop(BUCKET_COL, _OFF, _SUMOFF, _TOTAL)
+
+
+def global_lead(
+    df: DataFrame,
+    key_col: str,
+    *,
+    out_col: str = "nxt",
+    buckets: int = 32,
+) -> DataFrame:
+    """Exact global ``lead(key)`` over the ascending unique ``key_col``
+    order: per-bucket lead, with each bucket's last row patched from
+    the next non-empty bucket's first key (a ≤buckets-row boundary
+    frame, broadcast).  The global last row's lead is NULL, as with
+    the window form."""
+    d = with_value_buckets(df, key_col, ascending=True, buckets=buckets)
+    w = Window.partitionBy(BUCKET_COL).orderBy(key_col)
+    firsts = d.groupBy(BUCKET_COL).agg(F.min(key_col).alias("_first"))
+    nbf = F.lead("_first").over(Window.orderBy(BUCKET_COL))
+    bounds = firsts.select(F.col(BUCKET_COL), nbf.alias("_nbf"))
+    return (
+        d.join(F.broadcast(bounds), BUCKET_COL)
+        .withColumn(
+            out_col, F.coalesce(F.lead(key_col).over(w), F.col("_nbf"))
+        )
+        .drop(BUCKET_COL, "_nbf")
+    )
+
+
+def ntile_from_rank(rn: Column, n: Column, tiles: int) -> Column:
+    """ANSI ``ntile(tiles)`` derived from the exact global row number
+    and frame count: the first ``n mod tiles`` tiles carry
+    ``n div tiles + 1`` rows, the rest ``n div tiles`` — identical
+    row arithmetic to Spark's and DuckDB's ntile."""
+    t = F.lit(tiles).cast("long")
+    rn = rn.cast("long")
+    n = n.cast("long")
+    q = _idiv(n, t)
+    r = F.pmod(n, t)
+    big_span = r * (q + 1)
+    return (
+        F.when(rn <= big_span, _idiv(rn - 1, q + 1) + 1)
+        .otherwise(r + _idiv(rn - 1 - big_span, q) + 1)
+        .cast("int")
+    )
+
+
+def percent_rank_from_rank(rn: Column, n: Column) -> Column:
+    """``percent_rank()`` for a TOTAL (tie-free) order: rank == row
+    number, peers are singletons, so the definition collapses to
+    (rn-1)/(n-1) — the same two exact ints both engines divide."""
+    return F.when(
+        n > 1, (rn - 1).cast("double") / (n - 1).cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def cume_dist_from_rank(rn: Column, n: Column) -> Column:
+    """``cume_dist()`` for a TOTAL (tie-free) order: rn/n."""
+    return rn.cast("double") / n.cast("double")

@@ -142,41 +142,65 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency / frequency / monetary) customer quartile scoring
-    — one aggregate over orders, then three ntile windows over the
-    customer-cardinality result (each with a custkey tie-break so the
-    quartile cut is deterministic).  The monetary sum sits on the
-    2-dp source grid, so round(sum, 2) is exact cross-engine.
+    — one aggregate over orders, then three exact quartile cuts over
+    the customer-cardinality result (each with a custkey tie-break so
+    the cut is deterministic).  The monetary sum sits on the 2-dp
+    source grid, so round(sum, 2) is exact cross-engine.
 
-    Scale note: the ntile windows are global (single-partition) but
-    run over the post-aggregation customer table, not the order log.
-    At customer counts where that matters, the scale path is
-    approx_percentile cutoffs broadcast-joined back (the
-    q_percentile_approx pattern) instead of exact ntile."""
+    Scale shape (VERDICT r6 #1 + #3): the per-customer aggregate runs
+    FIRST and the reference date joins onto the reduced frame (the old
+    plan dragged the constant ref_date through the orders shuffle);
+    each quartile score comes from the distributed two-pass rank
+    (operators/rank.py) + the shared ntile row arithmetic — no
+    single-partition window over the customer universe."""
     apply_runtime_conf(spark)
-    orders = load_table(spark, sf_dir, "orders")
-    ref = orders.agg(F.max("o_orderdate").alias("ref_date"))
-    base = (
-        orders.crossJoin(F.broadcast(ref))
-        .groupBy("o_custkey")
-        .agg(
-            F.datediff(F.first("ref_date"), F.max("o_orderdate"))
-            .cast("int")
-            .alias("recency_days"),
-            F.count("*").cast("bigint").alias("frequency"),
-            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
-        )
+    from etl_caltopo_spark.operators.rank import (
+        global_row_number,
+        ntile_from_rank,
     )
-    w_r = Window.orderBy("recency_days", "o_custkey")
-    w_f = Window.orderBy(F.col("frequency").desc(), "o_custkey")
-    w_m = Window.orderBy(F.col("monetary").desc(), "o_custkey")
-    return base.select(
+
+    orders = load_table(spark, sf_dir, "orders")
+    base0 = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("_last_order"),
+        F.count("*").cast("bigint").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    ref = base0.agg(F.max("_last_order").alias("ref_date"))
+    base = base0.crossJoin(F.broadcast(ref)).select(
+        "o_custkey",
+        F.datediff("ref_date", "_last_order").cast("int").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    r = global_row_number(
+        base,
+        "recency_days",
+        [F.col("recency_days"), F.col("o_custkey")],
+        rn_col="_rn_r",
+        total_col="_n",
+    )
+    r = global_row_number(
+        r,
+        "frequency",
+        [F.col("frequency").desc(), F.col("o_custkey")],
+        ascending=False,
+        rn_col="_rn_f",
+    )
+    r = global_row_number(
+        r,
+        "monetary",
+        [F.col("monetary").desc(), F.col("o_custkey")],
+        ascending=False,
+        rn_col="_rn_m",
+    )
+    return r.select(
         "o_custkey",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(4).over(w_r).cast("int").alias("r_score"),
-        F.ntile(4).over(w_f).cast("int").alias("f_score"),
-        F.ntile(4).over(w_m).cast("int").alias("m_score"),
+        ntile_from_rank(F.col("_rn_r"), F.col("_n"), 4).alias("r_score"),
+        ntile_from_rank(F.col("_rn_f"), F.col("_n"), 4).alias("f_score"),
+        ntile_from_rank(F.col("_rn_m"), F.col("_n"), 4).alias("m_score"),
     )
 
 
@@ -345,21 +369,34 @@ def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common user journeys: each user's first five events joined into
     an ordered path string, counted across users — the path-analysis /
-    sequence-mining shape.  Ordering is pinned by (ts, event_id)
-    inside a window (Spark's collect_list is only deterministic under
-    an ordered window), truncated to 5 steps so the path vocabulary
-    stays bounded; one shuffle on user_id feeds both the window and
-    the per-user fold."""
+    sequence-mining shape.  Ordering is pinned by sorting the
+    collected (ts, event_id, event_type) structs inside the aggregate
+    (array_sort on structs orders by fields left-to-right — same
+    determinism as an ordered window, one pass instead of building
+    the array once per event); truncated to 5 steps so the path
+    vocabulary stays bounded.  One shuffle on user_id feeds both the
+    row_number truncation (WindowGroupLimit: map-side top-5) and the
+    per-user fold (VERDICT r6 #2 cleanup)."""
     apply_runtime_conf(spark)
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     per_user = (
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
-        .withColumn("steps", F.collect_list("event_type").over(w_all))
         .groupBy("user_id")
-        .agg(F.array_join(F.first("steps"), ">").alias("path"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
     )
     return per_user.groupBy("path").agg(
         F.count("*").cast("bigint").alias("n_users")

@@ -409,17 +409,35 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions (ntile / percent_rank /
     cume_dist) over a deterministic global order.  percent_rank and
-    cume_dist are exact ratios of identical ints — bit-equal doubles."""
+    cume_dist are exact ratios of identical ints — bit-equal doubles.
+
+    Runs on the distributed two-pass rank (operators/rank.py — VERDICT
+    r6 #1): the raw orders frame is never pulled into one window task;
+    ntile/percent_rank/cume_dist derive from the exact global row
+    number + frame count by the same row arithmetic both engines use
+    (the (o_totalprice, o_orderkey) order is tie-free, so rank == row
+    number and the derivations are exact)."""
     apply_runtime_conf(spark)
-    from pyspark.sql import Window
+    from etl_caltopo_spark.operators.rank import (
+        cume_dist_from_rank,
+        global_row_number,
+        ntile_from_rank,
+        percent_rank_from_rank,
+    )
 
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return orders.select(
+    r = global_row_number(
+        orders.select("o_orderkey", "o_totalprice"),
+        "o_totalprice",
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        rn_col="_grn",
+        total_col="_n",
+    )
+    return r.select(
         "o_orderkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        ntile_from_rank(F.col("_grn"), F.col("_n"), 4).alias("quartile"),
+        percent_rank_from_rank(F.col("_grn"), F.col("_n")).alias("pct_rank"),
+        cume_dist_from_rank(F.col("_grn"), F.col("_n")).alias("cume"),
     )
 
 

@@ -104,19 +104,22 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over cents (all
     integer until the final division, so the double result is
     IEEE-identical cross-engine; 6-dp floor).  Rank ties broken by
-    custkey for determinism.  The global row_number is a single-
-    partition sort — fine for n_customers rows (already one row per
-    customer); at 100 TB the scale path is a two-pass distributed
-    rank (per-partition count + prefix-sum offsets, as in
-    operators/topk.py).  Integer products stay < 2^53 up to ~sf10;
-    beyond that cast s1 to DECIMAL(38,0)."""
+    custkey for determinism.  The global row_number runs on the
+    distributed two-pass rank (operators/rank.py global_row_number —
+    VERDICT r6 #1): value-bucketed, one hash shuffle, broadcast
+    prefix-count offsets — the customer frame never sorts into one
+    task.  Integer products stay < 2^53 up to ~sf10; beyond that
+    cast s1 to DECIMAL(38,0)."""
     apply_runtime_conf(spark)
+    from etl_caltopo_spark.operators.rank import global_row_number
+
     orders = load_table(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         F.sum(_cents("o_totalprice")).alias("rev_c")
     )
-    w = Window.orderBy("rev_c", "o_custkey")
-    r = rev.withColumn("rn", F.row_number().over(w))
+    r = global_row_number(
+        rev, "rev_c", [F.col("rev_c"), F.col("o_custkey")], rn_col="rn"
+    )
     n = F.count("*")
     return r.agg(
         n.cast("bigint").alias("n_customers"),

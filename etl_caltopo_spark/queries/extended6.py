@@ -387,17 +387,22 @@ def q_seq_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps in finalized order keys) — the completeness audit for any
     incremental feed, the batch analog of noticing dropped deltas in
     the reference's since-window fetch (task.ts:68).  lead() over the
-    key order needs a total order: fine as a single-partition window
-    at audit cardinality after the filter; the scale path is
-    repartitionByRange on the key + per-partition lead with a
-    boundary-row exchange (same trick as q_interpolate_linear).
-    Top-k is a heap (TakeOrderedAndProject), not a global sort."""
+    key order runs on the distributed two-pass rank machinery
+    (operators/rank.py global_lead — VERDICT r6 #1): per-bucket lead
+    with each bucket's last row patched from the next non-empty
+    bucket's first key via a broadcast ≤buckets-row boundary frame —
+    the finalized-key frame never sorts into one task.  Top-k is a
+    heap (TakeOrderedAndProject), not a global sort."""
     apply_runtime_conf(spark)
+    from etl_caltopo_spark.operators.rank import global_lead
+
     orders = load_table(spark, sf_dir, "orders")
-    k = (
-        orders.filter(F.col("o_orderstatus") == "F")
-        .select(F.col("o_orderkey").alias("k"))
-        .withColumn("nxt", F.lead("k").over(Window.orderBy("k")))
+    k = global_lead(
+        orders.filter(F.col("o_orderstatus") == "F").select(
+            F.col("o_orderkey").alias("k")
+        ),
+        "k",
+        out_col="nxt",
     )
     return (
         k.filter(F.col("nxt") > F.col("k") + 1)

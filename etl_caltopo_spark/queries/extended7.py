@@ -378,14 +378,27 @@ def q_feature_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     discretization step complementing the equal-width q_histogram.
     ntile needs a total order: deterministic via the (cents, orderkey)
     tie-break, and both engines define ntile by identical row
-    arithmetic, so bin edges are exact ints.  Single-partition window
-    at audit scale; the scale path is quantile-sketch cut points
-    (q_percentile_approx) + a broadcast range join."""
+    arithmetic, so bin edges are exact ints.  The decile comes from
+    the distributed two-pass rank (operators/rank.py — VERDICT r6 #1):
+    exact global row number + frame count feed the same ntile row
+    arithmetic, and the orders frame never sorts into one task."""
     apply_runtime_conf(spark)
+    from etl_caltopo_spark.operators.rank import (
+        global_row_number,
+        ntile_from_rank,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    t = orders.select(cents.alias("cents"), "o_orderkey").withColumn(
-        "decile", F.ntile(10).over(Window.orderBy("cents", "o_orderkey"))
+    r = global_row_number(
+        orders.select(cents.alias("cents"), "o_orderkey"),
+        "cents",
+        [F.col("cents"), F.col("o_orderkey")],
+        rn_col="_grn",
+        total_col="_n",
+    )
+    t = r.withColumn(
+        "decile", ntile_from_rank(F.col("_grn"), F.col("_n"), 10)
     )
     return t.groupBy("decile").agg(
         F.count("*").cast("bigint").alias("n"),

@@ -60,6 +60,62 @@ def test_no_row_python_in_declared_queries(spark, sf_dir):
             assert "ArrowEvalPython" not in plan, f"{name} unexpectedly uses a UDF"
 
 
+# Global (unpartitioned) window sorts pull the whole frame into ONE
+# task.  These ids run one intentionally, over a frame bounded by a
+# VALUE GRID (distinct days/months/scores/bins/prices/vocab), not by
+# the row count — the documented q_auc discipline (HANDOFF watch
+# item).  Everything else must either partition its windows or use
+# operators/rank.py (whose internal offsets window is recognized by
+# its _rank_bucket key and ≤buckets-row frame).
+BOUNDED_GRID_GLOBAL_WINDOW_OK = {
+    "q_auc": "distinct-score ROC grid",
+    "q_pr_auc": "distinct-score PR grid",
+    "q_lift_deciles": "distinct-score grid + 10-row decile frame",
+    "q_spearman": "distinct-value rank grids (documented discipline)",
+    "q_ks_test": "pooled distinct-value grid",
+    "q_mann_whitney": "pooled distinct-value grid",
+    "q_gini_vocab": "vocab frequency grid",
+    "q_zipf_slope": "vocab frequency grid",
+    "q_vocab_growth": "fixed bucket grid",
+    "q_quantile_sketch_portable": "fixed bin grid",
+    "q_cusum_changepoint": "per-day grid (calendar-bounded)",
+    "q_mom_growth": "per-month grid (calendar-bounded)",
+    "q_interpolate_linear": "per-day grid (calendar-bounded)",
+    "q_skyline": "distinct price-cents grid",
+    "q_skyline_sweep": "distinct price-cents grid",
+}
+
+
+def test_no_global_window_sort_outside_bounded_grids(spark, sf_dir):
+    """Registry-wide scale guard (VERDICT r6 #1): no query may run an
+    unpartitioned Window sort over a data-proportional frame.  A
+    formatted-plan Window node prints [exprs], [partition], [order];
+    a global window omits the partition group — detect that, exempt
+    the rank operator's internal ≤buckets-row offsets window (its
+    order key is _rank_bucket), and require every other occurrence to
+    be an allowlisted bounded-value-grid id."""
+    import re
+
+    skip = {n for n in REGISTRY if n.startswith("q_stream_")}
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        if name in skip:
+            continue
+        plan = plan_of(spec.fn(spark, sf_dir))
+        for block in plan.split("\n\n"):
+            first = block.split("\n")[0].strip()
+            if not re.match(r"^\(\d+\) Window$", first):
+                continue
+            m = re.search(r"Arguments: (.*)$", block, re.M | re.S)
+            groups = m.group(1).split("], [")
+            last = groups[-1]
+            is_global = len(groups) == 2 and (" ASC" in last or " DESC" in last)
+            if is_global and "_rank_bucket" not in last:
+                if name not in BOUNDED_GRID_GLOBAL_WINDOW_OK:
+                    offenders.setdefault(name, last[:70])
+    assert not offenders, f"unbounded global window sorts: {offenders}"
+
+
 def test_whole_stage_codegen_covers_transform(spark, sf_dir):
     # simple mode marks codegen stages with '*(n)'
     df = REGISTRY["q_conditional_cast"].fn(spark, sf_dir)

@@ -1,0 +1,143 @@
+"""operators/rank.py — distributed exact global ranking (VERDICT r6
+#1).  Every helper must be bit-identical to the single-partition
+window it replaces, across ties, directions, degenerate frames, and
+bucket counts that don't divide the data evenly."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_caltopo_spark.operators.rank import (
+    cume_dist_from_rank,
+    global_lead,
+    global_row_number,
+    global_running_sum,
+    ntile_from_rank,
+    percent_rank_from_rank,
+)
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    random.seed(7)
+    rows = [(i, random.randint(0, 50), random.random() * 100) for i in range(2003)]
+    return spark.createDataFrame(rows, "id long, k int, v double").repartition(8)
+
+
+def _pairs(df, *cols):
+    return {tuple(r) for r in df.select(*cols).collect()}
+
+
+def test_row_number_matches_window_with_ties(frame):
+    ref = frame.withColumn("rn", F.row_number().over(Window.orderBy("k", "id")))
+    got = global_row_number(
+        frame, "k", [F.col("k"), F.col("id")], rn_col="rn", buckets=7
+    )
+    assert _pairs(ref, "id", "rn") == _pairs(got, "id", "rn")
+
+
+def test_row_number_descending(frame):
+    ref = frame.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("v"), "id"))
+    )
+    got = global_row_number(
+        frame,
+        "v",
+        [F.desc("v"), F.col("id")],
+        ascending=False,
+        rn_col="rn",
+        buckets=5,
+    )
+    assert _pairs(ref, "id", "rn") == _pairs(got, "id", "rn")
+
+
+def test_ntile_percent_rank_cume_dist_bit_equal(frame):
+    w = Window.orderBy("v", "id")
+    ref = frame.select(
+        "id",
+        F.ntile(4).over(w).alias("t4"),
+        F.ntile(10).over(w).alias("t10"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    g = global_row_number(
+        frame, "v", [F.col("v"), F.col("id")], rn_col="rn", total_col="n", buckets=6
+    )
+    got = g.select(
+        "id",
+        ntile_from_rank(F.col("rn"), F.col("n"), 4).alias("t4"),
+        ntile_from_rank(F.col("rn"), F.col("n"), 10).alias("t10"),
+        percent_rank_from_rank(F.col("rn"), F.col("n")).alias("pr"),
+        cume_dist_from_rank(F.col("rn"), F.col("n")).alias("cd"),
+    )
+    assert _pairs(ref, "id", "t4", "t10", "pr", "cd") == _pairs(
+        got, "id", "t4", "t10", "pr", "cd"
+    )
+
+
+def test_ntile_fewer_rows_than_tiles(spark):
+    small = spark.createDataFrame([(i, float(i)) for i in range(3)], "id long, v double")
+    ref = small.select(
+        "id", F.ntile(10).over(Window.orderBy("v", "id")).alias("t")
+    )
+    g = global_row_number(
+        small, "v", [F.col("v"), F.col("id")], rn_col="rn", total_col="n", buckets=4
+    )
+    got = g.select("id", ntile_from_rank(F.col("rn"), F.col("n"), 10).alias("t"))
+    assert _pairs(ref, "id", "t") == _pairs(got, "id", "t")
+
+
+def test_running_sum_descending_exact_ints(frame):
+    d = frame.withColumn("c", (F.col("v") * 100).cast("long"))
+    wr = Window.orderBy(F.desc("c"), "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ref = d.select("id", F.sum("c").over(wr).alias("cum"))
+    got = global_running_sum(
+        d,
+        "c",
+        [F.desc("c"), F.col("id")],
+        "c",
+        out_col="cum",
+        ascending=False,
+        buckets=9,
+    )
+    assert _pairs(ref, "id", "cum") == _pairs(got, "id", "cum")
+
+
+def test_lead_over_sparse_unique_keys(spark):
+    random.seed(11)
+    ks = spark.createDataFrame(
+        [(x,) for x in sorted(random.sample(range(100000), 1500))], "k long"
+    )
+    ref = ks.withColumn("nxt", F.lead("k").over(Window.orderBy("k")))
+    got = global_lead(ks, "k", out_col="nxt", buckets=11)
+    assert _pairs(ref, "k", "nxt") == _pairs(got, "k", "nxt")
+
+
+def test_constant_primary_degenerates_correctly(spark):
+    """All rows tie on the primary → one bucket (equal-frequency cuts
+    cannot split a value) — still exact."""
+    cst = spark.createDataFrame([(i, 5) for i in range(50)], "id long, k int")
+    ref = cst.withColumn("rn", F.row_number().over(Window.orderBy("k", "id")))
+    got = global_row_number(cst, "k", [F.col("k"), F.col("id")], rn_col="rn", buckets=4)
+    assert _pairs(ref, "id", "rn") == _pairs(got, "id", "rn")
+
+
+def test_data_exchange_is_bucket_hash_not_single_partition(frame):
+    """The scale contract: the only SinglePartition exchanges feed the
+    ≤buckets-row offsets window; the data shuffles by bucket hash."""
+    got = global_row_number(frame, "k", [F.col("k"), F.col("id")], rn_col="rn")
+    plan = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    assert "hashpartitioning(_rank_bucket" in plan
+    # every SinglePartition exchange is a tiny-aggregate/offsets frame,
+    # whose input is at most (bucket, counts) wide — never the data
+    for block in plan.split("\n\n"):
+        if "Arguments: SinglePartition" in block:
+            assert "_cnt" in block or "Input [1]" in block or "Input [2]" in block, block
