@@ -559,3 +559,74 @@ def test_stateful_totals_resume_is_distinguishable_from_fresh_run(spark, tmp_pat
                   F.max("n_events").alias("n_events"),
                   F.max_by("total_value", "n_events").alias("total_value")).collect()}
     assert finals == {1: (1, 1.0), 2: (2, 5.0), 3: (1, 4.0)}, finals
+
+
+def test_run_two_phase_helper_resumes_not_reprocesses(spark):
+    """The shared scaffold itself (ingest.run_two_phase — VERDICT r6
+    #2) must make phase 2 a GENUINE checkpoint resume: per-user
+    emission counts equal 1 + (phases the user is active in beyond
+    the first).  A fresh query reprocessing all files would re-emit
+    every user."""
+    from pyspark.sql import functions as F
+
+    from etl_caltopo_spark.streaming.ingest import run_two_phase
+    from etl_caltopo_spark.streaming.stateful import running_user_totals
+
+    t = __import__("datetime").datetime
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    b1 = spark.createDataFrame(
+        [(1, t(2024, 1, 1, 0, 0), 1, "click", 1.0),
+         (2, t(2024, 1, 1, 0, 1), 2, "click", 2.0)], schema)
+    b2 = spark.createDataFrame(
+        [(3, t(2024, 1, 1, 1, 0), 2, "click", 3.0),
+         (4, t(2024, 1, 1, 1, 1), 3, "click", 4.0)], schema)
+    em = run_two_phase(
+        spark,
+        [b1, b2],
+        lambda s: running_user_totals(s.select("user_id", "value")),
+        output_mode="update",
+        prefix="helper_resume_",
+    )
+    counts = {
+        r["user_id"]: r["c"]
+        for r in em.groupBy("user_id").agg(F.count("*").alias("c")).collect()
+    }
+    assert counts == {1: 1, 2: 2, 3: 1}, counts
+
+
+def test_run_two_phase_helper_store_sink_merges_across_restart(spark):
+    """sink="store": each micro-batch's upsert must see the prior
+    phase's store (additive merge across the restart boundary)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_caltopo_spark.streaming.ingest import run_two_phase
+
+    schema = "k long, v long"
+    b1 = spark.createDataFrame([(1, 10), (2, 20)], schema)
+    b2 = spark.createDataFrame([(1, 5), (3, 7)], schema)
+
+    def upsert(batch, store):
+        delta = batch.groupBy("k").agg(F.sum("v").alias("v"))
+        if os.path.exists(store):
+            merged = (
+                batch.sparkSession.read.parquet(store)
+                .unionByName(delta)
+                .groupBy("k")
+                .agg(F.sum("v").alias("v"))
+            )
+        else:
+            merged = delta
+        merged.localCheckpoint().write.mode("overwrite").parquet(store)
+
+    out = run_two_phase(
+        spark,
+        [b1, b2],
+        lambda s: s,
+        sink="store",
+        store_upsert=upsert,
+        prefix="helper_store_",
+    )
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {1: 15, 2: 20, 3: 7}, got
