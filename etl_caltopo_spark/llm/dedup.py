@@ -550,7 +550,16 @@ def clusters_within_blocks(
                 t += a[k] * b[k]
             return math.floor(t / (na * nb) * 1e6) / 1e6 >= threshold
 
+        # rescore ONLY the ambiguity band (advisor r6): GEMM-vs-
+        # sequential disagreement is ulp-scale (≪ 1e-9 for unit
+        # cosines), so a block score ≥ threshold + 2e-6 puts the
+        # sequential fold at least one full 1e-6 grid step above the
+        # threshold — floor(seq·1e6)/1e6 ≥ threshold holds without the
+        # O(d) Python fold.  On dense near-duplicate blocks the
+        # verification loop was the dominant cost; now it runs only
+        # for scores inside [threshold − 1e-6, threshold + 2e-6).
         chunk = 1024
+        fast_lo = threshold + 2e-6
         for s in range(0, n, chunk):
             e = min(s + chunk, n)
             block = (V[s:e] @ V.T) / np.outer(norms[s:e], norms)
@@ -558,7 +567,9 @@ def clusters_within_blocks(
             for r, c in zip(rows + s, cols):
                 if r < c:
                     ra, rb = find(r), find(c)
-                    if ra != rb and exact_edge(r, c):
+                    if ra != rb and (
+                        block[r - s, c] >= fast_lo or exact_edge(r, c)
+                    ):
                         parent[max(ra, rb)] = min(ra, rb)
         # min id per component (roots are min-index, not min-id; ids
         # may not be sorted within the block)

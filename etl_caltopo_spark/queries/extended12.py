@@ -359,7 +359,11 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tokens = cells.groupBy("w").agg(F.sum("n_tc").cast("bigint").alias("n_t"))
     langs = docs.groupBy("lang").agg(F.count("*").cast("bigint").alias("nc"))
-    n_docs = docs.count()  # one scalar — the corpus document count
+    # corpus document count as an in-DAG broadcast scalar derived from
+    # the lang aggregate already in the plan (advisor r6: the old
+    # docs.count() was a second full scan via a driver action) — every
+    # doc has exactly one lang row, so sum(nc) == |docs|
+    n_total = langs.agg(F.sum("nc").cast("bigint").alias("n_all"))
     # null-safe lang equality (code-review r6): a NULL-lang document
     # group would otherwise never match its cells (NULL != NULL in
     # both engines), silently dropping present-cell mass IDENTICALLY
@@ -371,6 +375,7 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grid = (
         tokens.crossJoin(F.broadcast(langs))
+        .crossJoin(F.broadcast(n_total))
         .join(
             cells_r,
             (F.col("w") == F.col("cw"))
@@ -382,10 +387,11 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_t",
             "lang",
             "nc",
+            "n_all",
             F.coalesce(F.col("n_tc"), F.lit(0)).alias("n_tc"),
         )
     )
-    n = F.lit(n_docs)
+    n = F.col("n_all")
     present = F.when(
         F.col("n_tc") > 0,
         F.col("n_tc").cast("double")

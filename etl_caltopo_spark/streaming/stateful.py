@@ -19,6 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -67,12 +68,17 @@ SESSION_OUTPUT = StructType(
     ]
 )
 
-#: per-key open-session state: (start epoch-ms, last epoch-ms, count)
+#: per-key PENDING sessions (closed-in-batch but not yet watermark-
+#: final, plus the open one), as parallel arrays sorted by start —
+#: a session leaves state only when the watermark proves no more
+#: events can join it (advisor r6: eager batch-time emission let a
+#: within-watermark late event belong to an already-emitted session,
+#: bridge two sessions, or arrive before the open session's start)
 SESSION_STATE = StructType(
     [
-        StructField("start_ms", LongType(), False),
-        StructField("last_ms", LongType(), False),
-        StructField("n", LongType(), False),
+        StructField("starts", ArrayType(LongType(), False), False),
+        StructField("lasts", ArrayType(LongType(), False), False),
+        StructField("ns", ArrayType(LongType(), False), False),
     ]
 )
 
@@ -80,42 +86,39 @@ SESSION_STATE = StructType(
 def _make_session_fn(gap_ms: int):
     def fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
         (user_id,) = key
-        if state.hasTimedOut:
-            # watermark passed last_event + gap: the session is closed
-            start_ms, last_ms, n = state.get
-            state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [user_id],
-                    "session_start_ms": [start_ms],
-                    "session_end_ms": [last_ms],
-                    "n_events": [n],
-                }
-            )
-            return
-        start_ms, last_ms, n = state.get if state.exists else (None, None, 0)
-        # collect and SORT the batch's timestamps: micro-batch row
-        # order is not time order, and the session walk below is
-        # order-sensitive (code-review r6 — the old loop latched
-        # start_ms to the first row seen and never split on gap)
-        ts_all: list[int] = []
-        for pdf in pdfs:
-            ts_all.extend((pdf["ts"].astype("int64") // 1_000_000).tolist())
-        ts_all.sort()
-        closed: list[tuple[int, int, int]] = []
-        for t in ts_all:
-            if start_ms is None:
-                start_ms, last_ms, n = t, t, 1
-            elif t - last_ms >= gap_ms:
-                # inactivity >= gap splits sessions EVEN WITHIN ONE
-                # micro-batch — the old code merged any same-batch
-                # events into one session regardless of gap, diverging
-                # from session_window / q_stream_session semantics
-                closed.append((start_ms, last_ms, n))
-                start_ms, last_ms, n = t, t, 1
-            else:
-                last_ms = max(last_ms, t)
-                n += 1
+        sessions: list[list[int]] = []
+        if state.exists:
+            starts, lasts, ns = state.get
+            sessions = [list(t) for t in zip(starts, lasts, ns)]
+        if not state.hasTimedOut:
+            # collect the batch's timestamps (micro-batch row order is
+            # not time order) and take the interval UNION of pending
+            # sessions + single-event intervals: a late-but-within-
+            # watermark event extends a pending session backwards or
+            # forwards, bridges two pending sessions into one, and
+            # inactivity >= gap still splits — all from one sort+merge
+            ts_all: list[int] = []
+            for pdf in pdfs:
+                ts_all.extend((pdf["ts"].astype("int64") // 1_000_000).tolist())
+            if ts_all:
+                intervals = sessions + [[t, t, 1] for t in ts_all]
+                intervals.sort(key=lambda iv: (iv[0], iv[1]))
+                merged = [intervals[0]]
+                for iv in intervals[1:]:
+                    cur = merged[-1]
+                    if iv[0] - cur[1] < gap_ms:
+                        cur[1] = max(cur[1], iv[1])
+                        cur[2] += iv[2]
+                    else:
+                        merged.append(iv)
+                sessions = merged
+        # emit ONLY sessions the watermark has sealed (no event can
+        # merge into [start, last] once wm >= last + gap: later input
+        # below the watermark is dropped before this operator) — the
+        # docstring contract, on both the row and the timeout path
+        wm = state.getCurrentWatermarkMs()
+        closed = [s for s in sessions if s[1] + gap_ms <= wm]
+        pending = [s for s in sessions if s[1] + gap_ms > wm]
         if closed:
             yield pd.DataFrame(
                 {
@@ -125,9 +128,20 @@ def _make_session_fn(gap_ms: int):
                     "n_events": [c[2] for c in closed],
                 }
             )
-        state.update((start_ms, last_ms, n))
-        # close when the event-time watermark passes last event + gap
-        state.setTimeoutTimestamp(last_ms + gap_ms)
+        if pending:
+            state.update(
+                (
+                    [s[0] for s in pending],
+                    [s[1] for s in pending],
+                    [s[2] for s in pending],
+                )
+            )
+            # wake when the earliest pending session can be sealed
+            # (> wm by construction of `pending`, as EventTimeTimeout
+            # requires)
+            state.setTimeoutTimestamp(min(s[1] for s in pending) + gap_ms)
+        else:
+            state.remove()
         return
         yield  # pragma: no cover - makes fn a generator
 

@@ -202,3 +202,49 @@ def test_sessionize_accepts_singular_gap_unit(spark):
     ).withWatermark("ts", "1 minute")
     out = sessionize_with_timeout(df, "1 hour")
     assert out.isStreaming
+
+
+def test_sessionize_late_event_bridges_pending_sessions(spark, tmp_path):
+    """A within-watermark late event arriving in a LATER micro-batch
+    must be able to merge two pending sessions and pull the session
+    start backwards (advisor r6: eager batch-time emission made that
+    impossible — a gap-split session was emitted before the watermark
+    proved it final, and start_ms never min-updated)."""
+    t = datetime
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    src = str(tmp_path / "src")
+    # batch 1: two bursts 50 min apart -> two pending sessions
+    spark.createDataFrame(
+        [(1, t(2024, 1, 1, 0, 0), 10, "c", 1.0),
+         (2, t(2024, 1, 1, 0, 50), 10, "c", 1.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch 2: late event at 00:25 bridges them (25 min to each side,
+    # within the 2 h watermark delay), plus a far-future row that
+    # advances the watermark past the merged session's close
+    spark.createDataFrame(
+        [(3, t(2024, 1, 1, 0, 25), 10, "c", 1.0),
+         (4, t(2024, 1, 2, 12, 0), 99, "c", 1.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "2 hours")
+    )
+    q = (
+        sessionize_with_timeout(stream, "30 minutes")
+        .writeStream.format("memory")
+        .queryName("t_late_bridge")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(
+        (r["session_start_ms"], r["session_end_ms"], r["n_events"])
+        for r in spark.table("t_late_bridge").collect()
+        if r["user_id"] == 10
+    )
+    base = int(t(2024, 1, 1, 0, 0).timestamp() * 1000)
+    assert rows == [(base, base + 50 * 60 * 1000, 3)], rows
