@@ -723,6 +723,44 @@ def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HOP_CAP = 128
 
 
+#: ordered-pair budget for the EXACT Σdeg² path-materializing 2-hop
+#: form (probed with one cheap per-order aggregate, an upper bound on
+#: |E| before dedup).  ~2.4M at sf0.1, ~24M at the 10× probe — the
+#: default keeps the documented exact baselines runnable and refuses
+#: past ~sf2, where only the sketch is sane (VERDICT r6 #5; mirrors
+#: similarity.knn_candidate_pairs' collect bound).
+_EXACT_2HOP_MAX_PAIRS = 50_000_000
+
+
+def _ordered_pair_bound(spark: SparkSession, sf_dir: str) -> int:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    row = (
+        li.groupBy("l_orderkey")
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1)).alias("p"))
+        .first()
+    )
+    return int(row["p"] or 0)
+
+
+def two_hop_reach(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_exact_pairs: int = _EXACT_2HOP_MAX_PAIRS,
+) -> DataFrame:
+    """Size-dispatched 2-hop reach: the exact path-materializing form
+    below the ordered-pair budget, the O(64·|E|) HyperANF sketch
+    above it — the automatic router VERDICT r6 #5 asked for, mirroring
+    the kNN pattern (exact-GEMM below the collect bound, IVF above).
+    Output schemas differ (exact counts vs register estimates); the
+    caller picks the dispatcher precisely when it accepts either."""
+    if _ordered_pair_bound(spark, sf_dir) <= max_exact_pairs:
+        return q_graph_2hop(spark, sf_dir, max_exact_pairs=max_exact_pairs)
+    return q_graph_2hop_sketch(spark, sf_dir)
+
+
+
 @query(
     "q_graph_2hop",
     oracle=f"""
@@ -750,7 +788,12 @@ _HOP_CAP = 128
     FROM indirect GROUP BY a
     """,
 )
-def q_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_graph_2hop(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_exact_pairs: int = _EXACT_2HOP_MAX_PAIRS,
+) -> DataFrame:
     """Two-hop neighborhood size per part in the co-purchase graph —
     distinct parts reachable in exactly two hops but NOT directly
     connected (the friend-of-friend candidate pool behind
@@ -763,6 +806,13 @@ def q_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(Σ capped-deg²) instead of quadratic in the hub degree.  The
     direct-edge exclusion is a left-anti join on the deduped pair set.
 
+    REFUSAL GUARD (VERDICT r6 #5): even capped, the exact form
+    materializes path rows and is the documented small-scale baseline
+    (198 s at the 10× probe); past ``max_exact_pairs`` ordered
+    co-purchase pairs it raises and points at the sketch —
+    :func:`two_hop_reach` is the size-dispatched entry that routes
+    automatically.
+
     Shapes: order-co-located pair generation (the q_graph_degree
     shuffle), degree partial-agg, two equi-joins on the shared part
     key, distinct, anti-join, final partial-agg — every join
@@ -770,6 +820,14 @@ def q_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_conf(spark)
     import os
 
+    bound = _ordered_pair_bound(spark, sf_dir)
+    if bound > max_exact_pairs:
+        raise ValueError(
+            f"q_graph_2hop: ordered co-purchase pair bound {bound} exceeds "
+            f"max_exact_pairs={max_exact_pairs}; use q_graph_2hop_sketch "
+            "(O(64*|E|) HyperANF estimate) or two_hop_reach (size-"
+            "dispatched) at this scale"
+        )
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )

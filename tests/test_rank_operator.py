@@ -141,3 +141,29 @@ def test_data_exchange_is_bucket_hash_not_single_partition(frame):
     for block in plan.split("\n\n"):
         if "Arguments: SinglePartition" in block:
             assert "_cnt" in block or "Input [1]" in block or "Input [2]" in block, block
+
+
+# --- 2-hop size dispatch (VERDICT r6 #5) ---------------------------------
+
+
+def test_graph_2hop_exact_refuses_past_pair_budget(spark, sf_dir):
+    """The exact Σdeg² form must refuse past the ordered-pair budget
+    and point at the sketch (the kNN collect-bound pattern)."""
+    import pytest
+
+    from etl_caltopo_spark.queries.extended12 import q_graph_2hop
+
+    with pytest.raises(ValueError, match="q_graph_2hop_sketch"):
+        q_graph_2hop(spark, sf_dir, max_exact_pairs=10)
+
+
+def test_two_hop_reach_dispatches_by_scale(spark, sf_dir):
+    """Below the budget the dispatcher returns the exact schema;
+    above it, the sketch schema — automatically."""
+    from etl_caltopo_spark.queries.extended12 import two_hop_reach
+
+    exact = two_hop_reach(spark, sf_dir)
+    assert set(exact.columns) == {"part", "n_2hop"}
+    sketch = two_hop_reach(spark, sf_dir, max_exact_pairs=10)
+    assert set(sketch.columns) == {"part", "n_buckets", "est_reach2"}
+    assert sketch.count() > 0
