@@ -259,10 +259,16 @@ def test_g711_wav_roundtrip(n, law, seed):
     assert out is not None
     rate, dec = out
     assert rate == 8000 and len(dec) == n
-    # companding error envelope: log-PCM keeps SNR high on smooth data
-    if (sig.astype(np.int64) ** 2).sum() > 0:
+    # companding error envelope: log-PCM keeps SNR high on smooth
+    # data — but the bound is STATISTICAL: a handful of near-zero
+    # samples can legitimately quantize at ~17 dB (hypothesis found
+    # n=1, first step small — correct codec behavior, the companding
+    # curve's worst region), so assert only where the envelope
+    # argument applies (enough samples, non-trivial energy)
+    energy = (sig.astype(np.int64) ** 2).sum()
+    if n >= 16 and energy >= n * 100**2:
         err = (sig.astype(np.int64) - dec.astype(np.int64)) ** 2
-        snr = 10 * np.log10((sig.astype(np.int64) ** 2).sum() / max(err.sum(), 1))
+        snr = 10 * np.log10(energy / max(err.sum(), 1))
         assert snr > 25, snr
 
 
