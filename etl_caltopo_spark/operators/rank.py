@@ -101,14 +101,16 @@ def with_value_buckets(
 
 
 def _bucket_offsets(
-    d: DataFrame, sum_col: str | None = None
+    d: DataFrame, sum_cols: list[str] | None = None
 ) -> DataFrame:
     """Per-bucket prefix offsets (and totals) from the ≤buckets-row
     aggregate — the only single-partition window, over a bounded
-    frame keyed by ``_rank_bucket``."""
-    aggs = [F.count("*").alias("_cnt")]
-    if sum_col is not None:
-        aggs.append(F.sum(sum_col).alias("_bsum"))
+    frame keyed by ``_rank_bucket``.  ``sum_cols`` adds one prefix-sum
+    offset column ``_rank_sumoff_<i>`` per listed value column."""
+    sum_cols = sum_cols or []
+    aggs = [F.count("*").alias("_cnt")] + [
+        F.sum(c).alias(f"_bsum_{i}") for i, c in enumerate(sum_cols)
+    ]
     per = d.groupBy(BUCKET_COL).agg(*aggs)
     w_prev = Window.orderBy(BUCKET_COL).rowsBetween(
         Window.unboundedPreceding, -1
@@ -120,11 +122,12 @@ def _bucket_offsets(
         F.col(BUCKET_COL),
         F.coalesce(F.sum("_cnt").over(w_prev), F.lit(0)).alias(_OFF),
         F.sum("_cnt").over(w_all).alias(_TOTAL),
-    ]
-    if sum_col is not None:
-        cols.append(
-            F.coalesce(F.sum("_bsum").over(w_prev), F.lit(0)).alias(_SUMOFF)
+    ] + [
+        F.coalesce(F.sum(f"_bsum_{i}").over(w_prev), F.lit(0)).alias(
+            f"{_SUMOFF}_{i}"
         )
+        for i in range(len(sum_cols))
+    ]
     return per.select(*cols)
 
 
@@ -159,6 +162,38 @@ def global_row_number(
     return out.drop(BUCKET_COL, _OFF, _TOTAL)
 
 
+def global_running_sums(
+    df: DataFrame,
+    primary: str,
+    order_by: list[Column],
+    sums: dict[str, str],
+    *,
+    ascending: bool = True,
+    buckets: int = 32,
+    rn_col: str | None = None,
+) -> DataFrame:
+    """Exact global running sums (ROWS UNBOUNDED PRECEDING .. CURRENT
+    ROW) over a total order — per-bucket running sums plus broadcast
+    per-bucket sum offsets, one output column per ``sums`` entry
+    (``out_col -> value_col``).  Optionally also attaches the global
+    row number."""
+    value_cols = list(sums.values())
+    d = with_value_buckets(df, primary, ascending=ascending, buckets=buckets)
+    off = _bucket_offsets(d, sum_cols=value_cols)
+    w = Window.partitionBy(BUCKET_COL).orderBy(*order_by)
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = d.join(F.broadcast(off), BUCKET_COL)
+    for i, (out_col, value_col) in enumerate(sums.items()):
+        out = out.withColumn(
+            out_col, F.sum(value_col).over(w_run) + F.col(f"{_SUMOFF}_{i}")
+        )
+    if rn_col is not None:
+        out = out.withColumn(rn_col, F.row_number().over(w) + F.col(_OFF))
+    return out.drop(
+        BUCKET_COL, _OFF, _TOTAL, *[f"{_SUMOFF}_{i}" for i in range(len(sums))]
+    )
+
+
 def global_running_sum(
     df: DataFrame,
     primary: str,
@@ -170,21 +205,16 @@ def global_running_sum(
     buckets: int = 32,
     rn_col: str | None = None,
 ) -> DataFrame:
-    """Exact global running sum of ``value_col`` (ROWS UNBOUNDED
-    PRECEDING .. CURRENT ROW) over a total order — per-bucket running
-    sums plus broadcast per-bucket sum offsets.  Optionally also
-    attaches the global row number."""
-    d = with_value_buckets(df, primary, ascending=ascending, buckets=buckets)
-    off = _bucket_offsets(d, sum_col=value_col)
-    w = Window.partitionBy(BUCKET_COL).orderBy(*order_by)
-    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    out = (
-        d.join(F.broadcast(off), BUCKET_COL)
-        .withColumn(out_col, F.sum(value_col).over(w_run) + F.col(_SUMOFF))
+    """Single-column convenience wrapper over ``global_running_sums``."""
+    return global_running_sums(
+        df,
+        primary,
+        order_by,
+        {out_col: value_col},
+        ascending=ascending,
+        buckets=buckets,
+        rn_col=rn_col,
     )
-    if rn_col is not None:
-        out = out.withColumn(rn_col, F.row_number().over(w) + F.col(_OFF))
-    return out.drop(BUCKET_COL, _OFF, _SUMOFF, _TOTAL)
 
 
 def global_lead(

@@ -667,14 +667,16 @@ def q_gini_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     broken by token for determinism), so both engines divide identical
     integers; one 6-dp floor at the end.
 
-    Scale shape: corpus-wide partial-agg term count, then the ordered
-    pass runs over the VOCABULARY table, not the corpus — sublinear in
-    corpus size (Heaps' law), the same bounded-domain argument as
-    q_auc.  At 100 TB the vocab rollup is the only single-ordered
-    stage and it is millions of rows, not trillions."""
+    Scale shape: corpus-wide partial-agg term count, then the exact
+    vocabulary rank runs on the distributed two-pass machinery
+    (operators/rank.py global_row_number — review wave r7: the vocab
+    frame grows with the corpus under Heaps' law, so the old
+    unpartitioned row_number window was the one data-proportional
+    sort left in this id)."""
     apply_runtime_conf(spark)
 
     from etl_caltopo_spark.llm import text
+    from etl_caltopo_spark.operators.rank import global_row_number
 
     docs = load_table(spark, sf_dir, "documents")
     vc = (
@@ -683,9 +685,9 @@ def q_gini_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
-    ranked = vc.select(
-        "n", F.row_number().over(Window.orderBy("n", "w")).alias("i")
-    )
+    ranked = global_row_number(
+        vc, "n", [F.col("n"), F.col("w")], rn_col="i"
+    ).select("n", "i")
     s = ranked.agg(
         F.count("*").cast("bigint").alias("v"),
         F.sum("n").cast("bigint").alias("total"),

@@ -387,9 +387,14 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence trick (min(doc_id) per word, then a cumulative sum of
     per-bucket first-occurrence counts) — NO cumulative count-
     distinct window, which neither engine can do distributed.  All
-    integer counts; two word-keyed shuffles with partial aggs, then a
-    tiny bucket-level window."""
+    integer counts; two word-keyed shuffles with partial aggs, then
+    both cumulative sums ride the distributed two-pass machinery
+    (operators/rank.py global_running_sums — review wave r7: the
+    bucket frame is corpus-size / 100, data-proportional, so the old
+    unpartitioned cumsum window was a scale leak)."""
     apply_runtime_conf(spark)
+    from etl_caltopo_spark.operators.rank import global_running_sums
+
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
@@ -404,12 +409,17 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = tok_per_bucket.join(new_per_bucket, "bucket", "left").withColumn(
         "new_words", F.coalesce("new_words", F.lit(0))
     )
-    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    return j.select(
+    cum = global_running_sums(
+        j,
+        "bucket",
+        [F.col("bucket")],
+        {"_cum_new": "new_words", "_cum_tok": "n_tokens"},
+    )
+    return cum.select(
         "bucket",
         F.col("new_words").cast("bigint").alias("new_words"),
-        F.sum("new_words").over(w).cast("bigint").alias("vocab_size"),
-        F.sum("n_tokens").over(w).cast("bigint").alias("tokens_cum"),
+        F.col("_cum_new").cast("bigint").alias("vocab_size"),
+        F.col("_cum_tok").cast("bigint").alias("tokens_cum"),
     )
 
 
@@ -438,9 +448,13 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the top-1000 vocabulary (slope near -1 for natural text —
     a corpus-health diagnostic).  Rank is deterministic (freq desc,
     word asc).  4-dp floor absorbs libm-ulp + summation-order drift
-    (q_agg_regr policy).  The global top-1000 is a rank-limit over
-    the word-count agg — at scale swap for operators/topk.py's
-    per-partition pre-top-k."""
+    (q_agg_regr policy).  The top-1000 selection is a distributed
+    heap (orderBy+limit → TakeOrderedAndProject, per-partition heaps
+    merged on the driver); the rank window then orders only the
+    1000 surviving rows — a limit-bounded frame, not the
+    data-proportional vocabulary (review wave r7: the old form ran
+    row_number over the FULL word-count agg, which grows with the
+    corpus under Heaps' law)."""
     apply_runtime_conf(spark)
     docs = load_table(spark, sf_dir, "documents")
     wc = (
@@ -449,8 +463,9 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").alias("n"))
     )
+    survivors = wc.orderBy(F.col("n").desc(), F.col("w")).limit(1000)
     w = Window.orderBy(F.col("n").desc(), F.col("w"))
-    top = wc.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 1000)
+    top = survivors.withColumn("rank", F.row_number().over(w))
     ln_n = F.log(F.col("n"))
     ln_r = F.log(F.col("rank"))
     return top.agg(

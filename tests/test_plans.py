@@ -74,9 +74,11 @@ BOUNDED_GRID_GLOBAL_WINDOW_OK = {
     "q_spearman": "distinct-value rank grids (documented discipline)",
     "q_ks_test": "pooled distinct-value grid",
     "q_mann_whitney": "pooled distinct-value grid",
-    "q_gini_vocab": "vocab frequency grid",
-    "q_zipf_slope": "vocab frequency grid",
-    "q_vocab_growth": "fixed bucket grid",
+    # (review wave r7: q_gini_vocab and q_vocab_growth moved to
+    # operators/rank.py — their vocab/bucket frames grow with the
+    # corpus; q_zipf_slope's window now orders only the 1000-row
+    # TakeOrderedAndProject survivor frame)
+    "q_zipf_slope": "limit-bounded 1000-row top-k frame",
     "q_quantile_sketch_portable": "fixed bin grid",
     "q_cusum_changepoint": "per-day grid (calendar-bounded)",
     "q_mom_growth": "per-month grid (calendar-bounded)",

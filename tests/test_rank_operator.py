@@ -109,6 +109,36 @@ def test_running_sum_descending_exact_ints(frame):
     assert _pairs(ref, "id", "cum") == _pairs(got, "id", "cum")
 
 
+def test_running_sums_two_columns_one_pass(frame):
+    """Multi-sum form (q_vocab_growth shape): two cumulative sums plus
+    the row number attached in ONE bucketed pass, each bit-equal to
+    its single-partition window twin."""
+    from etl_caltopo_spark.operators.rank import global_running_sums
+
+    d = frame.withColumn("c", (F.col("v") * 100).cast("long")).withColumn(
+        "k2", (F.col("k") * 3 + 1).cast("long")
+    )
+    w = Window.orderBy("k", "id")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ref = d.select(
+        "id",
+        F.sum("c").over(wr).alias("cum_c"),
+        F.sum("k2").over(wr).alias("cum_k2"),
+        F.row_number().over(w).alias("rn"),
+    )
+    got = global_running_sums(
+        d,
+        "k",
+        [F.col("k"), F.col("id")],
+        {"cum_c": "c", "cum_k2": "k2"},
+        buckets=9,
+        rn_col="rn",
+    )
+    assert _pairs(ref, "id", "cum_c", "cum_k2", "rn") == _pairs(
+        got, "id", "cum_c", "cum_k2", "rn"
+    )
+
+
 def test_lead_over_sparse_unique_keys(spark):
     random.seed(11)
     ks = spark.createDataFrame(
