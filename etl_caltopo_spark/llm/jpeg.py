@@ -535,7 +535,13 @@ def _decode_scan(payload, pos, h, w, scan_tabs, restart_interval):
         if restart_interval and mcu and mcu % restart_interval == 0:
             # a DRI stream without its RST marker is malformed;
             # decoding on would yield plausible-but-corrupt pixels —
-            # honor the dirty-row policy instead
+            # honor the dirty-row policy instead.  The outgoing
+            # segment must also be exhausted up to its byte-align
+            # padding (<8 leftover bits): whole unconsumed bytes
+            # before the RST marker are trailing garbage, which the
+            # old marker-position reader rejected (r7 review).
+            if (dlen - i) * 8 + nbits - pad_bits >= 8:
+                return None
             seg_idx += 1
             if seg_idx >= len(segments):
                 return None

@@ -176,7 +176,26 @@ def global_running_sums(
     ROW) over a total order — per-bucket running sums plus broadcast
     per-bucket sum offsets, one output column per ``sums`` entry
     (``out_col -> value_col``).  Optionally also attaches the global
-    row number."""
+    row number.
+
+    EXACT-VALUE PRECONDITION: each ``value_col`` must be an exact
+    numeric type (integer or decimal).  The offset decomposition
+    changes the accumulation ORDER versus the single-partition
+    ``ROWS UNBOUNDED PRECEDING`` window it replaces; integer/decimal
+    addition is associative so the results are identical, but a
+    double column would differ at ulp scale — a hard failure under
+    hash-parity grading.  Callers on money columns pass exact cents
+    (``q_pareto``) or counts (``q_vocab_growth``), matching how
+    ``_idiv`` / ``ntile_from_rank`` pin their numeric domains."""
+    for value_col in sums.values():
+        dtype = dict(df.dtypes).get(value_col, "")
+        if dtype in ("double", "float"):
+            raise TypeError(
+                f"global_running_sums: value column {value_col!r} is "
+                f"{dtype}; per-bucket offset summation reorders floating-"
+                "point accumulation vs the single-partition window — pass "
+                "an exact type (int/long/decimal, e.g. integer cents)"
+            )
     value_cols = list(sums.values())
     d = with_value_buckets(df, primary, ascending=ascending, buckets=buckets)
     off = _bucket_offsets(d, sum_cols=value_cols)

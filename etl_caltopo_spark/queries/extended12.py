@@ -755,8 +755,13 @@ def two_hop_reach(
     the kNN pattern (exact-GEMM below the collect bound, IVF above).
     Output schemas differ (exact counts vs register estimates); the
     caller picks the dispatcher precisely when it accepts either."""
-    if _ordered_pair_bound(spark, sf_dir) <= max_exact_pairs:
-        return q_graph_2hop(spark, sf_dir, max_exact_pairs=max_exact_pairs)
+    bound = _ordered_pair_bound(spark, sf_dir)
+    if bound <= max_exact_pairs:
+        # pass the probe result down — the guard inside q_graph_2hop
+        # would otherwise re-run the identical lineitem aggregate
+        return q_graph_2hop(
+            spark, sf_dir, max_exact_pairs=max_exact_pairs, pair_bound=bound
+        )
     return q_graph_2hop_sketch(spark, sf_dir)
 
 
@@ -793,6 +798,7 @@ def q_graph_2hop(
     sf_dir: str,
     *,
     max_exact_pairs: int = _EXACT_2HOP_MAX_PAIRS,
+    pair_bound: int | None = None,
 ) -> DataFrame:
     """Two-hop neighborhood size per part in the co-purchase graph —
     distinct parts reachable in exactly two hops but NOT directly
@@ -820,7 +826,17 @@ def q_graph_2hop(
     apply_runtime_conf(spark)
     import os
 
-    bound = _ordered_pair_bound(spark, sf_dir)
+    # the refusal probe is itself an eager Spark job; under the plan-
+    # observability escape hatch (tools/dump_plans.py) skip it entirely
+    # — a plan dump must run zero jobs.  The dispatcher passes its own
+    # probe result down so dispatch costs one lineitem aggregate, not
+    # two (r7 review findings #2/#3).
+    if os.environ.get("SPARK_GRAFT_LAZY_PLANS") == "1":
+        bound = 0
+    elif pair_bound is not None:
+        bound = pair_bound
+    else:
+        bound = _ordered_pair_bound(spark, sf_dir)
     if bound > max_exact_pairs:
         raise ValueError(
             f"q_graph_2hop: ordered co-purchase pair bound {bound} exceeds "

@@ -96,16 +96,26 @@ def run_available_now_to_memory(
     q.awaitTermination()
 
 
-def foreach_batch_parquet(
-    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
-):
-    """Exactly-once file sink via foreachBatch: each micro-batch is
-    written transactionally keyed by epoch id (re-delivered batches
-    overwrite their own epoch directory instead of duplicating)."""
+def epoch_overwrite_writer(out_dir: str):
+    """The at-least-once-safe foreachBatch write: each micro-batch is
+    written keyed by epoch id, so a re-delivered batch overwrites its
+    own epoch directory instead of duplicating rows.  The SINGLE
+    definition of this idempotence pattern — both ``foreach_batch_
+    parquet`` and ``run_two_phase``'s emit sink use it (r7 review:
+    two byte-identical copies had already drifted apart once)."""
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
 
+    return write
+
+
+def foreach_batch_parquet(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """Exactly-once file sink via foreachBatch — see
+    :func:`epoch_overwrite_writer` for the idempotence contract."""
+    write = epoch_overwrite_writer(out_dir)
     return (
         stream_df.writeStream.foreachBatch(write)
         .option("checkpointLocation", checkpoint_dir)
@@ -195,11 +205,7 @@ def run_two_phase(
 
         if sink == "emit":
             result_path = os.path.join(tmp, "out")
-
-            def batch_fn(batch_df: DataFrame, epoch_id: int) -> None:
-                batch_df.write.mode("overwrite").parquet(
-                    f"{result_path}/epoch={epoch_id}"
-                )
+            batch_fn = epoch_overwrite_writer(result_path)
 
         elif sink == "store":
             result_path = os.path.join(tmp, "store")

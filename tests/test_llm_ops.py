@@ -469,6 +469,49 @@ def test_jpeg_marker_robustness():
     assert decode_jpeg(with_dri) is None
 
 
+def test_jpeg_restart_segments_decode_and_reject_garbage():
+    """Hand-assembled DRI(1) stream: two single-MCU encodes spliced as
+    RST0-delimited segments must decode to the side-by-side blocks
+    (DC predictors reset per segment, matching fresh encodes), and a
+    garbage byte between a segment's entropy data and its RST marker
+    must return None — the old marker-position reader rejected it, and
+    the r7 segment-based rework must too (leftover-byte check)."""
+    import struct
+
+    import numpy as np
+
+    from etl_caltopo_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    def entropy(b):
+        sos = b.find(b"\xff\xda")
+        (seglen,) = struct.unpack(">H", b[sos + 2 : sos + 4])
+        return b[sos + 2 + seglen : b.rfind(b"\xff\xd9")]
+
+    a = (np.add.outer(np.arange(8), np.arange(8)) * 3 % 256).astype(np.uint8)
+    b_ = (np.add.outer(np.arange(8), np.arange(8)) * 7 % 256).astype(np.uint8)
+    enc_a, enc_b = encode_jpeg(a), encode_jpeg(b_)
+    container = encode_jpeg(np.hstack([a, b_]))  # 8x16 → two MCUs
+
+    sof = container.find(b"\xff\xc0")
+    sos = container.find(b"\xff\xda")
+    (seglen,) = struct.unpack(">H", container[sos + 2 : sos + 4])
+    head = (
+        container[:sof]
+        + b"\xff\xdd\x00\x04\x00\x01"  # DRI interval=1
+        + container[sof : sos + 2 + seglen]
+    )
+    spliced = head + entropy(enc_a) + b"\xff\xd0" + entropy(enc_b) + b"\xff\xd9"
+    out = decode_jpeg(spliced)
+    expected = np.hstack([decode_jpeg(enc_a), decode_jpeg(enc_b)])
+    assert out is not None and np.array_equal(out, expected)
+
+    # one garbage byte before the RST marker → dirty, not decoded
+    dirty = (
+        head + entropy(enc_a) + b"\x12" + b"\xff\xd0" + entropy(enc_b) + b"\xff\xd9"
+    )
+    assert decode_jpeg(dirty) is None
+
+
 def test_codec_property_roundtrips():
     """Property tests: PNG roundtrips EXACTLY for arbitrary uint8
     images across all filters/color counts; JPEG preserves shape and

@@ -139,6 +139,19 @@ def test_running_sums_two_columns_one_pass(frame):
     )
 
 
+def test_running_sums_reject_float_value_columns(frame):
+    """The offset decomposition reorders floating-point accumulation,
+    so a double value column would be ulp-different from the single-
+    partition window it claims to replace — the operator must refuse
+    it loudly instead of silently breaking hash parity (r7 review)."""
+    from etl_caltopo_spark.operators.rank import global_running_sums
+
+    with pytest.raises(TypeError, match="exact type"):
+        global_running_sums(
+            frame, "k", [F.col("k"), F.col("id")], {"cum_v": "v"}, buckets=9
+        )
+
+
 def test_lead_over_sparse_unique_keys(spark):
     random.seed(11)
     ks = spark.createDataFrame(
