@@ -6,11 +6,13 @@ operators here compute the SAME exact results with a two-pass,
 fully distributed plan:
 
 1. **Bucketize by value** — equal-frequency range buckets of the
-   primary sort column, cut points from one in-DAG
-   ``approx_percentile`` (broadcast as a 1-row literal array; the
-   bucket id is a deterministic pure function of the VALUE, so rows
-   that tie on the primary always share a bucket and the global
-   order is bucket-major regardless of where the cuts land).
+   primary sort column, cut points from one ``approx_percentile``
+   aggregate PINNED as a literal array (see ``with_value_buckets``
+   for why in-DAG cuts would make consistency depend on exchange
+   reuse; the bucket id is a deterministic pure function of the
+   VALUE, so rows that tie on the primary always share a bucket and
+   the global order is bucket-major regardless of where the cuts
+   land).
 2. **One hash shuffle on the bucket id** — the per-bucket window's
    own exchange; each bucket sorts locally and computes local
    ``row_number`` / running sums.
@@ -74,13 +76,32 @@ def with_value_buckets(
     ``primary`` in sort direction (bucket ids increase along the sort
     order; ties of ``primary`` never split across buckets).  NULL
     primaries follow Spark's window defaults: first for ascending,
-    last for descending."""
+    last for descending.
+
+    DETERMINISM: the cut points are PINNED by one eager aggregate and
+    embedded as a literal array.  The callers fork the bucketed frame
+    into two plan subtrees (the offsets aggregate and the window
+    join); an in-DAG ``approx_percentile`` there would be evaluated
+    once per subtree unless Spark's exchange reuse kicks in — and its
+    final sketch merge is shuffle-arrival-order-sensitive, so two
+    evaluations can disagree on the cuts, silently mismatching the
+    offsets against the windows.  Literal cuts make consistency
+    unconditional instead of an optimizer artifact (r7 self-review).
+    Under ``SPARK_GRAFT_LAZY_PLANS`` the in-DAG broadcast form is kept
+    so tools/dump_plans.py observes plans without running jobs."""
+    import os
+
     ps = F.array(*[F.lit(i / buckets) for i in range(1, buckets)])
-    cuts = df.agg(
-        F.sort_array(
-            F.approx_percentile(primary, ps, F.lit(accuracy)), asc=ascending
-        ).alias("_rank_cuts")
-    )
+    agg = F.sort_array(
+        F.approx_percentile(primary, ps, F.lit(accuracy)), asc=ascending
+    ).alias("_rank_cuts")
+    if os.environ.get("SPARK_GRAFT_LAZY_PLANS") != "1":
+        pinned = df.agg(agg).first()["_rank_cuts"] or []
+        ptype = df.schema[primary].dataType
+        cuts = None
+        cuts_col = F.array(*[F.lit(v).cast(ptype) for v in pinned])
+    else:
+        cuts = df.agg(agg)
     col = F.col(primary)
     if ascending:
         past_cut = lambda c: col > c  # noqa: E731
@@ -95,6 +116,12 @@ def with_value_buckets(
             lambda acc, c: acc + F.when(past_cut(c), 1).otherwise(0),
         )
     )
+    if cuts is None:
+        return (
+            df.withColumn("_rank_cuts", cuts_col)
+            .withColumn(BUCKET_COL, bucket)
+            .drop("_rank_cuts")
+        )
     return df.crossJoin(F.broadcast(cuts)).withColumn(BUCKET_COL, bucket).drop(
         "_rank_cuts"
     )
