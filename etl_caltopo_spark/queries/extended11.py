@@ -357,6 +357,161 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _silhouette_ivf_oracle() -> str:
+    # same clamp-before-sqrt discipline as _silhouette_oracle; the
+    # cluster map is the E-step assignment (extended7's _SQL_ASSIGNED
+    # shape) and the centroids are the M-step means of the assigned
+    # members (q_kmeans_update's exact integer ten-thousandths chain)
+    d2 = (
+        "greatest(floor((list_dot_product(a.v, a.v)"
+        " - 2 * list_dot_product(a.v, c.cv)"
+        " + list_dot_product(c.cv, c.cv)) * 1000000) / 1000000, 0)"
+    )
+    return f"""
+    WITH c0 AS (
+        SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv0
+        FROM embeddings WHERE vec_id < 8
+    ), p AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id >= 8
+    ), s AS (
+        SELECT p.vec_id, p.v, c.centroid_id,
+               floor(list_dot_product(v, cv0) /
+                     (sqrt(list_dot_product(v, v)) *
+                      sqrt(list_dot_product(cv0, cv0))) * 1000000) / 1000000
+                   AS cos_sim
+        FROM p, c0 c
+    ), assigned AS (
+        SELECT vec_id, v, centroid_id
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY cos_sim DESC, centroid_id
+              ) AS rn FROM s)
+        WHERE rn = 1
+    ), comp AS (
+        SELECT centroid_id, CAST(d AS INT) AS dim,
+               CAST(floor(v[CAST(d + 1 AS INT)] * 10000) AS BIGINT) AS q
+        FROM assigned, UNNEST(range(0, 64)) AS t(d)
+    ), cm AS (
+        SELECT centroid_id, dim,
+               floor(sum(q) / (count(*) * 10000.0) * 10000) / 10000 AS m
+        FROM comp GROUP BY centroid_id, dim
+    ), cell AS (
+        SELECT centroid_id AS cell_id, list(m ORDER BY dim) AS cv
+        FROM cm GROUP BY centroid_id
+    ), d AS (
+        SELECT a.vec_id, a.centroid_id, c.cell_id, {d2} AS d2
+        FROM assigned a, cell c
+    ), ab AS (
+        SELECT vec_id, centroid_id,
+               sqrt(min(CASE WHEN cell_id = centroid_id THEN d2 END)) AS a,
+               sqrt(min(CASE WHEN cell_id <> centroid_id THEN d2 END)) AS b
+        FROM d GROUP BY vec_id, centroid_id
+    ), sl AS (
+        SELECT centroid_id,
+               CASE WHEN greatest(a, b) = 0 THEN 0.0
+                    ELSE floor((b - a) / greatest(a, b) * 1000000) / 1000000
+               END AS sil
+        FROM ab
+    )
+    SELECT centroid_id AS cell_id,
+           CAST(count(*) AS BIGINT) AS n_points,
+           floor(floor(sum(sil) * 10000) / 10000 / count(*) * 1000000)
+               / 1000000 AS avg_sil
+    FROM sl GROUP BY centroid_id
+    """
+
+
+@query("q_silhouette_ivf", oracle=_silhouette_ivf_oracle())
+def q_silhouette_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette at IVF-CELL granularity (HANDOFF backlog
+    #3 / VERDICT r6 optional): cluster membership is the coarse
+    quantizer's own E-step assignment (cosine argmax to the vec_id<8
+    centroids — the q_sim_topk_ivf cell map), centroids are the
+    M-step means of the assigned members, and the score answers the
+    question an IVF operator actually asks: are the CELLS compact and
+    separated enough that probing n_probe of them recovers neighbors?
+    Low avg_sil cells are the ones q_ann_recall_eval loses recall in.
+
+    Exactness chain: composition of three already-graded disciplines —
+    the E-step assignment (extended7._SQL_ASSIGNED twin), the M-step
+    integer ten-thousandths means (q_kmeans_update), and the
+    q_silhouette clamp-before-sqrt / floored-fold scoring.
+
+    Scale shape: broadcast argmax for the assignment, ONE
+    cells×64-group partial-agg shuffle for the M-step, k-row centroid
+    broadcast for the distance pass, k-group rollup — no pairwise
+    stage, the only fact-table shuffles are k-bounded aggregates."""
+    apply_runtime_conf(spark)
+    from etl_caltopo_spark.llm import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents0 = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv0")
+    )
+    pts = emb.filter(F.col("vec_id") >= 8).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    scored = pts.crossJoin(F.broadcast(cents0)).select(
+        "vec_id",
+        "v",
+        "centroid_id",
+        fround(similarity.cosine(F.col("v"), F.col("cv0")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("centroid_id")
+    )
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "centroid_id")
+    )
+    comp = assigned.select(
+        "centroid_id", F.posexplode("v").alias("dim", "x")
+    ).select(
+        "centroid_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.floor(F.col("x") * 10000).cast("bigint").alias("q"),
+    )
+    n = F.count("*")
+    cm = comp.groupBy("centroid_id", "dim").agg(
+        fround(F.sum("q") / (n * 10000.0), 4).alias("m")
+    )
+    cell = cm.groupBy(F.col("centroid_id").alias("cell_id")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))),
+            lambda s: s["m"],
+        ).alias("cv")
+    )
+    d2 = F.greatest(
+        fround(
+            similarity.dot(F.col("v"), F.col("v"))
+            - 2 * similarity.dot(F.col("v"), F.col("cv"))
+            + similarity.dot(F.col("cv"), F.col("cv")),
+            6,
+        ),
+        F.lit(0.0),
+    )
+    d = assigned.crossJoin(F.broadcast(cell)).select(
+        "vec_id", "centroid_id", "cell_id", d2.alias("d2")
+    )
+    ab = d.groupBy("vec_id", "centroid_id").agg(
+        F.sqrt(
+            F.min(F.when(F.col("cell_id") == F.col("centroid_id"), F.col("d2")))
+        ).alias("a"),
+        F.sqrt(
+            F.min(F.when(F.col("cell_id") != F.col("centroid_id"), F.col("d2")))
+        ).alias("b"),
+    )
+    sil = F.when(F.greatest("a", "b") == 0, F.lit(0.0)).otherwise(
+        fround((F.col("b") - F.col("a")) / F.greatest("a", "b"), 6)
+    )
+    s = ab.select("centroid_id", sil.alias("sil"))
+    return s.groupBy(F.col("centroid_id").alias("cell_id")).agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        fround(fround(F.sum("sil"), 4) / F.count("*"), 6).alias("avg_sil"),
+    )
+
+
 @query(
     "q_join_skew_salted",
     oracle="""

@@ -178,3 +178,30 @@ def test_silhouette_bounds_and_degenerate_cluster(spark):
     }
     assert all(-1.0 <= v <= 1.0 for v in out.values())
     assert out[0] > 0.9 and out[1] > 0.9, out
+
+
+def test_silhouette_ivf_cells_compact_and_complete(spark):
+    """q_silhouette_ivf scores the E-step's OWN cells: with two tight
+    blobs seeded by centroids vec_id 0/1 (vec_id < 8 rows are the
+    quantizer), every point lands in its blob's cell, counts cover
+    all points exactly once, and both cells score near +1."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centA = (np.zeros(64) + 5).tolist()
+    centB = (np.zeros(64) - 5).tolist()
+    cents = [(0, 0, centA), (1, 1, centB)]
+    ptsA = [(8 + i, 0, (rng.normal(0, 0.01, 64) + 5).tolist()) for i in range(15)]
+    ptsB = [
+        (100 + i, 1, (rng.normal(0, 0.01, 64) - 5).tolist()) for i in range(15)
+    ]
+    df = spark.createDataFrame(
+        cents + ptsA + ptsB, "vec_id long, label int, embedding array<double>"
+    )
+    df.write.mode("overwrite").parquet("/tmp/_sil_ivf_probe/embeddings.parquet")
+    rows = REGISTRY["q_silhouette_ivf"].fn(spark, "/tmp/_sil_ivf_probe").collect()
+    out = {r["cell_id"]: (r["n_points"], r["avg_sil"]) for r in rows}
+    assert set(out) == {0, 1}
+    assert out[0][0] == 15 and out[1][0] == 15
+    assert all(-1.0 <= v <= 1.0 for _, v in out.values())
+    assert out[0][1] > 0.9 and out[1][1] > 0.9, out

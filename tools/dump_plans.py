@@ -46,6 +46,8 @@ EXTRA = [
     "q_geohash", "q_audio_g711", "q_pr_auc", "q_log_loss", "q_lift_deciles",
     # round-6 ids
     "q_graph_2hop_sketch", "q_caltopo_pipeline",
+    # round-7 ids
+    "q_silhouette_ivf",
 ]
 
 
