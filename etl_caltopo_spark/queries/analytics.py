@@ -172,6 +172,22 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary",
     )
+
+    # the three rank passes CHAIN, and each pass's eager cut probe
+    # (operators/rank.py pinned-cuts determinism) re-evaluates its
+    # whole upstream — unmaterialized, pass 3's probe recomputes
+    # passes 1-2 and the orders aggregate (measured 3.2x at the 10x
+    # probe vs 1.9x).  Materializing the customer-cardinality frame
+    # between passes caps every probe at one scan of ~|customers|
+    # rows.  Same plan-observability escape hatch as llm/dedup.py.
+    import os
+
+    def _pin(df):
+        if os.environ.get("SPARK_GRAFT_LAZY_PLANS") == "1":
+            return df
+        return df.localCheckpoint(eager=True)
+
+    base = _pin(base)
     r = global_row_number(
         base,
         "recency_days",
@@ -180,14 +196,14 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         total_col="_n",
     )
     r = global_row_number(
-        r,
+        _pin(r),
         "frequency",
         [F.col("frequency").desc(), F.col("o_custkey")],
         ascending=False,
         rn_col="_rn_f",
     )
     r = global_row_number(
-        r,
+        _pin(r),
         "monetary",
         [F.col("monetary").desc(), F.col("o_custkey")],
         ascending=False,
