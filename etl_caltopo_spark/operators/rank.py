@@ -56,6 +56,25 @@ _SUMOFF = "_rank_sumoff"
 _TOTAL = "_rank_total"
 
 
+def pin_frame(df: DataFrame) -> DataFrame:
+    """LAZY_PLANS-gated eager materialization for rank-operator
+    inputs.  The pinned-cuts probe (``with_value_buckets``) is a
+    separate eager job, so an unmaterialized expensive upstream (a
+    corpus tokenize, a chained rank pass) is re-evaluated once per
+    probe — q_rfm's chained passes measured 3.2x at the 10x probe
+    before materialization, 1.4x after.  Callers pin when the input
+    costs more to recompute than to store (knowledge item 16: the
+    measured localCheckpoint win threshold is ~4 consumers; a probe +
+    offsets + window is 3, plus one more per chained pass).  Under
+    ``SPARK_GRAFT_LAZY_PLANS`` this is the identity so plan dumps run
+    zero jobs and keep the real plan reviewable."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_LAZY_PLANS") == "1":
+        return df
+    return df.localCheckpoint(eager=True)
+
+
 def _idiv(a: Column, b: Column) -> Column:
     """Exact integer division for non-negative operands < 2^53 (the
     difference ``a - a % b`` is an exact multiple, so the double

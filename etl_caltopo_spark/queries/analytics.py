@@ -179,13 +179,8 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # passes 1-2 and the orders aggregate (measured 3.2x at the 10x
     # probe vs 1.9x).  Materializing the customer-cardinality frame
     # between passes caps every probe at one scan of ~|customers|
-    # rows.  Same plan-observability escape hatch as llm/dedup.py.
-    import os
-
-    def _pin(df):
-        if os.environ.get("SPARK_GRAFT_LAZY_PLANS") == "1":
-            return df
-        return df.localCheckpoint(eager=True)
+    # rows (SCALING.md round-7 re-probe: 1.4x).
+    from etl_caltopo_spark.operators.rank import pin_frame as _pin
 
     base = _pin(base)
     r = global_row_number(

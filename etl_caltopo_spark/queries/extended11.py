@@ -831,10 +831,14 @@ def q_gini_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_conf(spark)
 
     from etl_caltopo_spark.llm import text
-    from etl_caltopo_spark.operators.rank import global_row_number
+    from etl_caltopo_spark.operators.rank import global_row_number, pin_frame
 
     docs = load_table(spark, sf_dir, "documents")
-    vc = (
+    # pin the vocabulary aggregate: the rank operator's eager cut
+    # probe is a separate job — unpinned, it re-tokenizes the WHOLE
+    # corpus just to sketch the cut points; pinned, the probe scans
+    # the Heaps-sublinear vocab frame (operators/rank.py pin_frame)
+    vc = pin_frame(
         docs.select(F.explode(text.tokens(F.col("text"))).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")

@@ -111,11 +111,15 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     task.  Integer products stay < 2^53 up to ~sf10; beyond that
     cast s1 to DECIMAL(38,0)."""
     apply_runtime_conf(spark)
-    from etl_caltopo_spark.operators.rank import global_row_number
+    from etl_caltopo_spark.operators.rank import global_row_number, pin_frame
 
     orders = load_table(spark, sf_dir, "orders")
-    rev = orders.groupBy("o_custkey").agg(
-        F.sum(_cents("o_totalprice")).alias("rev_c")
+    # pinned so the rank probe scans the customer-cardinality
+    # aggregate instead of re-shuffling all of orders (rank.pin_frame)
+    rev = pin_frame(
+        orders.groupBy("o_custkey").agg(
+            F.sum(_cents("o_totalprice")).alias("rev_c")
+        )
     )
     r = global_row_number(
         rev, "rev_c", [F.col("rev_c"), F.col("o_custkey")], rn_col="rn"
@@ -406,8 +410,16 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok_per_bucket = words.groupBy(
         F.expr("doc_id div 100").alias("bucket")
     ).agg(F.count("*").alias("n_tokens"))
-    j = tok_per_bucket.join(new_per_bucket, "bucket", "left").withColumn(
-        "new_words", F.coalesce("new_words", F.lit(0))
+    # pin the bucket frame: the running-sum operator's eager cut probe
+    # is a separate job — unpinned, it re-runs BOTH corpus tokenizes
+    # (words feeds firsts and tok_per_bucket) to sketch the cuts;
+    # pinned, the probe scans corpus_size/100 rows (rank.pin_frame)
+    from etl_caltopo_spark.operators.rank import pin_frame
+
+    j = pin_frame(
+        tok_per_bucket.join(new_per_bucket, "bucket", "left").withColumn(
+            "new_words", F.coalesce("new_words", F.lit(0))
+        )
     )
     cum = global_running_sums(
         j,

@@ -202,11 +202,13 @@ def q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     grew (code-review r6).  int64 bound: total revenue < $9.2e16.
     """
     apply_runtime_conf(spark)
-    from etl_caltopo_spark.operators.rank import global_running_sum
+    from etl_caltopo_spark.operators.rank import global_running_sum, pin_frame
 
     orders = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    rev = orders.groupBy("o_custkey").agg(F.sum(cents).alias("revenue_c"))
+    # pinned: the probe and the total each scan the customer-
+    # cardinality aggregate, not a re-shuffle of orders (pin_frame)
+    rev = pin_frame(orders.groupBy("o_custkey").agg(F.sum(cents).alias("revenue_c")))
     total = rev.agg(F.sum("revenue_c").alias("total_c"))
     cum = global_running_sum(
         rev,
