@@ -114,13 +114,6 @@ def with_value_buckets(
     agg = F.sort_array(
         F.approx_percentile(primary, ps, F.lit(accuracy)), asc=ascending
     ).alias("_rank_cuts")
-    if os.environ.get("SPARK_GRAFT_LAZY_PLANS") != "1":
-        pinned = df.agg(agg).first()["_rank_cuts"] or []
-        ptype = df.schema[primary].dataType
-        cuts = None
-        cuts_col = F.array(*[F.lit(v).cast(ptype) for v in pinned])
-    else:
-        cuts = df.agg(agg)
     col = F.col(primary)
     if ascending:
         past_cut = lambda c: col > c  # noqa: E731
@@ -128,21 +121,26 @@ def with_value_buckets(
     else:
         past_cut = lambda c: col < c  # noqa: E731
         null_bucket = F.lit(buckets)  # desc → NULLS LAST
-    bucket = F.when(col.isNull(), null_bucket).otherwise(
-        F.aggregate(
-            F.col("_rank_cuts"),
-            F.lit(0),
-            lambda acc, c: acc + F.when(past_cut(c), 1).otherwise(0),
+
+    def bucket_of(cuts_arr: Column) -> Column:
+        return F.when(col.isNull(), null_bucket).otherwise(
+            F.aggregate(
+                cuts_arr,
+                F.lit(0),
+                lambda acc, c: acc + F.when(past_cut(c), 1).otherwise(0),
+            )
         )
-    )
-    if cuts is None:
-        return (
-            df.withColumn("_rank_cuts", cuts_col)
-            .withColumn(BUCKET_COL, bucket)
-            .drop("_rank_cuts")
-        )
-    return df.crossJoin(F.broadcast(cuts)).withColumn(BUCKET_COL, bucket).drop(
-        "_rank_cuts"
+
+    if os.environ.get("SPARK_GRAFT_LAZY_PLANS") != "1":
+        pinned = df.agg(agg).first()["_rank_cuts"] or []
+        ptype = df.schema[primary].dataType
+        cuts_col = F.array(*[F.lit(v).cast(ptype) for v in pinned])
+        return df.withColumn(BUCKET_COL, bucket_of(cuts_col))
+    cuts = df.agg(agg)
+    return (
+        df.crossJoin(F.broadcast(cuts))
+        .withColumn(BUCKET_COL, bucket_of(F.col("_rank_cuts")))
+        .drop("_rank_cuts")
     )
 
 

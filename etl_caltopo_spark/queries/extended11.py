@@ -230,92 +230,81 @@ def q_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _silhouette_oracle() -> str:
-    # greatest(..., 0): a point sitting on its centroid can produce a
-    # tiny NEGATIVE cancellation residue that the 6-dp floor turns into
-    # -1e-6 — DuckDB's sqrt() hard-errors on negatives (Spark yields
-    # NaN), so both engines clamp before sqrt (code-review r6)
+def _silhouette_chain_sql(prelude: str, member: str, out_cluster: str) -> str:
+    """DuckDB side of the simplified-silhouette chain, shared by
+    q_silhouette (clusters = true labels) and q_silhouette_ivf
+    (clusters = the E-step assignment): M-step means (exact integer
+    ten-thousandths, 4-dp floor), clamp-before-sqrt distances, 6-dp
+    floored per-point score, 4-dp-floored per-cluster sum.  ONE
+    definition — the cross-engine rounding grid lives here and in
+    :func:`_simplified_silhouette` only (r7 review: the first ivf cut
+    duplicated the whole chain in four places).
+
+    ``member`` must select (vec_id, grp, v DOUBLE[]); ``prelude``
+    carries any CTEs it needs (names must not collide with the
+    _sil-prefixed chain CTEs).
+
+    greatest(..., 0): a point sitting on its centroid can produce a
+    tiny NEGATIVE cancellation residue that the 6-dp floor turns into
+    -1e-6 — DuckDB's sqrt() hard-errors on negatives (Spark yields
+    NaN), so both engines clamp before sqrt (code-review r6)."""
     d2 = (
         "greatest(floor((list_dot_product(e.v, e.v)"
         " - 2 * list_dot_product(e.v, c.cv)"
         " + list_dot_product(c.cv, c.cv)) * 1000000) / 1000000, 0)"
     )
     return f"""
-    WITH e AS (
-        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ), comp AS (
-        SELECT label, CAST(d AS INT) AS dim,
+    WITH {prelude}_sil_member AS (
+        {member}
+    ), _sil_comp AS (
+        SELECT grp, CAST(d AS INT) AS dim,
                CAST(floor(v[CAST(d + 1 AS INT)] * 10000) AS BIGINT) AS q
-        FROM e, UNNEST(range(0, 64)) AS t(d)
-    ), cm AS (
-        SELECT label, dim,
+        FROM _sil_member, UNNEST(range(0, 64)) AS t(d)
+    ), _sil_cm AS (
+        SELECT grp, dim,
                floor(sum(q) / (count(*) * 10000.0) * 10000) / 10000 AS m
-        FROM comp GROUP BY label, dim
-    ), cent AS (
-        SELECT label AS clabel, list(m ORDER BY dim) AS cv FROM cm GROUP BY label
-    ), d AS (
-        SELECT e.vec_id, e.label, c.clabel, {d2} AS d2
-        FROM e, cent c
-    ), ab AS (
-        SELECT vec_id, label,
-               sqrt(min(CASE WHEN clabel = label THEN d2 END)) AS a,
-               sqrt(min(CASE WHEN clabel <> label THEN d2 END)) AS b
-        FROM d GROUP BY vec_id, label
-    ), s AS (
-        SELECT vec_id, label,
+        FROM _sil_comp GROUP BY grp, dim
+    ), _sil_cent AS (
+        SELECT grp AS cgrp, list(m ORDER BY dim) AS cv
+        FROM _sil_cm GROUP BY grp
+    ), _sil_d AS (
+        SELECT e.vec_id, e.grp, c.cgrp, {d2} AS d2
+        FROM _sil_member e, _sil_cent c
+    ), _sil_ab AS (
+        SELECT vec_id, grp,
+               sqrt(min(CASE WHEN cgrp = grp THEN d2 END)) AS a,
+               sqrt(min(CASE WHEN cgrp <> grp THEN d2 END)) AS b
+        FROM _sil_d GROUP BY vec_id, grp
+    ), _sil_s AS (
+        SELECT vec_id, grp,
                CASE WHEN greatest(a, b) = 0 THEN 0.0
                     ELSE floor((b - a) / greatest(a, b) * 1000000) / 1000000
                END AS sil
-        FROM ab
+        FROM _sil_ab
     )
-    SELECT label,
+    SELECT grp AS {out_cluster},
            CAST(count(*) AS BIGINT) AS n_points,
            floor(floor(sum(sil) * 10000) / 10000 / count(*) * 1000000) / 1000000 AS avg_sil
-    FROM s GROUP BY label
+    FROM _sil_s GROUP BY grp
     """
 
 
-@query("q_silhouette", oracle=_silhouette_oracle())
-def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Simplified (centroid-based) silhouette score per cluster label
-    — the O(n·k) cluster-quality metric (Hruschka et al.'s simplified
-    silhouette) a pipeline runs to validate embedding clusters before
-    using them for stratification or SemDeDup cells; the classic
-    silhouette's O(n²) pairwise distances are replaced by distances to
-    the k centroids, which is the only form that survives 100 TB.
-
-    Exactness chain (the q_kmeans_converge discipline): centroid
-    components are exact integer ten-thousandths means floored at
-    4 dp; squared distances compose sequential-fold dot products
-    floored at 6 dp and clamped at 0 (a centroid-coincident point's
-    cancellation residue must not reach sqrt); a/b take sqrt of
-    identical doubles (IEEE-correctly-rounded), the per-point
-    silhouette floors at 6 dp, and the per-label mean floors the sum
-    at 4 dp before dividing — every step replayed by the oracle.
-
-    Scale shape: ONE k×64-group partial-agg shuffle builds centroids,
-    the k-row centroid table broadcasts, per-point a/b is a map-side
-    min over k, and the rollup is a k-group aggregate — no pairwise
-    stage anywhere."""
-    apply_runtime_conf(spark)
+def _simplified_silhouette(member: DataFrame, out_cluster: str) -> DataFrame:
+    """Spark side of the shared chain — see
+    :func:`_silhouette_chain_sql` for the contract and rounding grid.
+    ``member``: (vec_id, grp, v array<double>)."""
     from etl_caltopo_spark.llm import similarity
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    pts = emb.select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    )
-    comp = pts.select(
-        "label", F.posexplode("v").alias("dim", "x")
-    ).select(
-        "label",
+    comp = member.select("grp", F.posexplode("v").alias("dim", "x")).select(
+        "grp",
         F.col("dim").cast("int").alias("dim"),
         F.floor(F.col("x") * 10000).cast("bigint").alias("q"),
     )
     n = F.count("*")
-    cm = comp.groupBy("label", "dim").agg(
+    cm = comp.groupBy("grp", "dim").agg(
         fround(F.sum("q") / (n * 10000.0), 4).alias("m")
     )
-    cent = cm.groupBy(F.col("label").alias("clabel")).agg(
+    cent = cm.groupBy(F.col("grp").alias("cgrp")).agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("dim", "m"))),
             lambda s: s["m"],
@@ -332,22 +321,22 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(0.0),
     )
-    d = pts.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "label", "clabel", d2.alias("d2")
+    d = member.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "grp", "cgrp", d2.alias("d2")
     )
-    ab = d.groupBy("vec_id", "label").agg(
+    ab = d.groupBy("vec_id", "grp").agg(
         F.sqrt(
-            F.min(F.when(F.col("clabel") == F.col("label"), F.col("d2")))
+            F.min(F.when(F.col("cgrp") == F.col("grp"), F.col("d2")))
         ).alias("a"),
         F.sqrt(
-            F.min(F.when(F.col("clabel") != F.col("label"), F.col("d2")))
+            F.min(F.when(F.col("cgrp") != F.col("grp"), F.col("d2")))
         ).alias("b"),
     )
     sil = F.when(F.greatest("a", "b") == 0, F.lit(0.0)).otherwise(
         fround((F.col("b") - F.col("a")) / F.greatest("a", "b"), 6)
     )
-    s = ab.select("label", sil.alias("sil"))
-    return s.groupBy("label").agg(
+    s = ab.select("grp", sil.alias("sil"))
+    return s.groupBy(F.col("grp").alias(out_cluster)).agg(
         F.count("*").cast("bigint").alias("n_points"),
         # fround, not F.round: Spark rounds the shortest-decimal repr
         # half-up while DuckDB rounds the binary value — they disagree
@@ -357,24 +346,54 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _silhouette_ivf_oracle() -> str:
-    # same clamp-before-sqrt discipline as _silhouette_oracle; the
-    # cluster map is the E-step assignment (extended7's _SQL_ASSIGNED
-    # shape) and the centroids are the M-step means of the assigned
-    # members (q_kmeans_update's exact integer ten-thousandths chain)
-    d2 = (
-        "greatest(floor((list_dot_product(a.v, a.v)"
-        " - 2 * list_dot_product(a.v, c.cv)"
-        " + list_dot_product(c.cv, c.cv)) * 1000000) / 1000000, 0)"
+@query(
+    "q_silhouette",
+    oracle=_silhouette_chain_sql(
+        "",
+        "SELECT vec_id, label AS grp, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings",
+        "label",
+    ),
+)
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette score per cluster label
+    — the O(n·k) cluster-quality metric (Hruschka et al.'s simplified
+    silhouette) a pipeline runs to validate embedding clusters before
+    using them for stratification or SemDeDup cells; the classic
+    silhouette's O(n²) pairwise distances are replaced by distances to
+    the k centroids, which is the only form that survives 100 TB.
+
+    Exactness chain (the q_kmeans_converge discipline), shared with
+    q_silhouette_ivf via _simplified_silhouette/_silhouette_chain_sql:
+    centroid components are exact integer ten-thousandths means
+    floored at 4 dp; squared distances compose sequential-fold dot
+    products floored at 6 dp and clamped at 0 (a centroid-coincident
+    point's cancellation residue must not reach sqrt); a/b take sqrt
+    of identical doubles (IEEE-correctly-rounded), the per-point
+    silhouette floors at 6 dp, and the per-label mean floors the sum
+    at 4 dp before dividing — every step replayed by the oracle.
+
+    Scale shape: ONE k×64-group partial-agg shuffle builds centroids,
+    the k-row centroid table broadcasts, per-point a/b is a map-side
+    min over k, and the rollup is a k-group aggregate — no pairwise
+    stage anywhere."""
+    apply_runtime_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    member = emb.select(
+        "vec_id",
+        F.col("label").alias("grp"),
+        F.col("embedding").cast("array<double>").alias("v"),
     )
-    return f"""
-    WITH c0 AS (
+    return _simplified_silhouette(member, "label")
+
+
+_IVF_ASSIGN_PRELUDE = """c0 AS (
         SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv0
         FROM embeddings WHERE vec_id < 8
     ), p AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         FROM embeddings WHERE vec_id >= 8
-    ), s AS (
+    ), scored AS (
         SELECT p.vec_id, p.v, c.centroid_id,
                floor(list_dot_product(v, cv0) /
                      (sqrt(list_dot_product(v, v)) *
@@ -385,43 +404,19 @@ def _silhouette_ivf_oracle() -> str:
         SELECT vec_id, v, centroid_id
         FROM (SELECT *, row_number() OVER (
                   PARTITION BY vec_id ORDER BY cos_sim DESC, centroid_id
-              ) AS rn FROM s)
+              ) AS rn FROM scored)
         WHERE rn = 1
-    ), comp AS (
-        SELECT centroid_id, CAST(d AS INT) AS dim,
-               CAST(floor(v[CAST(d + 1 AS INT)] * 10000) AS BIGINT) AS q
-        FROM assigned, UNNEST(range(0, 64)) AS t(d)
-    ), cm AS (
-        SELECT centroid_id, dim,
-               floor(sum(q) / (count(*) * 10000.0) * 10000) / 10000 AS m
-        FROM comp GROUP BY centroid_id, dim
-    ), cell AS (
-        SELECT centroid_id AS cell_id, list(m ORDER BY dim) AS cv
-        FROM cm GROUP BY centroid_id
-    ), d AS (
-        SELECT a.vec_id, a.centroid_id, c.cell_id, {d2} AS d2
-        FROM assigned a, cell c
-    ), ab AS (
-        SELECT vec_id, centroid_id,
-               sqrt(min(CASE WHEN cell_id = centroid_id THEN d2 END)) AS a,
-               sqrt(min(CASE WHEN cell_id <> centroid_id THEN d2 END)) AS b
-        FROM d GROUP BY vec_id, centroid_id
-    ), sl AS (
-        SELECT centroid_id,
-               CASE WHEN greatest(a, b) = 0 THEN 0.0
-                    ELSE floor((b - a) / greatest(a, b) * 1000000) / 1000000
-               END AS sil
-        FROM ab
-    )
-    SELECT centroid_id AS cell_id,
-           CAST(count(*) AS BIGINT) AS n_points,
-           floor(floor(sum(sil) * 10000) / 10000 / count(*) * 1000000)
-               / 1000000 AS avg_sil
-    FROM sl GROUP BY centroid_id
-    """
+    ), """
 
 
-@query("q_silhouette_ivf", oracle=_silhouette_ivf_oracle())
+@query(
+    "q_silhouette_ivf",
+    oracle=_silhouette_chain_sql(
+        _IVF_ASSIGN_PRELUDE,
+        "SELECT vec_id, centroid_id AS grp, v FROM assigned",
+        "cell_id",
+    ),
+)
 def q_silhouette_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simplified silhouette at IVF-CELL granularity (HANDOFF backlog
     #3 / VERDICT r6 optional): cluster membership is the coarse
@@ -435,14 +430,18 @@ def q_silhouette_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness chain: composition of three already-graded disciplines —
     the E-step assignment (extended7._SQL_ASSIGNED twin), the M-step
     integer ten-thousandths means (q_kmeans_update), and the
-    q_silhouette clamp-before-sqrt / floored-fold scoring.
+    q_silhouette scoring chain (SHARED code: _simplified_silhouette /
+    _silhouette_chain_sql — one definition of the rounding grid).
 
-    Scale shape: broadcast argmax for the assignment, ONE
-    cells×64-group partial-agg shuffle for the M-step, k-row centroid
-    broadcast for the distance pass, k-group rollup — no pairwise
+    Scale shape: broadcast argmax for the assignment — pinned
+    (rank.pin_frame) because BOTH the M-step and the distance pass
+    consume it, and unmaterialized each would re-run the n×k scoring
+    crossJoin (r7 review); then ONE cells×64-group partial-agg
+    shuffle, k-row centroid broadcast, k-group rollup — no pairwise
     stage, the only fact-table shuffles are k-bounded aggregates."""
     apply_runtime_conf(spark)
     from etl_caltopo_spark.llm import similarity
+    from etl_caltopo_spark.operators.rank import pin_frame
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents0 = emb.filter(F.col("vec_id") < 8).select(
@@ -460,56 +459,12 @@ def q_silhouette_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cos_sim").desc(), F.col("centroid_id")
     )
-    assigned = (
+    member = pin_frame(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "centroid_id")
+        .select("vec_id", F.col("centroid_id").alias("grp"), "v")
     )
-    comp = assigned.select(
-        "centroid_id", F.posexplode("v").alias("dim", "x")
-    ).select(
-        "centroid_id",
-        F.col("dim").cast("int").alias("dim"),
-        F.floor(F.col("x") * 10000).cast("bigint").alias("q"),
-    )
-    n = F.count("*")
-    cm = comp.groupBy("centroid_id", "dim").agg(
-        fround(F.sum("q") / (n * 10000.0), 4).alias("m")
-    )
-    cell = cm.groupBy(F.col("centroid_id").alias("cell_id")).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "m"))),
-            lambda s: s["m"],
-        ).alias("cv")
-    )
-    d2 = F.greatest(
-        fround(
-            similarity.dot(F.col("v"), F.col("v"))
-            - 2 * similarity.dot(F.col("v"), F.col("cv"))
-            + similarity.dot(F.col("cv"), F.col("cv")),
-            6,
-        ),
-        F.lit(0.0),
-    )
-    d = assigned.crossJoin(F.broadcast(cell)).select(
-        "vec_id", "centroid_id", "cell_id", d2.alias("d2")
-    )
-    ab = d.groupBy("vec_id", "centroid_id").agg(
-        F.sqrt(
-            F.min(F.when(F.col("cell_id") == F.col("centroid_id"), F.col("d2")))
-        ).alias("a"),
-        F.sqrt(
-            F.min(F.when(F.col("cell_id") != F.col("centroid_id"), F.col("d2")))
-        ).alias("b"),
-    )
-    sil = F.when(F.greatest("a", "b") == 0, F.lit(0.0)).otherwise(
-        fround((F.col("b") - F.col("a")) / F.greatest("a", "b"), 6)
-    )
-    s = ab.select("centroid_id", sil.alias("sil"))
-    return s.groupBy(F.col("centroid_id").alias("cell_id")).agg(
-        F.count("*").cast("bigint").alias("n_points"),
-        fround(fround(F.sum("sil"), 4) / F.count("*"), 6).alias("avg_sil"),
-    )
+    return _simplified_silhouette(member, "cell_id")
 
 
 @query(

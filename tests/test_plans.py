@@ -4,6 +4,8 @@ a 100 TB run shuffles or row-loops where it shouldn't."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -11,6 +13,23 @@ from etl_caltopo_spark.caltopo.fixtures import fixture_envelope_df
 from etl_caltopo_spark.caltopo.pipeline import run_pipeline
 from etl_caltopo_spark.io import load_table
 from etl_caltopo_spark.queries import REGISTRY
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _lazy_plans():
+    """Audit FULL plans, build ZERO jobs (r7 review): without this,
+    every localCheckpoint / pin_frame / eager cut probe collapses its
+    upstream to `Scan ExistingRDD` — the registry-wide window and
+    row-Python guards would silently stop seeing anything above a
+    pin, and each guarded build would execute real Spark jobs.  Same
+    escape hatch tools/dump_plans.py uses."""
+    old = os.environ.get("SPARK_GRAFT_LAZY_PLANS")
+    os.environ["SPARK_GRAFT_LAZY_PLANS"] = "1"
+    yield
+    if old is None:
+        os.environ.pop("SPARK_GRAFT_LAZY_PLANS", None)
+    else:
+        os.environ["SPARK_GRAFT_LAZY_PLANS"] = old
 
 
 def plan_of(df) -> str:
