@@ -139,6 +139,63 @@ def test_running_sums_two_columns_one_pass(frame):
     )
 
 
+def test_row_number_null_primary_matches_window_defaults(spark):
+    """NULL primaries must land exactly where an unpartitioned window
+    puts them: FIRST ascending, LAST descending (the -1 / `buckets`
+    sentinel buckets) — pinned because the r7 review verified this
+    only in a live session."""
+    rows = [(i, None if i % 5 == 0 else i * 3 % 97) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, k int").repartition(6)
+    for asc in (True, False):
+        order = [F.asc("k"), F.col("id")] if asc else [F.desc("k"), F.col("id")]
+        ref = df.withColumn("rn", F.row_number().over(Window.orderBy(*order)))
+        got = global_row_number(
+            df, "k", order, ascending=asc, rn_col="rn", buckets=9
+        )
+        assert _pairs(ref, "id", "rn") == _pairs(got, "id", "rn"), asc
+
+
+def test_row_number_all_null_and_empty_frames(spark):
+    """Degenerate frames: all-NULL primary (the pinned cuts aggregate
+    returns NULL -> empty literal array, every row in the sentinel
+    bucket) and a zero-row frame (no crash, zero rows out)."""
+    all_null = spark.createDataFrame(
+        [(i, None) for i in range(25)], "id long, k int"
+    )
+    got = global_row_number(all_null, "k", [F.col("k"), F.col("id")], rn_col="rn")
+    ref = all_null.withColumn(
+        "rn", F.row_number().over(Window.orderBy("k", "id"))
+    )
+    assert _pairs(ref, "id", "rn") == _pairs(got, "id", "rn")
+    empty = spark.createDataFrame([], "id long, k int")
+    assert (
+        global_row_number(empty, "k", [F.col("k"), F.col("id")], rn_col="rn").count()
+        == 0
+    )
+
+
+def test_running_sums_decimal_value_column_exact(spark):
+    """Decimal value columns pass the exact-type gate and produce
+    bit-identical running sums (the money path when cents overflow
+    int64 — the q_gini docstring's decimal(38,0) escape)."""
+    rows = [(i, i * 7 % 31, f"{(i * 13 % 997) / 100:.2f}") for i in range(300)]
+    df = (
+        spark.createDataFrame(rows, "id long, k int, amt string")
+        .withColumn("amt", F.col("amt").cast("decimal(38,2)"))
+        .repartition(5)
+    )
+    from etl_caltopo_spark.operators.rank import global_running_sums
+
+    wr = Window.orderBy("k", "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ref = df.select("id", F.sum("amt").over(wr).alias("cum"))
+    got = global_running_sums(
+        df, "k", [F.col("k"), F.col("id")], {"cum": "amt"}, buckets=6
+    )
+    assert _pairs(ref, "id", "cum") == _pairs(got, "id", "cum")
+
+
 def test_running_sums_reject_float_value_columns(frame):
     """The offset decomposition reorders floating-point accumulation,
     so a double value column would be ulp-different from the single-
