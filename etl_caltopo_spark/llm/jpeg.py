@@ -320,7 +320,12 @@ def encode_jpeg(pixels) -> bytes:
         # blocks whose AC (and possibly DC) coefficients are all zero
         # keep the original last_nz = 0 convention
         last_nz[~nz[:, 1:].any(axis=1)] = 0
-        comp_zz.append(zzrows.tolist())
+        # keep the coefficients as ONE int64 ndarray (8 B/coeff, the
+        # same O(pixels) envelope as the float planes above) — a
+        # whole-frame .tolist() would hold ~30x that in boxed python
+        # ints on a large frame (r7 review); the symbol loop converts
+        # one 64-entry row per block transiently instead
+        comp_zz.append(zzrows)
         comp_lnz.append(last_nz.tolist())
     writer = _BitWriter()
     preds = [0] * n_comp
@@ -328,7 +333,7 @@ def encode_jpeg(pixels) -> bytes:
         for c in range(n_comp):
             preds[c] = _encode_block_syms(
                 writer,
-                comp_zz[c][i],
+                comp_zz[c][i].tolist(),
                 comp_lnz[c][i],
                 comp_tabs[c][1],
                 comp_tabs[c][2],
@@ -520,8 +525,14 @@ def _decode_scan(payload, pos, h, w, scan_tabs, restart_interval):
     # per-component zigzag coefficient rows, filled by the entropy
     # loop, transformed by ONE batched dequant + IDCT afterwards (the
     # r7 decode-batching rework: the old loop ran two 8x8 matmuls and
-    # three allocations per block)
-    coeffs = [[None] * n_blocks for _ in range(n_comp)]
+    # three allocations per block).  Stored as ONE int64 ndarray —
+    # 8 B/coeff, the same O(pixels) envelope as the output planes;
+    # holding per-block python lists instead would cost ~30x in boxed
+    # ints on a large frame (r7 review).  Each block's transient `zz`
+    # list stays python during symbol decode (knowledge item 19: list
+    # indexing beats numpy scalar writes ~10x in the hot loop) and is
+    # copied into its ndarray row once per block.
+    coeffs = np.zeros((n_comp, n_blocks, 64), dtype=np.int64)
     preds = [0] * n_comp
     seg_idx = 0
     data = segments[0]
@@ -621,7 +632,7 @@ def _decode_scan(payload, pos, h, w, scan_tabs, restart_interval):
                 zz[k] = _extend(bits, size)
                 k += 1
             acc &= (1 << nbits) - 1  # keep the accumulator small
-            coeffs[c][mcu] = zz
+            coeffs[c, mcu] = zz
         # consuming virtual padding means the real data ran out
         # mid-stream (the old reader's None-at-marker condition)
         if (i * 8 + pad_bits) - nbits > real_bits:
@@ -629,7 +640,7 @@ def _decode_scan(payload, pos, h, w, scan_tabs, restart_interval):
     planes = []
     for c in range(n_comp):
         qt = scan_tabs[c][2]
-        arr = np.asarray(coeffs[c], dtype=np.float64)  # (N, 64) zigzag
+        arr = coeffs[c].astype(np.float64)  # (N, 64) zigzag
         arr *= qt[_ZZ_ROWS, _ZZ_COLS].astype(np.float64)
         blocks = np.zeros((n_blocks, 8, 8), dtype=np.float64)
         blocks[:, _ZZ_ROWS, _ZZ_COLS] = arr

@@ -53,6 +53,7 @@ BUCKET_COL = "_rank_bucket"
 
 _OFF = "_rank_off"
 _SUMOFF = "_rank_sumoff"
+_SUMNN = "_rank_sumnn"
 _TOTAL = "_rank_total"
 
 
@@ -152,9 +153,14 @@ def _bucket_offsets(
     frame keyed by ``_rank_bucket``.  ``sum_cols`` adds one prefix-sum
     offset column ``_rank_sumoff_<i>`` per listed value column."""
     sum_cols = sum_cols or []
-    aggs = [F.count("*").alias("_cnt")] + [
-        F.sum(c).alias(f"_bsum_{i}") for i, c in enumerate(sum_cols)
-    ]
+    aggs = (
+        [F.count("*").alias("_cnt")]
+        + [F.sum(c).alias(f"_bsum_{i}") for i, c in enumerate(sum_cols)]
+        # non-null counts per value column: the NULL-exactness flag
+        # (global sum is NULL iff ZERO non-nulls so far — see
+        # global_running_sums)
+        + [F.count(c).alias(f"_bnn_{i}") for i, c in enumerate(sum_cols)]
+    )
     per = d.groupBy(BUCKET_COL).agg(*aggs)
     w_prev = Window.orderBy(BUCKET_COL).rowsBetween(
         Window.unboundedPreceding, -1
@@ -162,16 +168,25 @@ def _bucket_offsets(
     w_all = Window.orderBy(BUCKET_COL).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    cols = [
-        F.col(BUCKET_COL),
-        F.coalesce(F.sum("_cnt").over(w_prev), F.lit(0)).alias(_OFF),
-        F.sum("_cnt").over(w_all).alias(_TOTAL),
-    ] + [
-        F.coalesce(F.sum(f"_bsum_{i}").over(w_prev), F.lit(0)).alias(
-            f"{_SUMOFF}_{i}"
-        )
-        for i in range(len(sum_cols))
-    ]
+    cols = (
+        [
+            F.col(BUCKET_COL),
+            F.coalesce(F.sum("_cnt").over(w_prev), F.lit(0)).alias(_OFF),
+            F.sum("_cnt").over(w_all).alias(_TOTAL),
+        ]
+        + [
+            F.coalesce(F.sum(f"_bsum_{i}").over(w_prev), F.lit(0)).alias(
+                f"{_SUMOFF}_{i}"
+            )
+            for i in range(len(sum_cols))
+        ]
+        + [
+            F.coalesce(F.sum(f"_bnn_{i}").over(w_prev), F.lit(0)).alias(
+                f"{_SUMNN}_{i}"
+            )
+            for i in range(len(sum_cols))
+        ]
+    )
     return per.select(*cols)
 
 
@@ -230,7 +245,14 @@ def global_running_sums(
     double column would differ at ulp scale — a hard failure under
     hash-parity grading.  Callers on money columns pass exact cents
     (``q_pareto``) or counts (``q_vocab_growth``), matching how
-    ``_idiv`` / ``ntile_from_rank`` pin their numeric domains."""
+    ``_idiv`` / ``ntile_from_rank`` pin their numeric domains.
+
+    NULL semantics match the window twin exactly (r7 review): the
+    global running sum is NULL while ZERO non-null values have been
+    seen, then the sum of non-nulls — a naive ``local + offset`` form
+    would instead turn a bucket-leading NULL prefix into NULL even
+    after earlier buckets carried values, so the offsets also carry
+    prefix non-null counts and the output nulls on their joint zero."""
     for value_col in sums.values():
         dtype = dict(df.dtypes).get(value_col, "")
         if dtype in ("double", "float"):
@@ -247,13 +269,24 @@ def global_running_sums(
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     out = d.join(F.broadcast(off), BUCKET_COL)
     for i, (out_col, value_col) in enumerate(sums.items()):
+        run = F.sum(value_col).over(w_run)
+        run_nn = F.count(value_col).over(w_run)
         out = out.withColumn(
-            out_col, F.sum(value_col).over(w_run) + F.col(f"{_SUMOFF}_{i}")
+            out_col,
+            F.when(
+                run_nn + F.col(f"{_SUMNN}_{i}") == 0, F.lit(None)
+            ).otherwise(
+                F.coalesce(run, F.lit(0)) + F.col(f"{_SUMOFF}_{i}")
+            ),
         )
     if rn_col is not None:
         out = out.withColumn(rn_col, F.row_number().over(w) + F.col(_OFF))
     return out.drop(
-        BUCKET_COL, _OFF, _TOTAL, *[f"{_SUMOFF}_{i}" for i in range(len(sums))]
+        BUCKET_COL,
+        _OFF,
+        _TOTAL,
+        *[f"{_SUMOFF}_{i}" for i in range(len(sums))],
+        *[f"{_SUMNN}_{i}" for i in range(len(sums))],
     )
 
 

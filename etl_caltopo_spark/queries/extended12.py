@@ -755,6 +755,16 @@ def two_hop_reach(
     the kNN pattern (exact-GEMM below the collect bound, IVF above).
     Output schemas differ (exact counts vs register estimates); the
     caller picks the dispatcher precisely when it accepts either."""
+    import os
+
+    # plan-observability escape hatch, mirrored from q_graph_2hop's
+    # inner guard: a plan dump must run ZERO jobs, and the plan being
+    # audited through the dispatcher is the exact form (r7 review —
+    # without this, lazy mode ran the probe AND dumped the sketch)
+    if os.environ.get("SPARK_GRAFT_LAZY_PLANS") == "1":
+        return q_graph_2hop(
+            spark, sf_dir, max_exact_pairs=max_exact_pairs, pair_bound=0
+        )
     bound = _ordered_pair_bound(spark, sf_dir)
     if bound <= max_exact_pairs:
         # pass the probe result down — the guard inside q_graph_2hop

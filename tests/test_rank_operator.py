@@ -196,6 +196,31 @@ def test_running_sums_decimal_value_column_exact(spark):
     assert _pairs(ref, "id", "cum") == _pairs(got, "id", "cum")
 
 
+def test_running_sums_nullable_value_column_matches_window(spark):
+    """NULL semantics must match the window twin exactly: NULL while
+    zero non-nulls have been seen, then the sum of non-nulls — in
+    particular a bucket-LEADING NULL prefix must carry the previous
+    buckets' total instead of going NULL (r7 review: the naive
+    local+offset form violated this for any NULLable exact column)."""
+    from etl_caltopo_spark.operators.rank import global_running_sums
+
+    rows = [
+        # k orders the frame; v has NULLs at the front (global NULL
+        # prefix) and sprinkled through later buckets
+        (i, i, None if (i < 4 or i % 7 == 0) else (i * 11 % 100))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, k int, v long").repartition(5)
+    wr = Window.orderBy("k", "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ref = df.select("id", F.sum("v").over(wr).alias("cum"))
+    got = global_running_sums(
+        df, "k", [F.col("k"), F.col("id")], {"cum": "v"}, buckets=9
+    )
+    assert _pairs(ref, "id", "cum") == _pairs(got, "id", "cum")
+
+
 def test_running_sums_reject_float_value_columns(frame):
     """The offset decomposition reorders floating-point accumulation,
     so a double value column would be ulp-different from the single-
