@@ -32,10 +32,25 @@ Scale properties: the data shuffles ONCE (hash on ~``buckets``
 keys, each bucket ≈ n/buckets rows by the equal-frequency cuts);
 the base frame is scanned twice more for the cuts and the counts
 (column-pruned, cheap next to the shuffle; persist the input if
-scans dominate).  Skew bound: a single primary value with huge
-multiplicity collapses into one bucket — equal-frequency cuts can't
-split a value; that is the documented limit (same as any
-range-partitioned sort).
+scans dominate).  Skew: equal-frequency cuts cannot split a single
+hot primary VALUE — but every caller supplies a total order ending
+in a unique tiebreak, so a hot tie group is split EXACTLY by
+tiebreak-range sub-buckets (r8, VERDICT r7 #1): a value appearing
+``m >= 2`` times among the probe's cut points (each repeat ≈ one
+full bucket of mass) gets ``m`` tiebreak sub-cuts from a second
+grouped percentile probe, and the bucket id becomes the composite
+``base * stride + sub`` — still a pure function of (value,
+tiebreak), still monotone in the total order, so the offsets
+algebra is unchanged and the result stays exact.  With strict
+past-cut comparisons the hot value always sits at the top of its
+base bucket, so non-hot rows sharing the bucket take sub 0 and
+remain ordered before every hot sub-bucket.  String tiebreaks probe
+a monotone numeric proxy (first 7 UTF-8 bytes as a big-endian
+long — UTF-8 byte order is code-point order, so the proxy is
+order-preserving; proxy ties never split, same argument as primary
+ties).  Residual limit: a tie group hot in BOTH the primary and the
+7-byte tiebreak prefix stays together — for the unique-key
+tiebreaks every caller uses, that set is empty or tiny.
 
 The plan-guard test (tests/test_plans.py) recognizes the internal
 bounded offsets window by its ``_rank_bucket`` order key and flags
@@ -84,6 +99,21 @@ def _idiv(a: Column, b: Column) -> Column:
     return ((a - F.pmod(a, b)) / b).cast("long")
 
 
+def _tiebreak_proxy(name: str, dtype: str) -> Column:
+    """A numeric column MONOTONE in the sort order of ``name`` — the
+    domain ``approx_percentile`` can probe for sub-cut points.
+    Numerics are their own proxy.  Strings map to their first 7 UTF-8
+    bytes as a big-endian long (zero-padded): UTF-8 byte order equals
+    code-point order, so the map is order-preserving; strings sharing
+    a 7-byte prefix collapse to one proxy value, which only means
+    their tie group won't split further (ties of the proxy never
+    split — correctness is unaffected)."""
+    if dtype == "string":
+        padded = F.rpad(F.encode(F.col(name), "UTF-8"), 7, F.lit(bytes([0])))
+        return F.conv(F.hex(padded), 16, 10).cast("long")
+    return F.col(name)
+
+
 def with_value_buckets(
     df: DataFrame,
     primary: str,
@@ -91,6 +121,8 @@ def with_value_buckets(
     ascending: bool = True,
     buckets: int = 32,
     accuracy: int = 10000,
+    tiebreak: str | None = None,
+    tiebreak_ascending: bool = True,
 ) -> DataFrame:
     """Attach ``_rank_bucket``: the equal-frequency range bucket of
     ``primary`` in sort direction (bucket ids increase along the sort
@@ -108,7 +140,22 @@ def with_value_buckets(
     offsets against the windows.  Literal cuts make consistency
     unconditional instead of an optimizer artifact (r7 self-review).
     Under ``SPARK_GRAFT_LAZY_PLANS`` the in-DAG broadcast form is kept
-    so tools/dump_plans.py observes plans without running jobs."""
+    so tools/dump_plans.py observes plans without running jobs.
+
+    HOT-VALUE SUB-BUCKETING (r8, VERDICT r7 #1): when ``tiebreak``
+    names the caller's next sort key (direction in
+    ``tiebreak_ascending``) and a primary value repeats ``m >= 2``
+    times among the pinned cuts — i.e. it alone spans at least a full
+    bucket of mass — its tie group is split into ``m + 1``
+    tiebreak-range sub-buckets from ONE additional grouped percentile
+    probe over just the hot rows.  The emitted id is the composite
+    ``base * stride + sub`` (stride = max sub-cuts + 1), a pure
+    function of (primary, tiebreak) and monotone in the total order:
+    the strict past-cut comparison puts a hot value at the TOP of its
+    base bucket, so the bucket's non-hot rows all precede the hot tie
+    group and safely share sub 0 with its first range.  NULL
+    tiebreaks inside a hot group follow Spark's defaults (first for
+    ascending → sub 0; last for descending → last sub)."""
     import os
 
     ps = F.array(*[F.lit(i / buckets) for i in range(1, buckets)])
@@ -117,10 +164,10 @@ def with_value_buckets(
     ).alias("_rank_cuts")
     col = F.col(primary)
     if ascending:
-        past_cut = lambda c: col > c  # noqa: E731
+        past_cut = lambda c, v=col: v > c  # noqa: E731
         null_bucket = F.lit(-1)  # asc → NULLS FIRST
     else:
-        past_cut = lambda c: col < c  # noqa: E731
+        past_cut = lambda c, v=col: v < c  # noqa: E731
         null_bucket = F.lit(buckets)  # desc → NULLS LAST
 
     def bucket_of(cuts_arr: Column) -> Column:
@@ -132,17 +179,113 @@ def with_value_buckets(
             )
         )
 
-    if os.environ.get("SPARK_GRAFT_LAZY_PLANS") != "1":
-        pinned = df.agg(agg).first()["_rank_cuts"] or []
-        ptype = df.schema[primary].dataType
-        cuts_col = F.array(*[F.lit(v).cast(ptype) for v in pinned])
-        return df.withColumn(BUCKET_COL, bucket_of(cuts_col))
-    cuts = df.agg(agg)
-    return (
-        df.crossJoin(F.broadcast(cuts))
-        .withColumn(BUCKET_COL, bucket_of(F.col("_rank_cuts")))
-        .drop("_rank_cuts")
+    if os.environ.get("SPARK_GRAFT_LAZY_PLANS") == "1":
+        # in-DAG broadcast form: plans observable with zero jobs; the
+        # hot probe (an eager job by construction) is skipped — plan
+        # SHAPE is identical either way (one withColumn over the scan)
+        cuts = df.agg(agg)
+        return (
+            df.crossJoin(F.broadcast(cuts))
+            .withColumn(BUCKET_COL, bucket_of(F.col("_rank_cuts")))
+            .drop("_rank_cuts")
+        )
+
+    pinned = df.agg(agg).first()["_rank_cuts"] or []
+    ptype = df.schema[primary].dataType
+    cuts_col = F.array(*[F.lit(v).cast(ptype) for v in pinned])
+    base = bucket_of(cuts_col)
+
+    hot = _hot_sub_cuts(
+        df, primary, pinned, tiebreak, tiebreak_ascending, accuracy
+    ) if tiebreak is not None else {}
+    if not hot:
+        return df.withColumn(BUCKET_COL, base)
+
+    stride = max(len(sc) for sc in hot.values()) + 1
+    tb_dtype = dict(df.dtypes)[tiebreak]
+    proxy = _tiebreak_proxy(tiebreak, tb_dtype)
+    sub = F.lit(0)
+    for v, sub_cuts in hot.items():
+        n_sub = len(sub_cuts)
+        if tiebreak_ascending:
+            past_sub = F.aggregate(
+                F.array(*[F.lit(s).cast("double") for s in sub_cuts]),
+                F.lit(0),
+                lambda acc, c: acc
+                + F.when(proxy.cast("double") > c, 1).otherwise(0),
+            )
+            null_sub = F.lit(0)  # asc → NULLS FIRST
+        else:
+            past_sub = F.aggregate(
+                F.array(*[F.lit(s).cast("double") for s in sub_cuts]),
+                F.lit(0),
+                lambda acc, c: acc
+                + F.when(proxy.cast("double") < c, 1).otherwise(0),
+            )
+            null_sub = F.lit(n_sub)  # desc → NULLS LAST
+        sub = F.when(
+            col.eqNullSafe(F.lit(v).cast(ptype)),
+            F.when(F.col(tiebreak).isNull(), null_sub).otherwise(past_sub),
+        ).otherwise(sub)
+    return df.withColumn(
+        BUCKET_COL, base * F.lit(stride) + sub
     )
+
+
+def _hot_sub_cuts(
+    df: DataFrame,
+    primary: str,
+    pinned: list,
+    tiebreak: str,
+    tiebreak_ascending: bool,
+    accuracy: int,
+) -> dict:
+    """Sub-cut points for each HOT primary value — a value appearing
+    ``m >= 2`` times among the pinned cuts spans >= (m-1) full
+    buckets, so it gets ``m`` equally-spaced tiebreak-proxy
+    percentiles (one grouped probe over only the hot rows; empty if
+    no value repeats).  Cuts are split points, not results — the
+    percentile sketch's error (and the double round-trip above 2^53)
+    only moves WHERE a sub-bucket boundary lands, never what any row's
+    rank is (offsets are exact counts)."""
+    from collections import Counter
+
+    multiplicity = {
+        v: m for v, m in Counter(pinned).items() if v is not None and m >= 2
+    }
+    if not multiplicity:
+        return {}
+    tb_dtype = dict(df.dtypes)[tiebreak]
+    if tb_dtype != "string" and not (
+        tb_dtype in ("int", "bigint", "smallint", "tinyint", "double", "float")
+        or tb_dtype.startswith("decimal")
+    ):
+        # no percentile-probeable proxy for this type — fall back to
+        # the unsplit bucket (old behavior), never a probe crash
+        return {}
+    n_sub = max(multiplicity.values())
+    proxy = _tiebreak_proxy(tiebreak, tb_dtype).alias("_rank_tb_proxy")
+    ps = F.array(*[F.lit(i / (n_sub + 1)) for i in range(1, n_sub + 1)])
+    col = F.col(primary)
+    probe = (
+        df.where(col.isin(list(multiplicity)))
+        .select(col.alias("_rank_hot_v"), proxy)
+        .groupBy("_rank_hot_v")
+        .agg(
+            F.sort_array(
+                F.approx_percentile(
+                    "_rank_tb_proxy", ps, F.lit(accuracy)
+                ),
+                asc=tiebreak_ascending,
+            ).alias("_rank_sub_cuts")
+        )
+        .collect()
+    )
+    return {
+        r["_rank_hot_v"]: r["_rank_sub_cuts"]
+        for r in probe
+        if r["_rank_sub_cuts"]
+    }
 
 
 def _bucket_offsets(
@@ -199,6 +342,8 @@ def global_row_number(
     buckets: int = 32,
     rn_col: str = "rn",
     total_col: str | None = None,
+    tiebreak: str | None = None,
+    tiebreak_ascending: bool = True,
 ) -> DataFrame:
     """Exact global ``row_number()`` over ``order_by`` without a
     single-partition sort of the data.
@@ -208,8 +353,18 @@ def global_row_number(
     the bucket id is derived from ``primary`` alone, so any ordering
     consistent with it bucket-major works.  ``total_col`` optionally
     attaches the exact frame row count (for ntile / percent_rank /
-    cume_dist derivations)."""
-    d = with_value_buckets(df, primary, ascending=ascending, buckets=buckets)
+    cume_dist derivations).  Pass ``tiebreak`` (the name + direction
+    of ``order_by``'s SECOND key) to let a hot primary value split
+    into tiebreak-range sub-buckets instead of collapsing into one
+    task — see ``with_value_buckets``."""
+    d = with_value_buckets(
+        df,
+        primary,
+        ascending=ascending,
+        buckets=buckets,
+        tiebreak=tiebreak,
+        tiebreak_ascending=tiebreak_ascending,
+    )
     off = _bucket_offsets(d)
     w = Window.partitionBy(BUCKET_COL).orderBy(*order_by)
     out = (
@@ -230,6 +385,8 @@ def global_running_sums(
     ascending: bool = True,
     buckets: int = 32,
     rn_col: str | None = None,
+    tiebreak: str | None = None,
+    tiebreak_ascending: bool = True,
 ) -> DataFrame:
     """Exact global running sums (ROWS UNBOUNDED PRECEDING .. CURRENT
     ROW) over a total order — per-bucket running sums plus broadcast
@@ -253,8 +410,17 @@ def global_running_sums(
     would instead turn a bucket-leading NULL prefix into NULL even
     after earlier buckets carried values, so the offsets also carry
     prefix non-null counts and the output nulls on their joint zero."""
+    dtypes = dict(df.dtypes)
     for value_col in sums.values():
-        dtype = dict(df.dtypes).get(value_col, "")
+        if value_col not in dtypes:
+            # advisor r7: a missing column must fail HERE with a clear
+            # message, not pass the float guard silently and surface
+            # later as an opaque resolution error
+            raise ValueError(
+                f"global_running_sums: value column {value_col!r} not in "
+                f"frame (columns: {sorted(dtypes)})"
+            )
+        dtype = dtypes[value_col]
         if dtype in ("double", "float"):
             raise TypeError(
                 f"global_running_sums: value column {value_col!r} is "
@@ -263,7 +429,14 @@ def global_running_sums(
                 "an exact type (int/long/decimal, e.g. integer cents)"
             )
     value_cols = list(sums.values())
-    d = with_value_buckets(df, primary, ascending=ascending, buckets=buckets)
+    d = with_value_buckets(
+        df,
+        primary,
+        ascending=ascending,
+        buckets=buckets,
+        tiebreak=tiebreak,
+        tiebreak_ascending=tiebreak_ascending,
+    )
     off = _bucket_offsets(d, sum_cols=value_cols)
     w = Window.partitionBy(BUCKET_COL).orderBy(*order_by)
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -300,6 +473,8 @@ def global_running_sum(
     ascending: bool = True,
     buckets: int = 32,
     rn_col: str | None = None,
+    tiebreak: str | None = None,
+    tiebreak_ascending: bool = True,
 ) -> DataFrame:
     """Single-column convenience wrapper over ``global_running_sums``."""
     return global_running_sums(
@@ -310,6 +485,8 @@ def global_running_sum(
         ascending=ascending,
         buckets=buckets,
         rn_col=rn_col,
+        tiebreak=tiebreak,
+        tiebreak_ascending=tiebreak_ascending,
     )
 
 

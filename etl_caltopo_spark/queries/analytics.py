@@ -189,6 +189,7 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("recency_days"), F.col("o_custkey")],
         rn_col="_rn_r",
         total_col="_n",
+        tiebreak="o_custkey",
     )
     r = global_row_number(
         _pin(r),
@@ -196,6 +197,7 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("frequency").desc(), F.col("o_custkey")],
         ascending=False,
         rn_col="_rn_f",
+        tiebreak="o_custkey",
     )
     r = global_row_number(
         _pin(r),
@@ -203,6 +205,7 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("monetary").desc(), F.col("o_custkey")],
         ascending=False,
         rn_col="_rn_m",
+        tiebreak="o_custkey",
     )
     return r.select(
         "o_custkey",

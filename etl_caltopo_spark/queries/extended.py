@@ -432,6 +432,7 @@ def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("o_totalprice"), F.col("o_orderkey")],
         rn_col="_grn",
         total_col="_n",
+        tiebreak="o_orderkey",
     )
     return r.select(
         "o_orderkey",

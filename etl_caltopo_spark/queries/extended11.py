@@ -800,7 +800,7 @@ def q_gini_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n"))
     )
     ranked = global_row_number(
-        vc, "n", [F.col("n"), F.col("w")], rn_col="i"
+        vc, "n", [F.col("n"), F.col("w")], rn_col="i", tiebreak="w"
     ).select("n", "i")
     s = ranked.agg(
         F.count("*").cast("bigint").alias("v"),

@@ -122,7 +122,11 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     r = global_row_number(
-        rev, "rev_c", [F.col("rev_c"), F.col("o_custkey")], rn_col="rn"
+        rev,
+        "rev_c",
+        [F.col("rev_c"), F.col("o_custkey")],
+        rn_col="rn",
+        tiebreak="o_custkey",
     )
     n = F.count("*")
     return r.agg(

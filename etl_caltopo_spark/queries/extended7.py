@@ -396,6 +396,7 @@ def q_feature_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("cents"), F.col("o_orderkey")],
         rn_col="_grn",
         total_col="_n",
+        tiebreak="o_orderkey",
     )
     t = r.withColumn(
         "decile", ntile_from_rank(F.col("_grn"), F.col("_n"), 10)

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_caltopo_spark.functions.numeric import fround
+from etl_caltopo_spark.functions.numeric import fround, sql_fround
 from etl_caltopo_spark.functions.temporal import date_epoch_seconds
 from etl_caltopo_spark.io import load_table
 from etl_caltopo_spark.queries.registry import query
@@ -413,11 +413,11 @@ def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_array_slice",
-    oracle="""
+    oracle=f"""
     SELECT vec_id,
-           round(CAST(embedding[1] AS DOUBLE), 4) AS e0,
-           round(CAST(embedding[2] AS DOUBLE), 4) AS e1,
-           round(CAST(embedding[3] AS DOUBLE), 4) AS e2,
+           {sql_fround("CAST(embedding[1] AS DOUBLE)", 4)} AS e0,
+           {sql_fround("CAST(embedding[2] AS DOUBLE)", 4)} AS e1,
+           {sql_fround("CAST(embedding[3] AS DOUBLE)", 4)} AS e2,
            CAST(3 AS INTEGER) AS head_len
     FROM embeddings
     """,
@@ -426,13 +426,18 @@ def q_array_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array slice + per-element transform (ref task.ts:124-126:
     every coordinate position truncated to <=3 elements, quirk Q4).
     slice/transform stay in codegen; output is flattened to scalars so
-    the oracle hash is float-repr-stable."""
+    the oracle hash is float-repr-stable.  Rounding is fround (floor-
+    scaling), NOT bare round(): Spark and DuckDB round() diverge on
+    4-dp half-boundary doubles, so bare round's hash-parity held only
+    because the pinned seed=42 data happened to contain no boundary
+    value (r7 watch item; migrated as one paired edit in r8 —
+    tests/test_round8.py pins the half-boundary policy)."""
     apply_runtime_conf(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     head = emb.select(
         "vec_id",
         F.transform(
-            F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double"), 4)
+            F.slice("embedding", 1, 3), lambda x: fround(x.cast("double"), 4)
         ).alias("head3"),
     )
     return head.select(

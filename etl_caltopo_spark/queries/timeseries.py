@@ -217,6 +217,7 @@ def q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue_c",
         out_col="_cum_c",
         ascending=False,
+        tiebreak="o_custkey",
     )
     cum_c = F.col("_cum_c")
     return (

@@ -185,7 +185,13 @@ def run_two_phase(
     else:
         single = False
     n_phases = len(next(iter(sources.values())))
-    assert all(len(v) == n_phases for v in sources.values())
+    if any(len(v) != n_phases for v in sources.values()):
+        # not an assert: -O would strip it and mismatched sources
+        # would proceed to an IndexError / silent partial processing
+        counts = {k: len(v) for k, v in sources.items()}
+        raise ValueError(
+            f"run_two_phase: sources disagree on phase count: {counts}"
+        )
     tmp = tempfile.mkdtemp(prefix=prefix)
     try:
         live, schemas = {}, {}

@@ -74,6 +74,15 @@ SESSION_OUTPUT = StructType(
 #: events can join it (advisor r6: eager batch-time emission let a
 #: within-watermark late event belong to an already-emitted session,
 #: bridge two sessions, or arrive before the open session's start)
+#:
+#: CHECKPOINT COMPATIBILITY (advisor r7): this schema replaced the
+#: r6 three-scalar state (start_ms, last_ms, n_events).  A stream
+#: restarted from an r6-era checkpoint will fail to deserialize its
+#: state — an in-place upgrade of a long-running sessionizer stream
+#: must drain (finish with availableNow) on the old code and start a
+#: fresh checkpoint on this version.  No migration shim is carried:
+#: the suite's checkpoints are per-run temp dirs, so the shim would
+#: be untestable dead code here; this note is the contract.
 SESSION_STATE = StructType(
     [
         StructField("starts", ArrayType(LongType(), False), False),

@@ -29,7 +29,7 @@ from check_oracle import row_hash  # noqa: E402
 from etl_caltopo_spark.io import TABLES, load_table  # noqa: E402
 from etl_caltopo_spark.queries import REGISTRY  # noqa: E402
 
-SRC_SF = "/root/testdata/sf0.001"
+SRC_SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="module")

@@ -268,6 +268,136 @@ def test_data_exchange_is_bucket_hash_not_single_partition(frame):
             assert "_cnt" in block or "Input [1]" in block or "Input [2]" in block, block
 
 
+# --- hot-value tiebreak sub-bucketing (VERDICT r7 #1, r8) ----------------
+
+
+def test_hot_value_splits_into_tiebreak_subbuckets(spark):
+    """A value holding 50% of the frame must spread across multiple
+    composite buckets (per-task rows ~ n/buckets, not n/2 in one) —
+    and stay bit-identical to the window."""
+    from etl_caltopo_spark.operators.rank import BUCKET_COL, with_value_buckets
+
+    n = 4000
+    rows = [(5 if i % 2 == 0 else (i % 97) + 100, i) for i in range(n)]
+    df = spark.createDataFrame(rows, "k int, id long").repartition(8)
+    b = with_value_buckets(df, "k", buckets=8, tiebreak="id")
+    sizes = [r["count"] for r in b.groupBy(BUCKET_COL).count().collect()]
+    # without sub-bucketing the hot bucket holds n/2 = 2000 rows; with
+    # it, no task exceeds ~2x the n/buckets target (percentile slack)
+    assert max(sizes) <= 2 * (n // 8), f"hot bucket not split: {sorted(sizes)}"
+    hot_spread = (
+        b.filter(F.col("k") == 5).select(BUCKET_COL).distinct().count()
+    )
+    assert hot_spread >= 3, f"hot value spans only {hot_spread} buckets"
+    ref = df.withColumn("rn", F.row_number().over(Window.orderBy("k", "id")))
+    got = global_row_number(
+        df, "k", [F.col("k"), F.col("id")], rn_col="rn", buckets=8, tiebreak="id"
+    )
+    assert _pairs(ref, "k", "id", "rn") == _pairs(got, "k", "id", "rn")
+
+
+def test_hot_value_subbuckets_descending_primary_ascending_tiebreak(spark):
+    """The q_pareto shape: primary DESC, tiebreak ASC — directions
+    compose independently."""
+    rows = [(7 if i % 2 == 0 else (i % 53), i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k int, id long").repartition(8)
+    ref = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("k"), F.asc("id")))
+    )
+    got = global_row_number(
+        df,
+        "k",
+        [F.col("k").desc(), F.col("id")],
+        ascending=False,
+        rn_col="rn",
+        buckets=8,
+        tiebreak="id",
+    )
+    assert _pairs(ref, "k", "id", "rn") == _pairs(got, "k", "id", "rn")
+
+
+def test_hot_value_string_tiebreak_proxy(spark):
+    """The vocab shape (q_gini_vocab): count n=1 is hot, tiebreak is
+    the word string — split via the 7-byte UTF-8 prefix proxy.  Words
+    here differ within 7 bytes, so the proxy actually splits them."""
+    from etl_caltopo_spark.operators.rank import BUCKET_COL, with_value_buckets
+
+    rows = [(1 if i < 1500 else i, f"{i:06d}_w") for i in range(2000)]
+    df = spark.createDataFrame(rows, "n long, w string").repartition(8)
+    b = with_value_buckets(df, "n", buckets=8, tiebreak="w")
+    spread = b.filter(F.col("n") == 1).select(BUCKET_COL).distinct().count()
+    assert spread >= 3, f"hot n=1 spans only {spread} buckets"
+    ref = df.withColumn("rn", F.row_number().over(Window.orderBy("n", "w")))
+    got = global_row_number(
+        df, "n", [F.col("n"), F.col("w")], rn_col="rn", buckets=8, tiebreak="w"
+    )
+    assert _pairs(ref, "n", "w", "rn") == _pairs(got, "n", "w", "rn")
+
+
+def test_hot_value_shared_prefix_strings_fall_back_unsplit(spark):
+    """Strings tying on the first 7 UTF-8 bytes collapse to one proxy
+    value — the documented residual: no split, still exact."""
+    rows = [(1, f"word_{i:06d}") for i in range(500)] + [
+        (2 + i, f"word_{i:06d}x") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "n long, w string")
+    ref = df.withColumn("rn", F.row_number().over(Window.orderBy("n", "w")))
+    got = global_row_number(
+        df, "n", [F.col("n"), F.col("w")], rn_col="rn", buckets=8, tiebreak="w"
+    )
+    assert _pairs(ref, "n", "w", "rn") == _pairs(got, "n", "w", "rn")
+
+
+def test_hot_value_null_tiebreaks_follow_window_defaults(spark):
+    """NULL tiebreaks inside a hot group: NULLS FIRST under asc,
+    NULLS LAST under desc — matching Spark's window sort."""
+    rows = [(5, i if i % 10 else None) for i in range(1000)] + [
+        ((i % 31) + 10, i) for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "k int, tb long").repartition(4)
+    for asc in (True, False):
+        tb = F.col("tb").asc() if asc else F.col("tb").desc()
+        # row_number over (k, tb) is non-deterministic among NULL-tb
+        # rows, so compare sorted (k, tb IS NULL, rn) triples — the
+        # NULL rows' rank SET is order-invariant
+        ref = df.withColumn("rn", F.row_number().over(Window.orderBy("k", tb)))
+        got = global_row_number(
+            df,
+            "k",
+            [F.col("k"), tb],
+            rn_col="rn",
+            buckets=8,
+            tiebreak="tb",
+            tiebreak_ascending=asc,
+        )
+        refs = sorted(
+            (r["k"], r["tb"] is None, r["rn"]) for r in ref.collect()
+        )
+        gots = sorted(
+            (r["k"], r["tb"] is None, r["rn"]) for r in got.collect()
+        )
+        assert refs == gots, f"asc={asc}"
+
+
+def test_running_sums_with_hot_value_subbuckets(spark):
+    rows = [(5 if i % 2 == 0 else (i % 97), i, (i * 7) % 11) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k int, id long, x long").repartition(8)
+    w = Window.orderBy("k", "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ref = df.withColumn("cum", F.sum("x").over(w))
+    got = global_running_sum(
+        df,
+        "k",
+        [F.col("k"), F.col("id")],
+        "x",
+        out_col="cum",
+        buckets=8,
+        tiebreak="id",
+    )
+    assert _pairs(ref, "k", "id", "cum") == _pairs(got, "k", "id", "cum")
+
+
 # --- 2-hop size dispatch (VERDICT r6 #5) ---------------------------------
 
 
