@@ -2017,10 +2017,13 @@ def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     error.
 
     Scale shape: rows first collapse to the DISTINCT-SCORE domain
-    (one partial-agg shuffle — scores sit on a fixed-precision grid,
-    so the domain is bounded regardless of row count), and the only
-    ordered pass — the cumulative-negatives prefix — runs over that
-    tiny per-score table via the U-statistic identity
+    (one partial-agg shuffle), and the cumulative-negatives prefix
+    runs through the distributed rank operator
+    (operators/rank.py global_running_sum — r8: the r7 cardinality
+    probe measured the distinct-score frame GROWING ~n^0.64 with the
+    table, 952 -> 17,792 rows across sf0.001 -> 0.1, so the previous
+    single-task window was a real scale path, not a bounded grid) via
+    the U-statistic identity
     AUC = Σ_s npos_s·(cumneg_<s + nneg_s/2) / (np·nn), which equals
     the midrank formula exactly (sums of integers and halves stay
     exact in double).  The oracle keeps the textbook per-row midrank
@@ -2028,7 +2031,7 @@ def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB q_calibration_bins is the fixed-bin sibling when even the
     score domain is unbounded."""
     apply_runtime_conf(spark)
-    from pyspark.sql import Window
+    from etl_caltopo_spark.operators.rank import global_running_sum, pin_frame
 
     ev = load_table(spark, sf_dir, "events")
     scored = ev.select(
@@ -2038,12 +2041,16 @@ def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = scored.groupBy("score").agg(
         F.count("*").alias("n"), F.sum("y").alias("npos")
     )
-    g = g.withColumn("nneg", F.col("n") - F.col("npos"))
-    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
-    g2 = g.select(
+    g = pin_frame(g.withColumn("nneg", F.col("n") - F.col("npos")))
+    # scores are DISTINCT after the groupBy (unique primary — no hot
+    # values, no extra tiebreak); the exclusive prefix is the
+    # inclusive running sum minus the row's own count
+    g2 = global_running_sum(
+        g, "score", [F.col("score")], "nneg", out_col="_cum_incl"
+    ).select(
         "npos",
         "nneg",
-        F.coalesce(F.sum("nneg").over(w), F.lit(0)).alias("cumneg"),
+        (F.col("_cum_incl") - F.col("nneg")).alias("cumneg"),
     )
     agg = g2.agg(
         F.sum(

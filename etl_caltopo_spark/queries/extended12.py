@@ -2095,27 +2095,35 @@ def q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     AP = Σ (ps_i/P)·(ctp_i/cn_i) — no window lag, every term a ratio
     of exact int64 cumulative counts, one 6-dp floor on the sum.
 
-    Scale shape: one partial-agg shuffle to the distinct-score grid
-    (the q_auc bounded-domain argument — scores live on a 2-dp grid),
-    one grid-sized ordered pass, a scalar rollup."""
+    Scale shape: one partial-agg shuffle to the distinct-score grid,
+    then the descending cumulative pass through the distributed rank
+    operator (operators/rank.py global_running_sums — r8: the r7
+    cardinality probe measured the distinct-score frame growing
+    ~n^0.64 with the table, so the previous single-task window was a
+    real scale path), a scalar rollup."""
     apply_runtime_conf(spark)
+    from etl_caltopo_spark.operators.rank import global_running_sums, pin_frame
+
     ev = load_table(spark, sf_dir, "events")
     scored = ev.select(
         F.col("value").alias("score"),
         F.when(F.col("event_type") == "click", 1).otherwise(0).alias("y"),
     )
-    grid = scored.groupBy("score").agg(
-        F.sum("y").cast("bigint").alias("ps"),
-        (F.count("*") - F.sum("y")).cast("bigint").alias("ns"),
+    grid = pin_frame(
+        scored.groupBy("score").agg(
+            F.sum("y").cast("bigint").alias("ps"),
+            (F.count("*") - F.sum("y")).cast("bigint").alias("ns"),
+        )
     )
-    w = Window.orderBy(F.col("score").desc()).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = grid.select(
-        "ps",
-        F.sum("ps").over(w).cast("bigint").alias("ctp"),
-        F.sum(F.col("ps") + F.col("ns")).over(w).cast("bigint").alias("cn"),
-    )
+    # distinct scores: unique primary, exact int64 running sums
+    cum = global_running_sums(
+        grid.withColumn("nt", F.col("ps") + F.col("ns")),
+        "score",
+        [F.col("score").desc()],
+        {"ctp": "ps", "cn": "nt"},
+        ascending=False,
+    ).select("ps", F.col("ctp").cast("bigint").alias("ctp"),
+             F.col("cn").cast("bigint").alias("cn"))
     tot = grid.agg(
         F.sum("ps").cast("bigint").alias("p"),
         F.sum("ns").cast("bigint").alias("n"),
@@ -2233,24 +2241,30 @@ def q_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     would split ties arbitrarily and never hash-match); with heavy
     ties deciles are intentionally uneven, carrying their true sizes.
 
-    Scale shape: one partial-agg shuffle to the score grid, grid-sized
-    cumulative pass, ≤10-row decile rollup + window."""
+    Scale shape: one partial-agg shuffle to the score grid, then the
+    grid-sized cumulative pass through the distributed rank operator
+    (operators/rank.py global_running_sum — r8: the grid grows
+    ~n^0.64 with the table per the r7 cardinality probe, so the
+    previous single-task window was a real scale path), ≤10-row
+    decile rollup + window (THAT one is a genuinely bounded frame)."""
     apply_runtime_conf(spark)
+    from etl_caltopo_spark.operators.rank import global_running_sum, pin_frame
+
     ev = load_table(spark, sf_dir, "events")
     scored = ev.select(
         F.col("value").alias("score"),
         F.when(F.col("event_type") == "click", 1).otherwise(0).alias("y"),
     )
-    grid = scored.groupBy("score").agg(
-        F.count("*").cast("bigint").alias("ng"),
-        F.sum("y").cast("bigint").alias("ps"),
+    grid = pin_frame(
+        scored.groupBy("score").agg(
+            F.count("*").cast("bigint").alias("ng"),
+            F.sum("y").cast("bigint").alias("ps"),
+        )
     )
-    w = Window.orderBy(F.col("score").desc()).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = grid.select(
-        "ng", "ps", F.sum("ng").over(w).cast("bigint").alias("cum_n")
-    )
+    cum = global_running_sum(
+        grid, "score", [F.col("score").desc()], "ng",
+        out_col="cum_n", ascending=False,
+    ).select("ng", "ps", F.col("cum_n").cast("bigint").alias("cum_n"))
     tot = grid.agg(
         F.sum("ng").cast("bigint").alias("n"),
         F.sum("ps").cast("bigint").alias("p"),

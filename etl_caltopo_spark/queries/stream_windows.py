@@ -29,6 +29,29 @@ from etl_caltopo_spark.session import apply_runtime_conf
 from etl_caltopo_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
 
 
+def event_type_rank_dim(ev: DataFrame) -> DataFrame:
+    """The q_stream_enrich lookup dim: dense rank of each DISTINCT
+    event type.  The unpartitioned window here is a BOUNDED-GRID
+    window — its input is the distinct-event_type aggregate (a
+    value-domain-bounded frame, single-digit rows), never the event
+    log itself.  Factored out so tests/test_plans.py can grade the
+    plan directly (the enclosing query id runs the eager two-phase
+    streaming protocol and cannot be lazily planned)."""
+    from pyspark.sql import Window
+
+    return (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.row_number()
+            .over(Window.orderBy("event_type"))
+            .cast("bigint")
+            .alias("type_rank"),
+        )
+    )
+
+
 @query(
     "q_stream_tumbling",
     oracle="""
@@ -830,17 +853,7 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "ts"
     )
-    dim = (
-        ev.select("event_type")
-        .distinct()
-        .select(
-            "event_type",
-            F.row_number()
-            .over(Window.orderBy("event_type"))
-            .cast("bigint")
-            .alias("type_rank"),
-        )
-    )
+    dim = event_type_rank_dim(ev)
     bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
     mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) / 2
     mid_lit = F.lit(mid.isoformat(sep=" ")).cast("timestamp_ntz")

@@ -1,0 +1,101 @@
+"""Quantify the bounded-grid global-window allowlist (VERDICT r7 #5).
+
+tests/test_plans.py's BOUNDED_GRID_GLOBAL_WINDOW_OK exempts ids whose
+single unpartitioned window orders a VALUE-DOMAIN-bounded frame.  That
+claim was prose until now; this test MEASURES it: for each allowlisted
+id it executes the query at sf0.001 and sf0.01 (a 10x table-row span),
+reads the actual input cardinality of every unpartitioned Window node
+from the executed plan's numOutputRows metrics, and asserts the frame
+is either absolutely tiny or grows far sublinearly with the tables.
+
+This probe is what demoted q_auc / q_pr_auc / q_lift_deciles's score
+grid in round 8: their distinct-score frames measured 952 -> 6,583 ->
+17,792 across sf0.001/0.01/0.1 (~n^0.64 — a real 100 TB scale path,
+not a grid), and they were retrofitted to operators/rank.py.  Any id
+whose frame starts growing like that fails here and gets the same
+treatment.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_caltopo_spark.queries import REGISTRY
+from tests.test_plans import BOUNDED_GRID_GLOBAL_WINDOW_OK
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_BIG = "/root/testdata/sf0.01"  # 10x the tables
+
+#: a frame this small is bounded regardless of measured growth (the
+#: decile/zipf/bin frames are fixed-size by construction)
+ABS_TINY = 2048
+#: across a 10x table-row span, a bounded grid may at most double
+#: (domain saturation still filling in at tiny SF); linear growth
+#: would be ~10x
+MAX_GROWTH = 2.0
+
+
+def _unwrap(node):
+    cls = node.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        return _unwrap(node.executedPlan())
+    if cls.endswith("QueryStageExec"):
+        return _unwrap(node.plan())
+    if cls == "ReusedExchangeExec":
+        return _unwrap(node.child())
+    return node
+
+
+def _first_rows(node):
+    node = _unwrap(node)
+    opt = node.metrics().get("numOutputRows")
+    if opt.isDefined():
+        return opt.get().value()
+    kids = node.children()
+    for i in range(kids.size()):
+        r = _first_rows(kids.apply(i))
+        if r is not None:
+            return r
+    return None
+
+
+def global_window_input_rows(df) -> list[int]:
+    """Execute ``df`` and return the input cardinality of every
+    UNPARTITIONED Window node in the executed plan (the nearest
+    descendant numOutputRows metric — Sort/Exchange preserve
+    cardinality, so the first metric below the window is its input)."""
+    df.collect()
+    found: list[int] = []
+
+    def walk(node):
+        node = _unwrap(node)
+        cls = node.getClass().getSimpleName()
+        if cls in ("WindowExec", "WindowGroupLimitExec") and (
+            node.partitionSpec().isEmpty()
+        ):
+            found.append(_first_rows(node.children().apply(0)))
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return [r for r in found if r is not None]
+
+
+@pytest.mark.parametrize("qid", sorted(BOUNDED_GRID_GLOBAL_WINDOW_OK))
+def test_allowlisted_global_window_frames_are_bounded(spark, qid):
+    small = global_window_input_rows(REGISTRY[qid].fn(spark, SF_SMALL))
+    big = global_window_input_rows(REGISTRY[qid].fn(spark, SF_BIG))
+    assert small and big, (
+        f"{qid}: allowlisted but no unpartitioned window found — "
+        "remove it from BOUNDED_GRID_GLOBAL_WINDOW_OK"
+    )
+    # compare the LARGEST frame each way (a query may run several
+    # bounded windows; the biggest one is the scale question)
+    s, b = max(small), max(big)
+    assert b <= ABS_TINY or b <= MAX_GROWTH * s, (
+        f"{qid}: global-window input grew {s} -> {b} across a 10x "
+        f"table span — that is a data-proportional frame, not a "
+        f"bounded grid; retrofit it to operators/rank.py "
+        f"(reason on file: {BOUNDED_GRID_GLOBAL_WINDOW_OK[qid]!r})"
+    )

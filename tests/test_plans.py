@@ -87,9 +87,12 @@ def test_no_row_python_in_declared_queries(spark, sf_dir):
 # operators/rank.py (whose internal offsets window is recognized by
 # its _rank_bucket key and ≤buckets-row frame).
 BOUNDED_GRID_GLOBAL_WINDOW_OK = {
-    "q_auc": "distinct-score ROC grid",
-    "q_pr_auc": "distinct-score PR grid",
-    "q_lift_deciles": "distinct-score grid + 10-row decile frame",
+    # (r8: q_auc / q_pr_auc moved OFF this list to operators/rank.py —
+    # the r7 cardinality probe measured their distinct-score frames
+    # growing ~n^0.64 with the table (952 -> 17,792 rows across
+    # sf0.001 -> 0.1), i.e. NOT a bounded grid; q_lift_deciles keeps
+    # only its genuinely bounded 10-row decile window)
+    "q_lift_deciles": "10-row decile frame (score-grid pass moved to rank.py)",
     "q_spearman": "distinct-value rank grids (documented discipline)",
     "q_ks_test": "pooled distinct-value grid",
     "q_mann_whitney": "pooled distinct-value grid",
@@ -106,6 +109,28 @@ BOUNDED_GRID_GLOBAL_WINDOW_OK = {
     "q_skyline_sweep": "distinct price-cents grid",
 }
 
+# Streaming ids whose query fn EXECUTES the two-phase availableNow
+# protocol at call time (streaming queries cannot be lazily planned —
+# run_two_phase writes temp parquet, starts a stream, and blocks on
+# awaitTermination, so plan_of() here would run real jobs, not dump a
+# plan).  ONLY these are exempt from the global-window guard (r8,
+# VERDICT r7 #4 — was a blanket q_stream_* prefix skip).  The three
+# batch-expressible streaming twins (q_stream_tumbling / _sliding /
+# _session) are graded like every other id, and q_stream_enrich's
+# internal bounded event-type window is graded directly via
+# event_type_rank_dim below.
+STREAM_PROTOCOL_SKIP = {
+    "q_stream_watermark_late",   # run_two_phase, late-data protocol
+    "q_stream_dedup",            # run_two_phase, dropDuplicates state
+    "q_stream_stateful_totals",  # run_two_phase, applyInPandasWithState
+    "q_stream_incr_rollup",      # run_two_phase, checkpoint restart
+    "q_stream_cdc_apply",        # run_two_phase, foreachBatch merge
+    "q_stream_interval_join",    # run_two_phase, two-source stream join
+    "q_stream_topk",             # run_two_phase, per-epoch top-k
+    "q_stream_enrich",           # run_two_phase, broadcast dim enrich
+    "q_stream_hll",              # run_two_phase, mergeable sketch
+}
+
 
 def test_no_global_window_sort_outside_bounded_grids(spark, sf_dir):
     """Registry-wide scale guard (VERDICT r6 #1): no query may run an
@@ -117,10 +142,10 @@ def test_no_global_window_sort_outside_bounded_grids(spark, sf_dir):
     be an allowlisted bounded-value-grid id."""
     import re
 
-    skip = {n for n in REGISTRY if n.startswith("q_stream_")}
+    assert STREAM_PROTOCOL_SKIP <= set(REGISTRY), "stale skip entry"
     offenders = {}
     for name, spec in REGISTRY.items():
-        if name in skip:
+        if name in STREAM_PROTOCOL_SKIP:
             continue
         plan = plan_of(spec.fn(spark, sf_dir))
         for block in plan.split("\n\n"):
@@ -135,6 +160,26 @@ def test_no_global_window_sort_outside_bounded_grids(spark, sf_dir):
                 if name not in BOUNDED_GRID_GLOBAL_WINDOW_OK:
                     offenders.setdefault(name, last[:70])
     assert not offenders, f"unbounded global window sorts: {offenders}"
+
+
+def test_stream_enrich_dim_window_sits_over_distinct_aggregate(spark, sf_dir):
+    """q_stream_enrich's only unpartitioned window (the event-type
+    rank dim) must order the DISTINCT-event_type aggregate — a
+    value-domain-bounded grid — never the event log.  The enclosing
+    query id is protocol-skipped, so the factored dim is graded
+    here directly (r8, VERDICT r7 #4)."""
+    from etl_caltopo_spark.queries.stream_windows import event_type_rank_dim
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    plan = plan_of(event_type_rank_dim(ev))
+    # the window's input is the distinct aggregate, one column wide
+    assert "Window" in plan and "HashAggregate" in plan
+    w_block = next(
+        b for b in plan.split("\n\n") if b.split("\n")[0].strip().endswith("Window")
+    )
+    assert "Input [1]: [event_type" in w_block, w_block[:200]
 
 
 def test_whole_stage_codegen_covers_transform(spark, sf_dir):
