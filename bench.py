@@ -54,11 +54,27 @@ NOTES: dict[str, str] = {
         "r6 numbers are a NEW baseline, not comparable to BENCH_r05; "
         "r6-vs-r6 repeats agree within ~2% (11.1 vs 11.3 s totals)."
     ),
+    "r7_drift_adjudicated": (
+        "round 8 (VERDICT r7 #2): BENCH_r07's +15% field shift and the "
+        "two above-field movers (q_funnel 0.549->0.791, q_dedup_near "
+        "1.244->1.68) were re-measured on an idle box with ZERO code "
+        "changes to either id (q_funnel untouched since r4; "
+        "q_dedup_near's banded join unchanged since r4, r7 touched "
+        "only the cluster-rescore band elsewhere in dedup.py): two "
+        "consecutive idle runs read totals 10.28 s / 9.38 s with "
+        "q_funnel 0.556 / 0.475 and q_dedup_near 1.177 / 0.973 — both "
+        "at or below their r6 baselines.  The r7 artifact recorded a "
+        "documented slow-box window (HANDOFF knowledge #11), not a "
+        "regression.  None of the 20 headline ids' plans changed in "
+        "r8 (the rank sub-bucketing and the q_auc-family retrofit "
+        "touch non-headline ids only)."
+    ),
     "q_market_basket": (
-        "round 6 plan change: the part-keyed item-count join sides "
-        "lost their forced broadcast hints (unbounded cardinality at "
-        "scale — AQE still picks broadcast-hash at bench SF, so the "
-        "measured plan is physically unchanged)."
+        "round 6 plan change (stale next round): the part-keyed "
+        "item-count join sides lost their forced broadcast hints "
+        "(unbounded cardinality at scale — AQE still picks "
+        "broadcast-hash at bench SF, so the measured plan is "
+        "physically unchanged)."
     ),
 }
 
