@@ -205,6 +205,47 @@ def main() -> None:
         spark.conf.unset(k)
     set_conf(**{"spark.sql.adaptive.skewJoin.enabled": "true"})
 
+    # Rank-operator hot-value ladder (round 8): a 50%-hot primary on
+    # the 10x orders frame, with and without tiebreak sub-bucketing —
+    # the per-task bound and wall time the r8 VERDICT item asked for,
+    # reproducible here instead of as an ad-hoc probe.
+    from etl_caltopo_spark.operators.rank import (
+        BUCKET_COL,
+        global_row_number,
+        with_value_buckets,
+    )
+
+    orders = load_table(spark, base_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    hot = orders.withColumn(
+        "o_totalprice",
+        F.when(F.pmod("o_orderkey", 2) == 0, F.lit(123456.78)).otherwise(
+            F.col("o_totalprice")
+        ),
+    ).localCheckpoint(eager=True)
+    n = hot.count()
+    print(f"| rank hot-value probe | rows={n} | target n/32={n // 32} | |")
+    for tb in (None, "o_orderkey"):
+        b = with_value_buckets(hot, "o_totalprice", buckets=32, tiebreak=tb)
+        mx = max(
+            r["count"] for r in b.groupBy(BUCKET_COL).count().collect()
+        )
+        t0 = time.perf_counter()
+        global_row_number(
+            hot,
+            "o_totalprice",
+            [F.col("o_totalprice"), F.col("o_orderkey")],
+            rn_col="rn",
+            tiebreak=tb,
+        ).select(F.max("rn")).collect()
+        dt = time.perf_counter() - t0
+        label = "sub-bucketed" if tb else "unsplit"
+        print(
+            f"| rank 50%-hot ({label}) | max task {mx} rows "
+            f"({mx * 100 // n}%) | {dt:.2f} s | buckets=32 |"
+        )
+
 
 if __name__ == "__main__":
     main()
