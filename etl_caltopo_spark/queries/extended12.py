@@ -2129,10 +2129,17 @@ def q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ns").cast("bigint").alias("n"),
     )
     j = cum.crossJoin(F.broadcast(tot))
+    # NULL pr_auc for a zero-positive slice (p = 0): ANSI Spark would
+    # raise DIVIDE_BY_ZERO on the bigint denominator where DuckDB
+    # yields NULL (the q_auc r6 guard, applied here in r8 after the
+    # degenerate single-class probe crashed this id)
     return j.groupBy("p", "n").agg(
         fround(
-            F.sum(F.col("ps").cast("double") * F.col("ctp") / F.col("cn"))
-            / F.col("p"),
+            F.when(
+                F.col("p") > 0,
+                F.sum(F.col("ps").cast("double") * F.col("ctp") / F.col("cn"))
+                / F.col("p"),
+            ),
             6,
         ).alias("pr_auc")
     ).select(F.col("p").alias("n_pos"), F.col("n").alias("n_neg"), "pr_auc")
@@ -2290,13 +2297,25 @@ def q_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("n_pos").cast("double") / F.col("n_rows"), 6).alias(
             "response_rate"
         ),
+        # NULL lift/cum_gain for a zero-positive slice (p = 0): the
+        # oracle's division by p yields NULL in DuckDB where the
+        # Spark double division gives IEEE NaN (and an unguarded
+        # bigint denominator would ANSI-crash) — the q_auc r6 guard,
+        # applied here in r8 after the degenerate single-class probe
         fround(
-            F.col("n_pos").cast("double")
-            * F.col("n")
-            / (F.col("n_rows").cast("double") * F.col("p")),
+            F.when(
+                F.col("p") > 0,
+                F.col("n_pos").cast("double")
+                * F.col("n")
+                / (F.col("n_rows").cast("double") * F.col("p")),
+            ),
             6,
         ).alias("lift"),
         fround(
-            F.sum("n_pos").over(wd).cast("double") / F.col("p"), 6
+            F.when(
+                F.col("p") > 0,
+                F.sum("n_pos").over(wd).cast("double") / F.col("p"),
+            ),
+            6,
         ).alias("cum_gain"),
     )

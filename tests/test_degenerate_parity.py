@@ -74,6 +74,9 @@ DEGENERATE_IDS = [
     "q_kendall_tau",       # all-ties -> den = 0 -> tau NULL
     "q_anomaly_zscore",    # constant groups -> var = 0 -> no rows
     "q_auc",               # single-class slice -> auc NULL
+    "q_pr_auc",            # zero positives -> p = 0 -> pr_auc NULL
+                           # (r8: unguarded /p ANSI-crashed here)
+    "q_lift_deciles",      # zero positives -> lift/cum_gain NULL
     "q_calibration_bins",  # constant scores -> hi == lo -> bin 0
     "q_embed_quantize",    # zero-norm vector -> q8 NULL row survives
 ]
