@@ -358,11 +358,27 @@ def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bivariate statistics (Pearson correlation, sample covariance)."""
+    """Bivariate statistics (Pearson correlation, sample covariance).
+
+    Pearson is computed as guarded covar_pop/(stddev_pop*stddev_pop)
+    — algebraically identical to corr() (the n factors cancel) — NOT
+    F.corr: Corr's own evaluateExpression divides by the variance
+    product, so a zero-variance group raises DIVIDE_BY_ZERO under
+    ANSI Spark even inside a CASE branch (aggregates evaluate before
+    the projection applies the guard; r8 degenerate full-registry
+    sweep).  DuckDB's corr yields NULL there — the when() matches it.
+    covar_samp itself returns NULL/0.0 on degenerate groups in both
+    engines (probed), so it stays native."""
     apply_runtime_conf(spark)
     li = load_table(spark, sf_dir, "lineitem")
+    sx = F.stddev_pop("l_quantity")
+    sy = F.stddev_pop("l_extendedprice")
+    pearson = F.when(
+        (sx > 0) & (sy > 0),
+        F.covar_pop("l_quantity", "l_extendedprice") / (sx * sy),
+    )
     return li.groupBy("l_returnflag").agg(
-        fround(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        fround(pearson, 4).alias("qty_price_corr"),
         fround(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_cov"),
     )
 

@@ -660,8 +660,18 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+
+    def pearson(a: str, b: str):
+        # guarded covar_pop/(stddev_pop*stddev_pop), not F.corr: a
+        # zero-variance column ANSI-crashes Corr's internal division
+        # even under a CASE guard (aggregates evaluate before the
+        # projection; r8 degenerate sweep) — DuckDB yields NULL
+        sa, sb = F.stddev_pop(a), F.stddev_pop(b)
+        return F.when((sa > 0) & (sb > 0), F.covar_pop(a, b) / (sa * sb))
+
     aggs = [
-        fround(F.corr(a, b), 4).alias(f"r_{i}") for i, (a, b) in enumerate(pairs)
+        fround(pearson(a, b), 4).alias(f"r_{i}")
+        for i, (a, b) in enumerate(pairs)
     ]
     wide = li.agg(*aggs)
     stack_expr = ", ".join(

@@ -79,6 +79,10 @@ DEGENERATE_IDS = [
     "q_lift_deciles",      # zero positives -> lift/cum_gain NULL
     "q_calibration_bins",  # constant scores -> hi == lo -> bin 0
     "q_embed_quantize",    # zero-norm vector -> q8 NULL row survives
+    "q_agg_corr",          # constant quantity -> var = 0 -> corr NULL
+                           # (r8: F.corr ANSI-crashed here; manual
+                           # guarded pop-variant pearson now)
+    "q_corr_matrix",       # same class, all six coefficients
 ]
 
 
