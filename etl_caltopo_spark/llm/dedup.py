@@ -583,6 +583,13 @@ def clusters_within_blocks(
             {id_col: ids, "cluster_id": [labels[r] for r in roots]}
         )
 
-    return emb.select(id_col, block_col, vec_col).groupBy(block_col).applyInPandas(
-        one_block, out_schema
+    # NULL vectors cannot participate in cosine clustering: dropped
+    # here (not per caller) so every blocking strategy shares the
+    # policy — the r8 NULL-injection sweep crashed the BLAS matrix
+    # build on a None row; the DuckDB oracle CTE filters identically
+    return (
+        emb.where(F.col(vec_col).isNotNull())
+        .select(id_col, block_col, vec_col)
+        .groupBy(block_col)
+        .applyInPandas(one_block, out_schema)
     )

@@ -403,7 +403,7 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
            percent_rank() OVER w AS pct_rank,
            cume_dist() OVER w AS cume
     FROM orders
-    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    WINDOW w AS (ORDER BY o_totalprice ASC NULLS FIRST, o_orderkey)
     """,
 )
 def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -205,10 +205,10 @@ def q_span_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH c AS (
         SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
-        FROM embeddings WHERE vec_id < 8
+        FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL
     ), p AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        FROM embeddings WHERE vec_id >= 8
+        FROM embeddings WHERE vec_id >= 8 AND embedding IS NOT NULL
     ), s AS (
         SELECT p.vec_id, c.centroid_id,
                floor(list_dot_product(v, cv) /
@@ -265,7 +265,12 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     floors at 6 dp on both engines before the threshold test so
     boundary ulps can't flip membership."""
     apply_runtime_conf(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
+    # NULL vectors can't be assigned or compared (r8 NULL policy;
+    # a NULL embedding also must not become a groupBy("embedding")
+    # NULL group with a min-id representative)
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     cents = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
     )
@@ -1626,6 +1631,7 @@ def _embed_lsh_oracle() -> str:
     return f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WHERE embedding IS NOT NULL
     ), bucketed AS (
         SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM e
     )
@@ -1660,8 +1666,11 @@ def q_embed_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     only within buckets — the same plan q_dedup_embed_lsh ships,
     now with its outputs hash-checked."""
     apply_runtime_conf(spark)
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        # NULL vectors have no bucket (r8 NULL policy)
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
     bucketed = similarity.attach_bucket(
         emb, vec_col="v", n_planes=8, dim=64, out_col="bucket"
@@ -1863,7 +1872,7 @@ def q_cms_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
         SELECT doc_id, source,
                string_split_regex(trim(lower(text)), '\s+') AS ts
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ), sh AS (
         SELECT doc_id, source,
                unnest(list_distinct(list_transform(
@@ -1931,7 +1940,12 @@ def q_bloom_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_conf(spark)
     A = (131, 1031, 8101, 65537)
     B = (7, 911, 5021, 30011)
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL documents have no shingles: dropped on both sides (r8
+    # NULL-injection policy; the engines disagree on how list
+    # functions degrade over NULL)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
     sh = docs.select(
         "doc_id",
         "source",
@@ -1990,7 +2004,7 @@ def q_bloom_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH scored AS (
         SELECT value AS score,
                CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ), ranked AS (
         SELECT y, rank() OVER (ORDER BY score) AS rmin,
                count(*) OVER (PARTITION BY score) AS nties,
@@ -2034,7 +2048,10 @@ def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_caltopo_spark.operators.rank import global_running_sum, pin_frame
 
     ev = load_table(spark, sf_dir, "events")
-    scored = ev.select(
+    # NULL scores are MISSING observations — dropped on both sides
+    # (r8 NULL-injection sweep: a NULL rank group diverges between
+    # engines because Spark orders ASC NULLS FIRST, DuckDB NULLS LAST)
+    scored = ev.where(F.col("value").isNotNull()).select(
         F.col("value").alias("score"),
         (F.col("event_type") == "click").cast("int").alias("y"),
     )

@@ -276,15 +276,22 @@ def _silhouette_chain_sql(prelude: str, member: str, out_cluster: str) -> str:
                sqrt(min(CASE WHEN cgrp <> grp THEN d2 END)) AS b
         FROM _sil_d GROUP BY vec_id, grp
     ), _sil_s AS (
+        -- per-point score as EXACT integer micros: summing the
+        -- floored DOUBLES accumulated ~1e-16 noise, and a cluster
+        -- whose sum lands within noise of the next rounding boundary
+        -- flipped with Spark's partition order (r8 NULL-injection
+        -- sweep caught one); int64 sums are order-free
         SELECT vec_id, grp,
-               CASE WHEN greatest(a, b) = 0 THEN 0.0
-                    ELSE floor((b - a) / greatest(a, b) * 1000000) / 1000000
-               END AS sil
+               CASE WHEN greatest(a, b) = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(floor((b - a) / greatest(a, b) * 1000000)
+                              AS BIGINT)
+               END AS sil_u
         FROM _sil_ab
     )
     SELECT grp AS {out_cluster},
            CAST(count(*) AS BIGINT) AS n_points,
-           floor(floor(sum(sil) * 10000) / 10000 / count(*) * 1000000) / 1000000 AS avg_sil
+           floor(sum(sil_u) / (count(*) * 1000000.0) * 1000000) / 1000000
+               AS avg_sil
     FROM _sil_s GROUP BY grp
     """
 
@@ -332,17 +339,25 @@ def _simplified_silhouette(member: DataFrame, out_cluster: str) -> DataFrame:
             F.min(F.when(F.col("cgrp") != F.col("grp"), F.col("d2")))
         ).alias("b"),
     )
-    sil = F.when(F.greatest("a", "b") == 0, F.lit(0.0)).otherwise(
-        fround((F.col("b") - F.col("a")) / F.greatest("a", "b"), 6)
+    # per-point score as EXACT integer micros (r8): the previous
+    # sum-of-floored-doubles carried ~1e-16 summation noise, and a
+    # cluster whose sum sat within noise of the next rounding
+    # boundary flipped with partition order (the NULL-injection sweep
+    # caught cluster 4 straddling a 1e-4 edge).  int64 micros sum
+    # exactly in any order; one final floor after the exact division.
+    sil_u = F.when(
+        F.greatest("a", "b") == 0, F.lit(0).cast("bigint")
+    ).otherwise(
+        F.floor(
+            (F.col("b") - F.col("a")) / F.greatest("a", "b") * 1000000
+        ).cast("bigint")
     )
-    s = ab.select("grp", sil.alias("sil"))
+    s = ab.select("grp", sil_u.alias("sil_u"))
     return s.groupBy(F.col("grp").alias(out_cluster)).agg(
         F.count("*").cast("bigint").alias("n_points"),
-        # fround, not F.round: Spark rounds the shortest-decimal repr
-        # half-up while DuckDB rounds the binary value — they disagree
-        # on half-boundary doubles; floor-scaling is the engine-portable
-        # policy everywhere else (code-review r6)
-        fround(fround(F.sum("sil"), 4) / F.count("*"), 6).alias("avg_sil"),
+        fround(
+            F.sum("sil_u") / (F.count("*") * 1000000.0), 6
+        ).alias("avg_sil"),
     )
 
 
@@ -351,7 +366,7 @@ def _simplified_silhouette(member: DataFrame, out_cluster: str) -> DataFrame:
     oracle=_silhouette_chain_sql(
         "",
         "SELECT vec_id, label AS grp, CAST(embedding AS DOUBLE[]) AS v"
-        " FROM embeddings",
+        " FROM embeddings WHERE embedding IS NOT NULL",
         "label",
     ),
 )
@@ -378,7 +393,10 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     min over k, and the rollup is a k-group aggregate — no pairwise
     stage anywhere."""
     apply_runtime_conf(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
+    # NULL vectors have no distances (r8 NULL-injection policy)
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     member = emb.select(
         "vec_id",
         F.col("label").alias("grp"),
@@ -389,10 +407,10 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_ASSIGN_PRELUDE = """c0 AS (
         SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv0
-        FROM embeddings WHERE vec_id < 8
+        FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL
     ), p AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        FROM embeddings WHERE vec_id >= 8
+        FROM embeddings WHERE vec_id >= 8 AND embedding IS NOT NULL
     ), scored AS (
         SELECT p.vec_id, p.v, c.centroid_id,
                floor(list_dot_product(v, cv0) /
@@ -443,7 +461,10 @@ def q_silhouette_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_caltopo_spark.llm import similarity
     from etl_caltopo_spark.operators.rank import pin_frame
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # NULL vectors can't be assigned or measured (r8 NULL policy)
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     cents0 = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv0")
     )

@@ -43,6 +43,7 @@ from etl_caltopo_spark.session import apply_runtime_conf
         SELECT CAST(round(l_quantity) AS BIGINT) AS x,
                CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS is_a
         FROM lineitem WHERE l_returnflag IN ('A', 'R')
+              AND l_quantity IS NOT NULL
     ), grid AS (
         SELECT x, CAST(sum(is_a) AS BIGINT) AS ca,
                CAST(sum(1 - is_a) AS BIGINT) AS cb
@@ -87,7 +88,12 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     design."""
     apply_runtime_conf(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    base = li.filter(F.col("l_returnflag").isin("A", "R")).select(
+    # NULL quantities are missing observations, dropped on both
+    # sides (r8 NULL-injection policy, see q_auc)
+    base = li.filter(
+        F.col("l_returnflag").isin("A", "R")
+        & F.col("l_quantity").isNotNull()
+    ).select(
         F.round("l_quantity").cast("bigint").alias("x"),
         F.when(F.col("l_returnflag") == "A", 1).otherwise(0).alias("is_a"),
     )
@@ -128,6 +134,7 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(round(l_quantity) AS BIGINT) AS x,
                CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS is_a
         FROM lineitem WHERE l_returnflag IN ('A', 'R')
+              AND l_quantity IS NOT NULL
     ), grid AS (
         SELECT x, CAST(count(*) AS BIGINT) AS c,
                CAST(sum(is_a) AS BIGINT) AS ca
@@ -167,7 +174,12 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the 50-value grid, grid-sized window, scalar algebra."""
     apply_runtime_conf(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    base = li.filter(F.col("l_returnflag").isin("A", "R")).select(
+    # NULL quantities are missing observations, dropped on both
+    # sides (r8 NULL-injection policy, see q_auc)
+    base = li.filter(
+        F.col("l_returnflag").isin("A", "R")
+        & F.col("l_quantity").isNotNull()
+    ).select(
         F.round("l_quantity").cast("bigint").alias("x"),
         F.when(F.col("l_returnflag") == "A", 1).otherwise(0).alias("is_a"),
     )
@@ -2059,7 +2071,7 @@ def q_audio_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH scored AS (
         SELECT value AS score,
                CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ), grid AS (
         SELECT score, CAST(sum(y) AS BIGINT) AS ps,
                CAST(count(*) - sum(y) AS BIGINT) AS ns
@@ -2105,7 +2117,9 @@ def q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_caltopo_spark.operators.rank import global_running_sums, pin_frame
 
     ev = load_table(spark, sf_dir, "events")
-    scored = ev.select(
+    # NULL scores are missing observations, dropped on both sides
+    # (r8 NULL-injection policy, see q_auc)
+    scored = ev.where(F.col("value").isNotNull()).select(
         F.col("value").alias("score"),
         F.when(F.col("event_type") == "click", 1).otherwise(0).alias("y"),
     )
@@ -2201,7 +2215,7 @@ def q_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH scored AS (
         SELECT value AS score,
                CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ), grid AS (
         SELECT score, CAST(count(*) AS BIGINT) AS ng,
                CAST(sum(y) AS BIGINT) AS ps
@@ -2258,7 +2272,9 @@ def q_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_caltopo_spark.operators.rank import global_running_sum, pin_frame
 
     ev = load_table(spark, sf_dir, "events")
-    scored = ev.select(
+    # NULL scores are missing observations, dropped on both sides
+    # (r8 NULL-injection policy, see q_auc)
+    scored = ev.where(F.col("value").isNotNull()).select(
         F.col("value").alias("score"),
         F.when(F.col("event_type") == "click", 1).otherwise(0).alias("y"),
     )

@@ -368,11 +368,19 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     the projection applies the guard; r8 degenerate full-registry
     sweep).  DuckDB's corr yields NULL there — the when() matches it.
     covar_samp itself returns NULL/0.0 on degenerate groups in both
-    engines (probed), so it stays native."""
+    engines (probed), so it stays native.
+
+    PAIRWISE DELETION: the stddevs run over values masked to the rows
+    where BOTH columns are non-null — corr() excludes a pair when
+    either side is NULL, and a plain stddev_pop(x) would include
+    x-values whose partner is NULL (caught by the r8 NULL-injection
+    sweep: the naive form diverged from DuckDB corr at the 4-dp floor
+    with 2% nulls)."""
     apply_runtime_conf(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    sx = F.stddev_pop("l_quantity")
-    sy = F.stddev_pop("l_extendedprice")
+    both = F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+    sx = F.stddev_pop(F.when(both, F.col("l_quantity")))
+    sy = F.stddev_pop(F.when(both, F.col("l_extendedprice")))
     pearson = F.when(
         (sx > 0) & (sy > 0),
         F.covar_pop("l_quantity", "l_extendedprice") / (sx * sy),

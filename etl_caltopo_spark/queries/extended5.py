@@ -665,8 +665,12 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         # guarded covar_pop/(stddev_pop*stddev_pop), not F.corr: a
         # zero-variance column ANSI-crashes Corr's internal division
         # even under a CASE guard (aggregates evaluate before the
-        # projection; r8 degenerate sweep) — DuckDB yields NULL
-        sa, sb = F.stddev_pop(a), F.stddev_pop(b)
+        # projection; r8 degenerate sweep) — DuckDB yields NULL.
+        # stddevs masked to pairwise-complete rows: corr() drops a
+        # pair when EITHER side is NULL (r8 NULL-injection sweep)
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        sa = F.stddev_pop(F.when(both, F.col(a)))
+        sb = F.stddev_pop(F.when(both, F.col(b)))
         return F.when((sa > 0) & (sb > 0), F.covar_pop(a, b) / (sa * sb))
 
     aggs = [

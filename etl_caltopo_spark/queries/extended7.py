@@ -179,7 +179,7 @@ def _knn_vote_accuracy(scored: DataFrame, k: int = 5) -> DataFrame:
     oracle="""
     WITH p AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-        FROM embeddings WHERE vec_id >= 8
+        FROM embeddings WHERE vec_id >= 8 AND embedding IS NOT NULL
     ), s AS (
         SELECT a.vec_id AS qid, a.label AS qlabel,
                b.label AS nlabel, b.vec_id AS nid,
@@ -231,7 +231,10 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     KMeans cell id with nothing collected).  The dispatch is pinned in
     tests/test_llm_ops.py::test_knn_dispatch_routes_by_size."""
     apply_runtime_conf(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
+    # NULL vectors can't be queried or retrieved (r8 NULL policy)
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     pts = emb.filter(F.col("vec_id") >= 8).select("vec_id", "label", "embedding")
     cand = similarity.knn_candidate_pairs(pts, k=5)
     s = cand.select(
@@ -289,7 +292,10 @@ def q_knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     work ~ N^1.5) and precomputes/buckets the cell assignment —
     same plan shape, different constants (SCALING.md)."""
     apply_runtime_conf(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
+    # NULL vectors can't be queried or retrieved (r8 NULL policy)
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     pts = emb.filter(F.col("vec_id") >= 8).select("vec_id", "label", "embedding")
     pairs = similarity.ivf_candidate_pairs(
         pts, n_cells=8, n_probe=2, carry=("label",)
@@ -363,7 +369,8 @@ def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
         SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
                ntile(10) OVER (
-                   ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                   ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
+                                ASC NULLS FIRST,
                             o_orderkey) AS decile
         FROM orders
     )

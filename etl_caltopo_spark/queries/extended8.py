@@ -513,8 +513,13 @@ def q_window_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
+    # size 0 (every price in the frame NULL — array_compact dropped
+    # them all) must yield NULL, not element_at(arr, 0), which raises
+    # INVALID_INDEX_OF_ZERO (r8 NULL-injection sweep); DuckDB's
+    # median over an all-NULL frame is NULL
     med = F.expr(
-        "CASE WHEN size(arr) % 2 = 1"
+        "CASE WHEN size(arr) = 0 THEN NULL"
+        " WHEN size(arr) % 2 = 1"
         " THEN CAST(element_at(arr, CAST((size(arr) + 1) div 2 AS INT)) AS DOUBLE)"
         " ELSE (element_at(arr, CAST(size(arr) div 2 AS INT))"
         "       + element_at(arr, CAST(size(arr) div 2 + 1 AS INT))) / 2.0 END"

@@ -203,7 +203,10 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest of 8 cells (the inverted-file ANN structure, complementing
     the hyperplane-LSH variant)."""
     apply_runtime_conf(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
+    # NULL vectors can't be indexed or queried (r8 NULL policy)
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     return similarity.ivf_topk(
         emb.filter(F.col("vec_id") != 0), q, k=10, n_cells=8, n_probe=2
@@ -236,6 +239,7 @@ def _dedup_embed_oracle() -> str:
     return f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WHERE embedding IS NOT NULL
     ), bucketed AS (
         SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM e
     )
@@ -419,6 +423,7 @@ def _cc_components_cte() -> str:
     return """
     WITH base AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WHERE embedding IS NOT NULL
     ), pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -606,8 +611,10 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks
     )
     SELECT doc_id,
-           list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
-                       (acc, h) -> (acc * 31 + h) % 2147483647) AS rolling_fp
+           CASE WHEN hs IS NULL THEN NULL
+                ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                                 (acc, h) -> (acc * 31 + h) % 2147483647)
+           END AS rolling_fp
     FROM th
     """,
 )
@@ -931,7 +938,15 @@ def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), normed AS (
-        SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS l2 FROM base
+        -- list_sum(list_transform(...)), NOT list_dot_product: the
+        -- dot raises on a NULL list even under a CASE guard (DuckDB
+        -- fuses and evaluates branches eagerly across the vector) and
+        -- internal-errors on constant empty lists; the transform/sum
+        -- pair degrades to NULL naturally and folds in the same
+        -- sequential order (r8 NULL-injection sweep)
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS l2
+        FROM base
     )
     SELECT vec_id, l2 AS l2_norm,
            CASE WHEN l2 > 0 THEN array_to_string(
@@ -1036,7 +1051,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH toks AS (
         SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ), sh AS (
         SELECT doc_id,
                unnest(list_distinct(list_transform(
@@ -1069,7 +1084,11 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the text resolved for the survivors only; here the span text
     itself is carried so the DuckDB oracle can replay it exactly."""
     apply_runtime_conf(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL documents have no spans: dropped on both sides (r8
+    # NULL-injection policy)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
     sh = docs.select(
         "doc_id", F.explode(dedup.shingles(F.col("text"), n=8)).alias("span")
     )

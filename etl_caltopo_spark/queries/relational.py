@@ -418,7 +418,8 @@ def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
            {sql_fround("CAST(embedding[1] AS DOUBLE)", 4)} AS e0,
            {sql_fround("CAST(embedding[2] AS DOUBLE)", 4)} AS e1,
            {sql_fround("CAST(embedding[3] AS DOUBLE)", 4)} AS e2,
-           CAST(3 AS INTEGER) AS head_len
+           CASE WHEN embedding IS NULL THEN NULL
+                ELSE CAST(3 AS INTEGER) END AS head_len
     FROM embeddings
     """,
 )

@@ -95,6 +95,7 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
            arg_max(value, {_TICK_KEY_SQL}) AS close,
            CAST(count(*) AS BIGINT) AS n_ticks
     FROM events
+    WHERE value IS NOT NULL
     GROUP BY user_id, bar_start
     """,
 )
@@ -109,7 +110,13 @@ def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     users × hours, and every input row is touched exactly once.
     """
     apply_runtime_conf(spark)
-    ev = load_table(spark, sf_dir, "events")
+    # a tick without a price is not a tick: dropped on both sides
+    # (r8 NULL-injection sweep — Spark's min_by/max_by RETURN a NULL
+    # value at the extreme key where DuckDB's arg_min/arg_max SKIP
+    # null-value rows; filtering makes the question moot)
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
     key = _tick_key()
     return ev.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("bar_start")

@@ -1,21 +1,31 @@
-"""Full-registry oracle sweep over DEGENERATE data (round 8).
+"""Full-registry oracle sweeps over PERTURBED data (round 8).
 
-Builds an sf0.001 replica with the degenerate overwrites the
-tests/test_degenerate_parity.py fixture uses — constant lineitem
-discount AND quantity (variance 0), constant event values + a single
-event class (zero positives, var 0), one all-zero embedding — then
-runs tools/check_oracle.py over EVERY registered id against it.
+Builds an sf0.001 replica under one of three perturbation modes and
+runs tools/check_oracle.py over EVERY registered id against it:
 
-This catches the class of bug the per-id degenerate tests can only
-pin after the fact: engine-divergent division-by-zero behavior that
-the seeded driver data never exercises.  The round-8 run caught
-q_pr_auc / q_lift_deciles (unguarded /positives ANSI crash vs DuckDB
-NULL) and q_agg_corr / q_corr_matrix (F.corr's internal division
-ANSI-crashes on a zero-variance column even under a CASE guard —
-aggregates evaluate before the projection).
+- ``degenerate``: constant lineitem discount AND quantity (variance
+  0), constant event values + a single event class (zero positives),
+  one all-zero embedding — the fixture tests/test_degenerate_parity.py
+  uses.  Caught four ANSI divide-by-zero / NULL-parity bugs in r8
+  (q_pr_auc, q_lift_deciles, q_agg_corr, q_corr_matrix).
+- ``nulls``: 2% NULLs injected into o_totalprice, l_discount,
+  l_quantity, c_acctbal, events.value, documents.text, and
+  embeddings.embedding — columns the seeded driver data NEVER nulls.
+  Caught twelve r8 findings: ASC-rank NULL-placement divergence
+  (Spark NULLS FIRST vs DuckDB NULLS LAST: q_auc/q_ks_test/
+  q_mann_whitney/q_window_dist/q_feature_bins), non-pairwise
+  correlation deletion, min_by-vs-arg_min NULL asymmetry (q_ohlc),
+  an INVALID_INDEX_OF_ZERO on all-NULL median frames, pandas-UDF
+  None crashes across the embedding family, and DuckDB
+  list_dot_product NULL/empty-list crashes.
+- ``shuffled``: every table rewritten in xxhash64 row order —
+  order-independence of every graded output (r8: zero findings).
 
-Usage: python tools/degenerate_sweep.py [--base /root/testdata/sf0.001]
-Expect the SAME pass/rows-only/fail split as the normal-data sweep.
+Each mode must read the SAME pass/rows-only/fail split as the
+normal-data sweep (278/10/0 at the r8 registry).
+
+Usage: python tools/degenerate_sweep.py [--mode degenerate|nulls|shuffled]
+       [--base /root/testdata/sf0.001] [q_name ...]
 """
 
 from __future__ import annotations
@@ -30,13 +40,18 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_degenerate(base: str, out: str) -> None:
+def _write_single(df, out: str, t: str) -> None:
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/_t")
+    part = next(f for f in os.listdir(f"{out}/_t") if f.endswith(".parquet"))
+    os.replace(f"{out}/_t/{part}", f"{out}/{t}.parquet")
+    shutil.rmtree(f"{out}/_t")
+
+
+def build_degenerate(spark, base: str, out: str) -> None:
     from pyspark.sql import functions as F
 
     from etl_caltopo_spark.io import TABLES, load_table
-    from etl_caltopo_spark.session import build_spark
 
-    spark = build_spark(app_name="build-degenerate")
     for t in TABLES:
         shutil.copy(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
     li = (
@@ -44,35 +59,81 @@ def build_degenerate(base: str, out: str) -> None:
         .withColumn("l_discount", F.lit(0.05))
         .withColumn("l_quantity", F.lit(7.0))
     )
-    li.coalesce(1).write.mode("overwrite").parquet(f"{out}/_li")
+    _write_single(li, out, "lineitem")
     ev = (
         load_table(spark, base, "events")
         .withColumn("value", F.lit(2.5))
         .withColumn("event_type", F.lit("view"))
     )
-    ev.coalesce(1).write.mode("overwrite").parquet(f"{out}/_ev")
+    _write_single(ev, out, "events")
     emb = spark.read.parquet(f"{base}/embeddings.parquet")
     zero = F.transform(F.col("embedding"), lambda x: x * F.lit(0.0))
     emb = emb.withColumn(
         "embedding",
         F.when(F.col("vec_id") == 0, zero).otherwise(F.col("embedding")),
     )
-    emb.coalesce(1).write.mode("overwrite").parquet(f"{out}/_emb")
-    for sub, t in (("_li", "lineitem"), ("_ev", "events"), ("_emb", "embeddings")):
-        part = next(f for f in os.listdir(f"{out}/{sub}") if f.endswith(".parquet"))
-        os.replace(f"{out}/{sub}/{part}", f"{out}/{t}.parquet")
-        shutil.rmtree(f"{out}/{sub}")
-    spark.stop()
+    _write_single(emb, out, "embeddings")
+
+
+#: nulls mode: (table, column, hash-selector key columns)
+NULL_PLAN = {
+    "orders": [("o_totalprice", ["o_orderkey"])],
+    "lineitem": [
+        ("l_discount", ["l_orderkey", "l_linenumber"]),
+        ("l_quantity", ["l_linenumber", "l_orderkey"]),
+    ],
+    "customer": [("c_acctbal", ["c_custkey"])],
+    "events": [("value", ["event_id"])],
+    "documents": [("text", ["doc_id"])],
+    "embeddings": [("embedding", ["vec_id"])],
+}
+
+
+def build_nulls(spark, base: str, out: str, pct: int = 2) -> None:
+    from pyspark.sql import functions as F
+
+    from etl_caltopo_spark.io import TABLES, load_table
+
+    for t in TABLES:
+        df = load_table(spark, base, t)
+        for col, keys in NULL_PLAN.get(t, []):
+            sel = F.abs(F.hash(*[F.col(k) for k in keys])) % 100 < pct
+            df = df.withColumn(
+                col, F.when(sel, F.lit(None)).otherwise(F.col(col))
+            )
+        _write_single(df, out, t)
+
+
+def build_shuffled(spark, base: str, out: str) -> None:
+    from pyspark.sql import functions as F
+
+    from etl_caltopo_spark.io import TABLES, load_table
+
+    for t in TABLES:
+        df = load_table(spark, base, t)
+        _write_single(df.orderBy(F.xxhash64(*df.columns)), out, t)
+
+
+BUILDERS = {
+    "degenerate": build_degenerate,
+    "nulls": build_nulls,
+    "shuffled": build_shuffled,
+}
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="degenerate", choices=sorted(BUILDERS))
     ap.add_argument("--base", default="/root/testdata/sf0.001")
     ap.add_argument("names", nargs="*", help="query ids (default: all)")
     args = ap.parse_args()
-    d = tempfile.mkdtemp(prefix="spark_graft_degsweep_")
+    d = tempfile.mkdtemp(prefix=f"spark_graft_{args.mode}_sweep_")
     try:
-        build_degenerate(args.base, d)
+        from etl_caltopo_spark.session import build_spark
+
+        spark = build_spark(app_name=f"build-{args.mode}")
+        BUILDERS[args.mode](spark, args.base, d)
+        spark.stop()
         cmd = [
             sys.executable,
             os.path.join(os.path.dirname(__file__), "check_oracle.py"),
