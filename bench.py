@@ -67,7 +67,12 @@ NOTES: dict[str, str] = {
         "documented slow-box window (HANDOFF knowledge #11), not a "
         "regression.  None of the 20 headline ids' plans changed in "
         "r8 (the rank sub-bucketing and the q_auc-family retrofit "
-        "touch non-headline ids only)."
+        "touch non-headline ids only).  Box-drift calibration for "
+        "whatever number THIS run records: four end-of-round-8 runs "
+        "on the same final code read totals 10.28 / 9.38 (morning) "
+        "and 13.07 / 12.84 s (evening) — a uniform ~1.3x field "
+        "multiplier with no per-query mover, so totals anywhere in "
+        "the 9-14 s band are the same code at different box weather."
     ),
     "q_market_basket": (
         "round 6 plan change (stale next round): the part-keyed "
