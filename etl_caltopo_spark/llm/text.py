@@ -26,6 +26,19 @@ LANG_MARKERS: tuple[tuple[str, tuple[str, ...]], ...] = (
 )
 
 
+def portable_lower(col: Column) -> Column:
+    """Engine-portable SIMPLE case folding.  Java's ``toLowerCase``
+    applies Unicode SpecialCasing — whose one unconditional
+    multi-char LOWERCASE mapping is U+0130 (Turkish İ → "i" +
+    U+0307 combining dot) — while DuckDB's utf8proc ``lower()`` uses
+    the simple 1:1 map (İ → "i").  Pre-mapping İ → I pins BOTH
+    engines to the simple fold.  Found by the r8 adversarial-text
+    sweep; every other probed class (\\x0B, emoji, CJK, combining
+    marks, ZWSP, empty strings) already agreed, and İ is the only
+    code point whose unconditional lowercase expands."""
+    return F.lower(F.translate(col, "İ", "I"))
+
+
 def tokens(col: Column) -> Column:
     """Whitespace tokenization of trimmed, lowercased text.
 
@@ -34,8 +47,9 @@ def tokens(col: Column) -> Column:
     (\\x0B) while RE2's (the DuckDB oracles') does not — a document
     containing \\x0B would otherwise tokenize differently in the two
     engines and skew every tokens()-derived graded id
-    (code-review r6)."""
-    return F.split(F.trim(F.lower(col)), r"[ \t\n\f\r]+")
+    (code-review r6).  Lowercasing is :func:`portable_lower` for the
+    same reason (the U+0130 rule)."""
+    return F.split(F.trim(portable_lower(col)), r"[ \t\n\f\r]+")
 
 
 def token_count(col: Column) -> Column:
@@ -74,7 +88,7 @@ def lang_id(col: Column) -> Column:
     appears as a whole token wins; default 'en'.  (A real model would
     be a Pandas UDF; this keeps the hot path in codegen and the result
     oracle-checkable.)"""
-    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    padded = F.concat(F.lit(" "), portable_lower(col), F.lit(" "))
     expr: Column | None = None
     for lang, markers in reversed(LANG_MARKERS):
         hit = None
@@ -89,8 +103,9 @@ def lang_id(col: Column) -> Column:
 
 def fingerprint(col: Column) -> Column:
     """Canonical content fingerprint: md5 of lowercased trimmed text
-    (the cheap exact-dup key; rolling/shingle hashes live in dedup)."""
-    return F.md5(F.lower(F.trim(col)))
+    (the cheap exact-dup key; rolling/shingle hashes live in dedup).
+    Lowercasing is :func:`portable_lower` (the U+0130 rule)."""
+    return F.md5(portable_lower(F.trim(col)))
 
 
 #: (pattern, replacement) redaction rules, applied in order.  Patterns

@@ -19,6 +19,7 @@ from etl_caltopo_spark.functions.portable import (
     portable_string_hash_sql,
 )
 from etl_caltopo_spark.io import load_table
+from etl_caltopo_spark.llm.text import portable_lower
 from etl_caltopo_spark.queries.registry import query
 from etl_caltopo_spark.session import apply_runtime_conf
 
@@ -52,7 +53,9 @@ def _winnow_fingerprints(docs: DataFrame) -> DataFrame:
         # explicit RE2 \s set — Java's \s also matches \x0B, RE2's
         # does not (the text.tokens() parity rule)
         "doc_id",
-        F.split(F.trim(F.lower(F.col("text"))), r"[ \t\n\f\r]+").alias("ts"),
+        F.split(
+            F.trim(portable_lower(F.col("text"))), r"[ \t\n\f\r]+"
+        ).alias("ts"),
     ).filter((F.size("ts") > 0) & (F.element_at("ts", 1) != ""))
     # ENFORCED precondition (code-review r6): the position encoding
     # packs pos into the low 20 bits, so a document with >= 2^20

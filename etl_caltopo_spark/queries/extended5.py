@@ -715,6 +715,8 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same in Java regex and RE2); the score is a double over exact
     ints, 2-dp floor.  Narrow projection, zero shuffles — a pure map
     stage that scales embarrassingly."""
+    from etl_caltopo_spark.llm import text
+
     apply_runtime_conf(spark)
     docs = load_table(spark, sf_dir, "documents")
     n_words = F.greatest(
@@ -723,7 +725,14 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_sents = F.greatest(
         F.size(F.regexp_extract_all("text", F.lit(r"[.!?]+"), 0)), F.lit(1)
     )
-    n_sylls = F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"[aeiouy]+"), 0))
+    # portable_lower: the U+0130 rule (llm/text.py, r8) — a Turkish
+    # dotted I would otherwise add a combining mark that splits an
+    # [aeiouy]+ group in Spark but not DuckDB
+    n_sylls = F.size(
+        F.regexp_extract_all(
+            text.portable_lower(F.col("text")), F.lit(r"[aeiouy]+"), 0
+        )
+    )
     m = docs.select(
         "doc_id",
         n_words.alias("n_words"),

@@ -20,6 +20,14 @@ runs tools/check_oracle.py over EVERY registered id against it:
   list_dot_product NULL/empty-list crashes.
 - ``shuffled``: every table rewritten in xxhash64 row order —
   order-independence of every graded output (r8: zero findings).
+- ``unitext``: ~30% of documents.text replaced with adversarial
+  strings — empty, whitespace-only, CJK, non-BMP emoji, combining
+  marks, \\x0B/\\x0C control whitespace, zero-width space, a 5000-char
+  token, and Unicode special-casing (Turkish İ, ß).  Caught the
+  U+0130 lower() divergence in r8 (Java SpecialCasing expands İ to
+  "i"+combining dot, utf8proc maps 1:1 — fixed engine-wide by
+  llm/text.portable_lower's simple case fold); \\x0B re-verified the
+  documented RE2-vs-Java \\s tokenization rule registry-wide.
 
 Each mode must read the SAME pass/rows-only/fail split as the
 normal-data sweep (278/10/0 at the r8 registry).
@@ -114,10 +122,44 @@ def build_shuffled(spark, base: str, out: str) -> None:
         _write_single(df.orderBy(F.xxhash64(*df.columns)), out, t)
 
 
+#: unitext mode: doc_id mod 40 slots 0..11 get these (~30% of docs)
+ADVERSARIAL_TEXT = [
+    "",
+    "   ",
+    "café naïve résumé über",
+    "é combining acute plus ascii",
+    "你好世界 tokens here",
+    "emoji \U0001F600 \U0001F680 mixed with words",
+    "tab\tseparated\nand\r\nCRLF lines",
+    "vertical\x0btab and form\x0cfeed",
+    "zero​width​space joined",
+    "a" * 5000,
+    "word " * 2000,
+    "UPPER lower MiXeD İstanbul ß sharp",
+]
+
+
+def build_unitext(spark, base: str, out: str) -> None:
+    from pyspark.sql import functions as F
+
+    from etl_caltopo_spark.io import TABLES, load_table
+
+    for t in TABLES:
+        df = load_table(spark, base, t)
+        if t == "documents":
+            pick = F.pmod(F.col("doc_id"), F.lit(40)).cast("int")
+            expr = F.col("text")
+            for i, s in enumerate(ADVERSARIAL_TEXT):
+                expr = F.when(pick == i, F.lit(s)).otherwise(expr)
+            df = df.withColumn("text", expr)
+        _write_single(df, out, t)
+
+
 BUILDERS = {
     "degenerate": build_degenerate,
     "nulls": build_nulls,
     "shuffled": build_shuffled,
+    "unitext": build_unitext,
 }
 
 
