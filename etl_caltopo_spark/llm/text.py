@@ -28,15 +28,27 @@ LANG_MARKERS: tuple[tuple[str, tuple[str, ...]], ...] = (
 
 def portable_lower(col: Column) -> Column:
     """Engine-portable SIMPLE case folding.  Java's ``toLowerCase``
-    applies Unicode SpecialCasing — whose one unconditional
-    multi-char LOWERCASE mapping is U+0130 (Turkish İ → "i" +
-    U+0307 combining dot) — while DuckDB's utf8proc ``lower()`` uses
-    the simple 1:1 map (İ → "i").  Pre-mapping İ → I pins BOTH
-    engines to the simple fold.  Found by the r8 adversarial-text
-    sweep; every other probed class (\\x0B, emoji, CJK, combining
-    marks, ZWSP, empty strings) already agreed, and İ is the only
-    code point whose unconditional lowercase expands."""
-    return F.lower(F.translate(col, "İ", "I"))
+    applies Unicode SpecialCasing, which diverges from DuckDB's
+    utf8proc simple 1:1 ``lower()`` in exactly two places:
+
+    * U+0130 (Turkish İ) — the one UNCONDITIONAL multi-char lowercase
+      mapping (İ → "i" + U+0307 combining dot in Java; İ → "i" 1:1 in
+      utf8proc).  Pinned by pre-mapping İ → I.  (r8 adversarial sweep.)
+    * U+03A3 (Greek Σ) — the one CONDITIONAL rule (Final_Sigma):
+      Java lowers a word-final Σ to ς (U+03C2) while utf8proc always
+      yields σ (U+03C3), so lower('ΟΔΟΣ') differs.  Pinned by
+      pre-mapping Σ → σ BEFORE lower so the conditional rule never
+      fires; both engines then agree on σ everywhere.  A pre-existing
+      literal ς is already lowercase and passes through identically in
+      both engines, so no post-fold is needed (a post-fold ς → σ on one
+      side only would CREATE a divergence for ς-containing input).
+      (r9, advisor finding.)
+
+    These are the only two SpecialCasing lowercase entries, so the
+    pre-translate makes the fold fully portable.  Every other probed
+    class (\\x0B, emoji, CJK, combining marks, ZWSP, empty strings)
+    already agreed."""
+    return F.lower(F.translate(col, "İΣ", "Iσ"))
 
 
 def tokens(col: Column) -> Column:

@@ -122,7 +122,7 @@ def build_shuffled(spark, base: str, out: str) -> None:
         _write_single(df.orderBy(F.xxhash64(*df.columns)), out, t)
 
 
-#: unitext mode: doc_id mod 40 slots 0..11 get these (~30% of docs)
+#: unitext mode: doc_id mod 40 slots 0..13 get these (~35% of docs)
 ADVERSARIAL_TEXT = [
     "",
     "   ",
@@ -136,6 +136,10 @@ ADVERSARIAL_TEXT = [
     "a" * 5000,
     "word " * 2000,
     "UPPER lower MiXeD İstanbul ß sharp",
+    # Greek Final_Sigma probes (r9, advisor): word-final Σ lowers to ς
+    # in Java but σ in utf8proc — portable_lower pins Σ → σ pre-fold.
+    "ΟΔΟΣ ΣΟΦΙΑΣ οδός με ς literal",
+    "σΣ ΣΙΓΜΑ trailing Σ",
 ]
 
 
