@@ -2,9 +2,12 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"q_...": sec, ...}, "spread": {"q_...": [min, med, max]},
-   "sf": <sf>}
+  {"metric": "...", "value": <total sec>, "unit": "sec", "sf": <sf>,
+   "notes": {...}, "queries": {"q_...": sec, ...},
+   "spread": {"q_...": [min, med, max]}}
+
+Key order is a contract (VERDICT r8 #1): the driver archives only the
+last 2000 characters, so measurements go last, prose notes first.
 
 Timing = wall time of one terminal action (count of a fully-computed
 result) per query on a warm SparkSession, AQE on.
@@ -43,48 +46,42 @@ from etl_caltopo_spark.session import build_spark
 #: that are more than one round old.
 NOTES: dict[str, str] = {
     "protocol": (
-        "round 6 cutover (VERDICT r5 #2): interleaved median-of-3 — "
-        "three order-shuffled full passes, one sample per query per "
-        "pass, median reported (was: median-of-5 back-to-back). "
-        "Decorrelates global box drift from per-query regressions; "
-        "'spread' carries [min, median, max] per query. MEASURED "
-        "SHIFT vs the old protocol: interleaving reads ~15% higher "
-        "totals (back-to-back samples rode each query's still-warm "
-        "codegen/shuffle state; q_market_basket alone reads ~1.6x) — "
-        "r6 numbers are a NEW baseline, not comparable to BENCH_r05; "
-        "r6-vs-r6 repeats agree within ~2% (11.1 vs 11.3 s totals)."
+        "interleaved median-of-3 (r6 cutover; full rationale in "
+        "HANDOFF.md) — not comparable to pre-r6 back-to-back numbers."
     ),
-    "r7_drift_adjudicated": (
-        "round 8 (VERDICT r7 #2): BENCH_r07's +15% field shift and the "
-        "two above-field movers (q_funnel 0.549->0.791, q_dedup_near "
-        "1.244->1.68) were re-measured on an idle box with ZERO code "
-        "changes to either id (q_funnel untouched since r4; "
-        "q_dedup_near's banded join unchanged since r4, r7 touched "
-        "only the cluster-rescore band elsewhere in dedup.py): two "
-        "consecutive idle runs read totals 10.28 s / 9.38 s with "
-        "q_funnel 0.556 / 0.475 and q_dedup_near 1.177 / 0.973 — both "
-        "at or below their r6 baselines.  The r7 artifact recorded a "
-        "documented slow-box window (HANDOFF knowledge #11), not a "
-        "regression.  None of the 20 headline ids' plans changed in "
-        "r8 (the rank sub-bucketing and the q_auc-family retrofit "
-        "touch non-headline ids only).  Box-drift calibration for "
-        "whatever number THIS run records: four end-of-round-8 runs "
-        "on the same final code read totals 10.28 / 9.38 (morning) "
-        "and 13.07 / 12.84 s (evening) — a uniform ~1.3x field "
-        "multiplier with no per-query mover, so totals anywhere in "
-        "the 9-14 s band are the same code at different box weather."
-    ),
-    "q_market_basket": (
-        "round 6 plan change (stale next round): the part-keyed "
-        "item-count join sides lost their forced broadcast hints "
-        "(unbounded cardinality at scale — AQE still picks "
-        "broadcast-hash at bench SF, so the measured plan is "
-        "physically unchanged)."
+    "box_weather": (
+        "this box drifts a uniform 1.3-1.8x field multiplier for hours "
+        "(HANDOFF knowledge #11); same-code totals span 9-14 s.  A real "
+        "regression moves ONE query against the field — adjudicate with "
+        "tools/bench_ab.py old-rev new-rev (r9)."
     ),
 }
 
 #: Number of interleaved measurement passes (1 sample/query/pass).
 PASSES = 3
+
+
+def emit_line(times: dict[str, float], spread: dict[str, list[float]], sf: float) -> str:
+    """Serialize the one-line JSON result.  KEY ORDER IS A CONTRACT
+    (VERDICT r8 #1): the driver archives only the LAST 2000 characters
+    of stdout, so the measurements — queries and spread — must come
+    AFTER the prose notes or a long note evicts them from the committed
+    artifact (BENCH_r08.json carried zero per-query numbers for exactly
+    this reason).  notes first, queries/spread last;
+    tests/test_bench_contract.py pins both the order and that a
+    full-size queries dict survives a 2000-char tail."""
+    total = round(sum(times.values()), 3)
+    return json.dumps(
+        {
+            "metric": "headline query wall time, warm session, AQE on",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "notes": NOTES,
+            "queries": times,
+            "spread": spread,
+        }
+    )
 
 
 def main() -> None:
@@ -121,20 +118,7 @@ def main() -> None:
         s = sorted(samples[name])
         times[name] = round(s[len(s) // 2], 3)
         spread[name] = [round(s[0], 3), round(s[len(s) // 2], 3), round(s[-1], 3)]
-    total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline query wall time, warm session, AQE on",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "spread": spread,
-                "notes": NOTES,
-                "sf": sf,
-            }
-        )
-    )
+    print(emit_line(times, spread, sf))
 
 
 if __name__ == "__main__":
