@@ -45,12 +45,18 @@ algebra is unchanged and the result stays exact.  With strict
 past-cut comparisons the hot value always sits at the top of its
 base bucket, so non-hot rows sharing the bucket take sub 0 and
 remain ordered before every hot sub-bucket.  String tiebreaks probe
-a monotone numeric proxy (first 7 UTF-8 bytes as a big-endian
-long — UTF-8 byte order is code-point order, so the proxy is
-order-preserving; proxy ties never split, same argument as primary
-ties).  Residual limit: a tie group hot in BOTH the primary and the
-7-byte tiebreak prefix stays together — for the unique-key
-tiebreaks every caller uses, that set is empty or tiny.
+a monotone numeric proxy: 7 UTF-8 bytes starting AFTER the hot
+value's measured common tiebreak prefix, as a big-endian long
+(UTF-8 byte order is code-point order, so the window is
+order-preserving among strings sharing that prefix — which, by the
+min/max bound, all of the hot group's do; proxy ties never split,
+same argument as primary ties).  The adaptive offset (r9, VERDICT
+r8 #2) means a one-domain URL tiebreak — all rows sharing
+``https://<domain>/`` — splits on the path bytes where it actually
+diverges instead of collapsing onto the shared prefix.  Residual
+limit: tiebreaks that agree on 7 MORE bytes past the measured
+common prefix while diverging later still share a sub-bucket; an
+identical-tiebreak tie group is provably unsplittable.
 
 The plan-guard test (tests/test_plans.py) recognizes the internal
 bounded offsets window by its ``_rank_bucket`` order key and flags
@@ -99,19 +105,43 @@ def _idiv(a: Column, b: Column) -> Column:
     return ((a - F.pmod(a, b)) / b).cast("long")
 
 
-def _tiebreak_proxy(name: str, dtype: str) -> Column:
+def _tiebreak_proxy(name: str, dtype: str, offset: int = 0) -> Column:
     """A numeric column MONOTONE in the sort order of ``name`` — the
     domain ``approx_percentile`` can probe for sub-cut points.
-    Numerics are their own proxy.  Strings map to their first 7 UTF-8
-    bytes as a big-endian long (zero-padded): UTF-8 byte order equals
-    code-point order, so the map is order-preserving; strings sharing
-    a 7-byte prefix collapse to one proxy value, which only means
-    their tie group won't split further (ties of the proxy never
-    split — correctness is unaffected)."""
+    Numerics are their own proxy.  Strings map 7 UTF-8 bytes starting
+    at byte ``offset`` to a big-endian long (zero-padded): UTF-8 byte
+    order equals code-point order, so the window is order-preserving
+    among strings that AGREE on the first ``offset`` bytes — which is
+    exactly how it is used: ``_hot_sub_cuts`` sets ``offset`` to the
+    hot value's measured common tiebreak prefix length (r9, VERDICT
+    r8 #2), so a one-domain URL column probes the 7 bytes where the
+    strings actually differ instead of collapsing onto the shared
+    prefix.  Strings still tying on bytes [offset, offset+7) share a
+    proxy value and their tie group won't split further (ties of the
+    proxy never split — correctness is unaffected)."""
     if dtype == "string":
-        padded = F.rpad(F.encode(F.col(name), "UTF-8"), 7, F.lit(bytes([0])))
+        enc = F.encode(F.col(name), "UTF-8")
+        if offset:
+            enc = F.substring(enc, offset + 1, 7)
+        padded = F.rpad(enc, 7, F.lit(bytes([0])))
         return F.conv(F.hex(padded), 16, 10).cast("long")
     return F.col(name)
+
+
+def _common_prefix_len(a: str | None, b: str | None) -> int:
+    """Length in BYTES of the common UTF-8 prefix of two strings.
+    Because UTF-8 byte order equals string sort order, the common
+    prefix of a set's MIN and MAX is common to every string between
+    them — one cheap min/max aggregate bounds the whole hot group."""
+    if a is None or b is None:
+        return 0
+    x, y = a.encode("utf-8"), b.encode("utf-8")
+    n = 0
+    for cx, cy in zip(x, y):
+        if cx != cy:
+            break
+        n += 1
+    return n
 
 
 def with_value_buckets(
@@ -201,11 +231,11 @@ def with_value_buckets(
     if not hot:
         return df.withColumn(BUCKET_COL, base)
 
-    stride = max(len(sc) for sc in hot.values()) + 1
+    stride = max(len(sc) for _off, sc in hot.values()) + 1
     tb_dtype = dict(df.dtypes)[tiebreak]
-    proxy = _tiebreak_proxy(tiebreak, tb_dtype)
     sub = F.lit(0)
-    for v, sub_cuts in hot.items():
+    for v, (off_b, sub_cuts) in hot.items():
+        proxy = _tiebreak_proxy(tiebreak, tb_dtype, offset=off_b)
         n_sub = len(sub_cuts)
         if tiebreak_ascending:
             past_sub = F.aggregate(
@@ -240,14 +270,30 @@ def _hot_sub_cuts(
     tiebreak_ascending: bool,
     accuracy: int,
 ) -> dict:
-    """Sub-cut points for each HOT primary value — a value appearing
-    ``m >= 2`` times among the pinned cuts spans >= (m-1) full
-    buckets, so it gets ``m`` equally-spaced tiebreak-proxy
-    percentiles (one grouped probe over only the hot rows; empty if
-    no value repeats).  Cuts are split points, not results — the
-    percentile sketch's error (and the double round-trip above 2^53)
-    only moves WHERE a sub-bucket boundary lands, never what any row's
-    rank is (offsets are exact counts)."""
+    """``{hot value: (proxy byte offset, sub-cut points)}`` for each
+    HOT primary value — a value appearing ``m >= 2`` times among the
+    pinned cuts spans >= (m-1) full buckets.  ONE shared percentile
+    array sized by the LARGEST multiplicity is probed for every hot
+    value in one grouped pass, so each hot value receives
+    ``max(multiplicity)`` sub-cuts (a lighter hot value's extra
+    sub-buckets are simply sparser — the per-value probe they replace
+    would only trim unused cuts, not change any row's bucket-major
+    order).  Cuts are split points, not results — the percentile
+    sketch's error (and the double round-trip above 2^53) only moves
+    WHERE a sub-bucket boundary lands, never what any row's rank is
+    (offsets are exact counts).
+
+    STRING tiebreaks first measure each hot value's common tiebreak
+    prefix (one min/max aggregate; the min/max pair bounds the whole
+    group, see ``_common_prefix_len``) and probe the 7 bytes AFTER it
+    (r9, VERDICT r8 #2): a one-domain URL tiebreak — a realistic
+    100 TB corpus key whose rows all share ``https://<domain>/`` —
+    previously collapsed onto one 7-byte-prefix proxy value and
+    re-formed the hot task the sub-bucketing exists to split.
+    Residual: strings still tying on bytes [offset, offset+7) — i.e.
+    agreeing 7 bytes past their measured common prefix while diverging
+    later — still share a sub-bucket; an identical-tiebreak group is
+    provably unsplittable by any function of the sort key."""
     from collections import Counter
 
     multiplicity = {
@@ -263,13 +309,32 @@ def _hot_sub_cuts(
         # no percentile-probeable proxy for this type — fall back to
         # the unsplit bucket (old behavior), never a probe crash
         return {}
-    n_sub = max(multiplicity.values())
-    proxy = _tiebreak_proxy(tiebreak, tb_dtype).alias("_rank_tb_proxy")
-    ps = F.array(*[F.lit(i / (n_sub + 1)) for i in range(1, n_sub + 1)])
     col = F.col(primary)
+    ptype = df.schema[primary].dataType
+    hot_rows = df.where(col.isin(list(multiplicity)))
+
+    offsets: dict = {v: 0 for v in multiplicity}
+    if tb_dtype == "string":
+        mm = (
+            hot_rows.groupBy(col.alias("_rank_hot_v"))
+            .agg(F.min(tiebreak).alias("_mn"), F.max(tiebreak).alias("_mx"))
+            .collect()
+        )
+        for r in mm:
+            offsets[r["_rank_hot_v"]] = _common_prefix_len(r["_mn"], r["_mx"])
+
+    proxy = _tiebreak_proxy(tiebreak, tb_dtype)
+    for v, off in offsets.items():
+        if off:
+            proxy = F.when(
+                col.eqNullSafe(F.lit(v).cast(ptype)),
+                _tiebreak_proxy(tiebreak, tb_dtype, offset=off),
+            ).otherwise(proxy)
+
+    n_sub = max(multiplicity.values())
+    ps = F.array(*[F.lit(i / (n_sub + 1)) for i in range(1, n_sub + 1)])
     probe = (
-        df.where(col.isin(list(multiplicity)))
-        .select(col.alias("_rank_hot_v"), proxy)
+        hot_rows.select(col.alias("_rank_hot_v"), proxy.alias("_rank_tb_proxy"))
         .groupBy("_rank_hot_v")
         .agg(
             F.sort_array(
@@ -282,7 +347,7 @@ def _hot_sub_cuts(
         .collect()
     )
     return {
-        r["_rank_hot_v"]: r["_rank_sub_cuts"]
+        r["_rank_hot_v"]: (offsets[r["_rank_hot_v"]], r["_rank_sub_cuts"])
         for r in probe
         if r["_rank_sub_cuts"]
     }
