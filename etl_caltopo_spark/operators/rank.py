@@ -53,10 +53,16 @@ min/max bound, all of the hot group's do; proxy ties never split,
 same argument as primary ties).  The adaptive offset (r9, VERDICT
 r8 #2) means a one-domain URL tiebreak — all rows sharing
 ``https://<domain>/`` — splits on the path bytes where it actually
-diverges instead of collapsing onto the shared prefix.  Residual
-limit: tiebreaks that agree on 7 MORE bytes past the measured
-common prefix while diverging later still share a sub-bucket; an
-identical-tiebreak tie group is provably unsplittable.
+diverges instead of collapsing onto the shared prefix.  The proxy
+CLAMPS strings outside the measured prefix region (r10, advisor
+r9), so the composite bucket id is monotone for any row the window
+later sees — correctness does not depend on the frame being
+deterministic between the probe job and the window evaluation
+(``pin_frame`` remains a performance lever, not a precondition).
+Residual limit: tiebreaks that agree on 7 MORE bytes past the
+measured common prefix while diverging later still share a
+sub-bucket; an identical-tiebreak tie group is provably
+unsplittable.
 
 The plan-guard test (tests/test_plans.py) recognizes the internal
 bounded offsets window by its ``_rank_bucket`` order key and flags
@@ -105,26 +111,55 @@ def _idiv(a: Column, b: Column) -> Column:
     return ((a - F.pmod(a, b)) / b).cast("long")
 
 
-def _tiebreak_proxy(name: str, dtype: str, offset: int = 0) -> Column:
+#: clamp value for strings sorting ABOVE the measured prefix region —
+#: one past the largest 7-byte window proxy (2^56 - 1); a power of two,
+#: so the downstream double cast is exact.
+_PROXY_HIGH = 1 << 56
+
+
+def _tiebreak_proxy(
+    name: str, dtype: str, offset: int = 0, prefix: bytes | None = None
+) -> Column:
     """A numeric column MONOTONE in the sort order of ``name`` — the
     domain ``approx_percentile`` can probe for sub-cut points.
     Numerics are their own proxy.  Strings map 7 UTF-8 bytes starting
     at byte ``offset`` to a big-endian long (zero-padded): UTF-8 byte
     order equals code-point order, so the window is order-preserving
-    among strings that AGREE on the first ``offset`` bytes — which is
-    exactly how it is used: ``_hot_sub_cuts`` sets ``offset`` to the
-    hot value's measured common tiebreak prefix length (r9, VERDICT
-    r8 #2), so a one-domain URL column probes the 7 bytes where the
-    strings actually differ instead of collapsing onto the shared
-    prefix.  Strings still tying on bytes [offset, offset+7) share a
-    proxy value and their tie group won't split further (ties of the
-    proxy never split — correctness is unaffected)."""
+    among strings that AGREE on the first ``offset`` bytes.
+    ``_hot_sub_cuts`` sets ``offset`` to the hot value's measured
+    common tiebreak prefix length (r9, VERDICT r8 #2), so a one-domain
+    URL column probes the 7 bytes where the strings actually differ
+    instead of collapsing onto the shared prefix.
+
+    When ``offset > 0`` the caller must also pass ``prefix`` (the
+    measured common prefix BYTES) and the proxy is UNCONDITIONALLY
+    monotone over ALL strings, not only prefix-sharing ones (r10,
+    advisor r9): a string whose first ``offset`` bytes differ from
+    ``prefix`` is clamped to -1 (sorts below the prefix region —
+    including proper prefixes of it, which byte order places first)
+    or ``_PROXY_HIGH`` (sorts above).  Binary comparison in Spark is
+    unsigned lexicographic, i.e. exactly UTF-8 string order.  This
+    removes the determinism precondition a measured-then-applied
+    offset would otherwise impose: even if a non-deterministic
+    upstream produced a row OUTSIDE the measured min/max bound, its
+    sub-bucket still respects the total order.  Strings tying on
+    bytes [offset, offset+7) share a proxy value and their tie group
+    won't split further (ties of the proxy never split — correctness
+    is unaffected)."""
     if dtype == "string":
         enc = F.encode(F.col(name), "UTF-8")
-        if offset:
-            enc = F.substring(enc, offset + 1, 7)
-        padded = F.rpad(enc, 7, F.lit(bytes([0])))
-        return F.conv(F.hex(padded), 16, 10).cast("long")
+        win = F.substring(enc, offset + 1, 7) if offset else enc
+        padded = F.rpad(win, 7, F.lit(bytes([0])))
+        base = F.conv(F.hex(padded), 16, 10).cast("long")
+        if offset and prefix is not None:
+            head = F.substring(enc, 1, offset)
+            p = F.lit(prefix)
+            return (
+                F.when(head == p, base)
+                .when(head < p, F.lit(-1).cast("long"))
+                .otherwise(F.lit(_PROXY_HIGH).cast("long"))
+            )
+        return base
     return F.col(name)
 
 
@@ -231,11 +266,11 @@ def with_value_buckets(
     if not hot:
         return df.withColumn(BUCKET_COL, base)
 
-    stride = max(len(sc) for _off, sc in hot.values()) + 1
+    stride = max(len(sc) for _off, _pfx, sc in hot.values()) + 1
     tb_dtype = dict(df.dtypes)[tiebreak]
     sub = F.lit(0)
-    for v, (off_b, sub_cuts) in hot.items():
-        proxy = _tiebreak_proxy(tiebreak, tb_dtype, offset=off_b)
+    for v, (off_b, pfx_b, sub_cuts) in hot.items():
+        proxy = _tiebreak_proxy(tiebreak, tb_dtype, offset=off_b, prefix=pfx_b)
         n_sub = len(sub_cuts)
         if tiebreak_ascending:
             past_sub = F.aggregate(
@@ -270,9 +305,10 @@ def _hot_sub_cuts(
     tiebreak_ascending: bool,
     accuracy: int,
 ) -> dict:
-    """``{hot value: (proxy byte offset, sub-cut points)}`` for each
-    HOT primary value — a value appearing ``m >= 2`` times among the
-    pinned cuts spans >= (m-1) full buckets.  ONE shared percentile
+    """``{hot value: (proxy byte offset, prefix bytes, sub-cut
+    points)}`` for each HOT primary value — a value appearing
+    ``m >= 2`` times among the pinned cuts spans >= (m-1) full
+    buckets.  ONE shared percentile
     array sized by the LARGEST multiplicity is probed for every hot
     value in one grouped pass, so each hot value receives
     ``max(multiplicity)`` sub-cuts (a lighter hot value's extra
@@ -313,7 +349,11 @@ def _hot_sub_cuts(
     ptype = df.schema[primary].dataType
     hot_rows = df.where(col.isin(list(multiplicity)))
 
-    offsets: dict = {v: 0 for v in multiplicity}
+    # (offset bytes, prefix bytes) per hot value; the prefix literal
+    # lets the proxy clamp strings OUTSIDE the measured region so the
+    # composite bucket id is monotone for ANY input row, measured or
+    # not (r10, advisor r9 — no determinism precondition)
+    offsets: dict = {v: (0, None) for v in multiplicity}
     if tb_dtype == "string":
         mm = (
             hot_rows.groupBy(col.alias("_rank_hot_v"))
@@ -321,14 +361,16 @@ def _hot_sub_cuts(
             .collect()
         )
         for r in mm:
-            offsets[r["_rank_hot_v"]] = _common_prefix_len(r["_mn"], r["_mx"])
+            off = _common_prefix_len(r["_mn"], r["_mx"])
+            pfx = r["_mn"].encode("utf-8")[:off] if off else None
+            offsets[r["_rank_hot_v"]] = (off, pfx)
 
     proxy = _tiebreak_proxy(tiebreak, tb_dtype)
-    for v, off in offsets.items():
+    for v, (off, pfx) in offsets.items():
         if off:
             proxy = F.when(
                 col.eqNullSafe(F.lit(v).cast(ptype)),
-                _tiebreak_proxy(tiebreak, tb_dtype, offset=off),
+                _tiebreak_proxy(tiebreak, tb_dtype, offset=off, prefix=pfx),
             ).otherwise(proxy)
 
     n_sub = max(multiplicity.values())
@@ -347,7 +389,7 @@ def _hot_sub_cuts(
         .collect()
     )
     return {
-        r["_rank_hot_v"]: (offsets[r["_rank_hot_v"]], r["_rank_sub_cuts"])
+        r["_rank_hot_v"]: (*offsets[r["_rank_hot_v"]], r["_rank_sub_cuts"])
         for r in probe
         if r["_rank_sub_cuts"]
     }

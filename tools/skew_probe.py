@@ -35,6 +35,12 @@ not a placement problem); the documented lever is min-support pruning
 before pairing, not shuffle mitigation.
 
 Usage: python tools/skew_probe.py [n_copies]   (default 10)
+       python tools/skew_probe.py --shared-prefix [n_copies]
+           run ONLY the rank shared-prefix ladder (VERDICT r9 #1c):
+           a 50%-hot primary whose tiebreaks all share a one-domain
+           URL prefix — the shape the r9 adaptive offset exists to
+           split — measured unsplit vs sub-bucketed, with a full
+           exactness check against the single-partition window.
 """
 
 from __future__ import annotations
@@ -107,8 +113,88 @@ def time_query(spark, name: str, sf_dir: str) -> float:
     return best
 
 
+def shared_prefix_ladder(spark, base_dir: str) -> None:
+    """Rank shared-prefix skew ladder (VERDICT r9 #1c): 50% of the 10x
+    orders frame collapses onto ONE o_totalprice, and the tiebreak is a
+    one-domain URL (`https://example.com/<zero-padded orderkey>`) — the
+    exact shape that re-collapsed the hot task under the pre-r9 fixed
+    7-byte proxy.  Measures max bucket rows + hot-value sub-bucket
+    spread + wall for unsplit vs adaptive-offset sub-bucketed, then
+    checks the sub-bucketed global_row_number bit-exact against the
+    single-partition window (feasible at probe scale; the tests pin it
+    at unit scale)."""
+    from pyspark.sql import Window
+
+    from etl_caltopo_spark.operators.rank import (
+        BUCKET_COL,
+        global_row_number,
+        with_value_buckets,
+    )
+
+    HOT = 123456.78
+    orders = load_table(spark, base_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    hot = (
+        orders.withColumn(
+            "o_totalprice",
+            F.when(F.pmod("o_orderkey", 2) == 0, F.lit(HOT)).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .withColumn(
+            "url",
+            F.concat(
+                F.lit("https://example.com/"),
+                F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = hot.count()
+    print(f"| rank shared-prefix probe | rows={n} | target n/32={n // 32} | |")
+    for tb in (None, "url"):
+        b = with_value_buckets(hot, "o_totalprice", buckets=32, tiebreak=tb)
+        mx = max(r["count"] for r in b.groupBy(BUCKET_COL).count().collect())
+        spread = (
+            b.filter(F.col("o_totalprice") == HOT)
+            .select(BUCKET_COL)
+            .distinct()
+            .count()
+        )
+        t0 = time.perf_counter()
+        got = global_row_number(
+            hot,
+            "o_totalprice",
+            [F.col("o_totalprice"), F.col("url")],
+            rn_col="rn",
+            tiebreak=tb,
+        )
+        got.select(F.max("rn")).collect()
+        dt = time.perf_counter() - t0
+        label = "adaptive-offset sub-bucketed" if tb else "unsplit"
+        print(
+            f"| rank 50%-hot URL tiebreak ({label}) | max task {mx} rows "
+            f"({mx * 100 // n}%), hot spread {spread} | {dt:.2f} s | buckets=32 |"
+        )
+    # exactness: sub-bucketed output vs the single-partition window
+    ref = hot.withColumn(
+        "rn_ref", F.row_number().over(Window.orderBy("o_totalprice", "url"))
+    ).select("o_orderkey", "rn_ref")
+    mismatches = (
+        got.select("o_orderkey", "rn")
+        .join(ref, "o_orderkey")
+        .filter(F.col("rn") != F.col("rn_ref"))
+        .count()
+    )
+    print(f"| rank shared-prefix exactness | mismatches vs window: {mismatches} | | |")
+    assert mismatches == 0, f"{mismatches} rank mismatches vs window reference"
+
+
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    args = [a for a in sys.argv[1:] if a != "--shared-prefix"]
+    only_shared_prefix = "--shared-prefix" in sys.argv[1:]
+    n = int(args[0]) if args else 10
     base_dir = f"/tmp/spark_graft_scale_{n}x"
     skew_dir = f"/tmp/spark_graft_skew_{n}x"
     os.makedirs(base_dir, exist_ok=True)
@@ -116,6 +202,9 @@ def main() -> None:
     spark = build_spark(app_name="skew-probe")
     spark.sparkContext.setLogLevel("ERROR")
     build_scaled(spark, n, base_dir)
+    if only_shared_prefix:
+        shared_prefix_ladder(spark, base_dir)
+        return
     build_skewed(spark, n, base_dir, skew_dir)
 
     def set_conf(**kv):
@@ -245,6 +334,8 @@ def main() -> None:
             f"| rank 50%-hot ({label}) | max task {mx} rows "
             f"({mx * 100 // n}%) | {dt:.2f} s | buckets=32 |"
         )
+
+    shared_prefix_ladder(spark, base_dir)
 
 
 if __name__ == "__main__":
