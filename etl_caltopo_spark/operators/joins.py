@@ -83,3 +83,77 @@ def asof_join(
     out_cols.append(F.col(f"_r_last.{right_ts}").alias(f"{prefix}{right_ts}"))
     out_cols += [F.col(f"_r_last.{c}").alias(f"{prefix}{c}") for c in right_value_cols]
     return merged.filter(F.col("_side") == 1).select(*out_cols)
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    partition_keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+    prefix: str = "nearest_",
+) -> DataFrame:
+    """For each left row, attach the NEAREST right row in EITHER
+    direction within the same partition keys — ties on absolute
+    distance resolve to the earlier (backward) right row, matching
+    the two-ASOF-JOIN + CASE oracle formulation.
+
+    Same scale shape as :func:`asof_join` (one shuffle, no range-join
+    pair explosion), but ONE union'd pass computes BOTH candidates
+    over the same exchange + sort: the backward candidate is the
+    running ``last(..., ignorenulls)`` up to the current row, the
+    forward one the ``first(..., ignorenulls)`` of the rows after it.
+    A right row at exactly the left timestamp sorts BEFORE the left
+    row (``_side`` 0 < 1), so the backward window sees it at distance
+    zero — which wins every tie, keeping the inclusive-``<=`` forward
+    semantics consistent.  Null-safe: a side with no candidate loses
+    to the other; both-null yields nulls (left-join semantics).
+    """
+    left_cols = left.columns
+    r = right.select(
+        *partition_keys,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.struct(
+            F.col(right_ts).alias(right_ts),
+            *[F.col(c) for c in right_value_cols],
+        ).alias("_r"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{dict(left.dtypes)[c]}" for c in left_cols) + ">"
+        ).alias("_l"),
+    )
+    l = left.select(
+        *partition_keys,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_r"].dataType).alias("_r"),
+        F.struct(*[F.col(c) for c in left_cols]).alias("_l"),
+    )
+    order = Window.partitionBy(*partition_keys).orderBy(
+        F.col("_ts"), F.col("_side")
+    )
+    w_back = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = order.rowsBetween(1, Window.unboundedFollowing)
+    merged = (
+        l.unionByName(r)
+        .withColumn("_back", F.last("_r", ignorenulls=True).over(w_back))
+        .withColumn("_fwd", F.first("_r", ignorenulls=True).over(w_fwd))
+    )
+    from ..functions.temporal import epoch_us
+
+    d_back = epoch_us(F.col("_ts")) - epoch_us(F.col(f"_back.{right_ts}"))
+    d_fwd = epoch_us(F.col(f"_fwd.{right_ts}")) - epoch_us(F.col("_ts"))
+    nearest = (
+        F.when(F.col("_fwd").isNull(), F.col("_back"))
+        .when(F.col("_back").isNull(), F.col("_fwd"))
+        .when(d_back <= d_fwd, F.col("_back"))
+        .otherwise(F.col("_fwd"))
+    )
+    out_cols = [F.col(f"_l.{c}").alias(c) for c in left_cols]
+    out_cols.append(F.col(f"_nr.{right_ts}").alias(f"{prefix}{right_ts}"))
+    out_cols += [F.col(f"_nr.{c}").alias(f"{prefix}{c}") for c in right_value_cols]
+    return (
+        merged.filter(F.col("_side") == 1)
+        .withColumn("_nr", nearest)
+        .select(*out_cols)
+    )

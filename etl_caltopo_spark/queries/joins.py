@@ -203,3 +203,64 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("purchase_ts"),
         F.col("last_click_ts"),
     )
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+         b AS (SELECT p.event_id, p.user_id, p.ts, cb.ts AS back_ts
+               FROM p ASOF LEFT JOIN c cb
+                 ON p.user_id = cb.user_id AND p.ts >= cb.ts),
+         f AS (SELECT p.event_id, cf.ts AS fwd_ts
+               FROM p ASOF LEFT JOIN c cf
+                 ON p.user_id = cf.user_id AND p.ts <= cf.ts)
+    SELECT b.event_id AS purchase_id,
+           b.user_id,
+           b.ts AS purchase_ts,
+           CASE WHEN fwd_ts IS NULL THEN back_ts
+                WHEN back_ts IS NULL THEN fwd_ts
+                WHEN epoch_us(b.ts) - epoch_us(back_ts)
+                     <= epoch_us(fwd_ts) - epoch_us(b.ts) THEN back_ts
+                ELSE fwd_ts END AS nearest_click_ts
+    FROM b JOIN f ON b.event_id = f.event_id
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-either-direction as-of join ([EXT], VERDICT r9 #6):
+    each purchase gets the click closest in time by the same user,
+    backward OR forward, ties on absolute distance to the earlier
+    (backward) click — the sensor-alignment variant of q_join_asof
+    (a backward-only as-of misattributes a purchase that follows a
+    click by hours but precedes one by seconds).
+
+    Scale shape: identical to q_join_asof — ONE shuffle on user_id,
+    both directional candidates computed by two window functions over
+    the same exchange + sort (operators/joins.py asof_join_nearest),
+    no range-join pair explosion.  The oracle replays it as DuckDB's
+    native two-directional ASOF JOIN pair + CASE, distances in exact
+    integer epoch microseconds on both engines."""
+    apply_runtime_conf(spark)
+    from etl_caltopo_spark.operators.joins import asof_join_nearest
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join_nearest(
+        purchases,
+        clicks,
+        partition_keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=[],
+        prefix="nearest_click_",
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("nearest_click_ts"),
+    )

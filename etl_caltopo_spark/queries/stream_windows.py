@@ -979,3 +979,49 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mx").cast("bigint").alias("max_rank"),
         fround(est, 4).alias("estimate"),
     )
+
+@query(
+    "q_stream_foreachbatch_exactly_once",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_stream_foreachbatch_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once idempotent foreachBatch sink under DELIBERATE
+    redelivery ([EXT], VERDICT r9 #6): every event streams through the
+    two-phase availableNow protocol into the epoch-keyed-overwrite
+    parquet sink, and then the FINAL epoch's batch is re-delivered to
+    the writer — the at-least-once duplicate a crash between the sink
+    write and the commit-log append produces.  The grade aggregates
+    the sink contents against the plain batch oracle: the epoch
+    overwrite makes the replay a no-op, so counts and exact int64
+    sums hash-match; a blind-append sink would double the final
+    batch's rows and fail.  This is the idempotence pattern every
+    exactly-once file/table sink in the engine rides on
+    (streaming/ingest.py epoch_overwrite_writer).
+
+    Scale shape: the streamed plan is a stateless projection (map-only
+    per micro-batch, no shuffle); the sink aggregate is one
+    event_type groupBy (bounded output).  Redelivery replays ONE
+    epoch, not the stream."""
+    apply_runtime_conf(spark)
+    from etl_caltopo_spark.streaming.ingest import run_two_phase
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    p0 = ev.filter(F.pmod(F.hash("event_id"), F.lit(2)) == 0)
+    p1 = ev.filter(F.pmod(F.hash("event_id"), F.lit(2)) != 0)
+    out = run_two_phase(
+        spark,
+        [p0, p1],
+        lambda s: s,
+        prefix="q_fb_once_",
+        replay_last_epoch=True,
+    )
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("event_id").alias("sum_event_id"),
+    )

@@ -135,6 +135,7 @@ def run_two_phase(
     files_per_phase: int = 1,
     max_files_per_trigger: int | None = None,
     prefix: str = "two_phase_",
+    replay_last_epoch: bool = False,
 ) -> DataFrame:
     """The shared two-phase availableNow protocol scaffold (VERDICT r6
     #2 — previously ~40 lines duplicated across nine graded bodies).
@@ -174,7 +175,15 @@ def run_two_phase(
     ``files_per_phase``: 1 → ``coalesce(1)`` (one file = one
     deterministic micro-batch per phase); n>1 → ``repartition(n)``
     (combine with ``max_files_per_trigger`` for multiple micro-batches
-    per phase)."""
+    per phase).
+
+    ``replay_last_epoch`` (r10, ``sink="emit"`` only): after the phase
+    loop, RE-DELIVER the final epoch's batch to the foreachBatch
+    writer — simulating the at-least-once redelivery a crash between
+    the sink write and the commit-log append produces.  With the
+    epoch-keyed overwrite the replay is a no-op and the graded result
+    is exactly-once; a blind-append sink would double the final batch
+    and fail the hash grade (q_stream_foreachbatch_exactly_once)."""
     import os
     import shutil
     import tempfile
@@ -257,6 +266,20 @@ def run_two_phase(
                 .start()
             )
             q.awaitTermination()
+
+        if replay_last_epoch:
+            if sink != "emit":  # pragma: no cover - caller bug
+                raise ValueError("replay_last_epoch requires sink='emit'")
+            epochs = [
+                int(d.split("=", 1)[1])
+                for d in os.listdir(result_path)
+                if d.startswith("epoch=")
+            ]
+            last = max(epochs)
+            redelivered = spark.read.parquet(
+                f"{result_path}/epoch={last}"
+            ).localCheckpoint(eager=True)  # detach before the overwrite
+            batch_fn(redelivered, last)
 
         result = spark.read.parquet(result_path)
         if sink == "emit":

@@ -44,3 +44,34 @@ def test_asof_matches_bruteforce(spark, lefts, rights):
         expected = max(cands) if cands else None
         assert got[i] == expected, f"event {i}: {got[i]} != {expected}"
     assert len(got) == len(lefts)  # left join keeps every left row
+
+@settings(max_examples=15, deadline=None)
+@given(left_events, right_events)
+def test_asof_nearest_matches_bruteforce(spark, lefts, rights):
+    """Nearest-either-direction as-of (r10): per left row the right ts
+    minimizing |delta|, ties to the earlier (backward) one."""
+    from etl_caltopo_spark.operators.joins import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(i, u, BASE + timedelta(minutes=m)) for i, (u, m) in enumerate(lefts)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(u, BASE + timedelta(minutes=m)) for u, m in rights],
+        "user_id long, ts timestamp",
+    ) if rights else spark.createDataFrame([], "user_id long, ts timestamp")
+
+    out = asof_join_nearest(
+        left, right, ["user_id"], "ts", "ts", [], prefix="near_"
+    )
+    got = {r["event_id"]: r["near_ts"] for r in out.collect()}
+
+    for i, (u, m) in enumerate(lefts):
+        lt = BASE + timedelta(minutes=m)
+        cands = [BASE + timedelta(minutes=rm) for ru, rm in rights if ru == u]
+        if not cands:
+            assert got[i] is None, (i, got[i])
+            continue
+        # min |delta|; tie -> earlier (backward) candidate
+        best = min(cands, key=lambda c: (abs(c - lt), c))
+        assert got[i] == best, (i, got[i], best, lt, sorted(cands))

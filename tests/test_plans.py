@@ -129,6 +129,7 @@ STREAM_PROTOCOL_SKIP = {
     "q_stream_topk",             # run_two_phase, per-epoch top-k
     "q_stream_enrich",           # run_two_phase, broadcast dim enrich
     "q_stream_hll",              # run_two_phase, mergeable sketch
+    "q_stream_foreachbatch_exactly_once",  # run_two_phase, epoch replay
 }
 
 
@@ -203,10 +204,13 @@ def test_small_side_broadcast_nested_loop(spark, sf_dir, join_name):
     assert "BroadcastNestedLoopJoin" in plan
 
 
-def test_asof_join_single_shuffle(spark, sf_dir):
-    """The as-of join shuffles once on the partition key (union +
-    window) — no range-join pair explosion, no extra exchanges."""
-    plan = plan_of(REGISTRY["q_join_asof"].fn(spark, sf_dir))
+@pytest.mark.parametrize("qid", ["q_join_asof", "q_join_asof_nearest"])
+def test_asof_join_single_shuffle(spark, sf_dir, qid):
+    """The as-of joins shuffle once on the partition key (union +
+    window) — no range-join pair explosion, no extra exchanges; the
+    nearest variant computes both directional candidates over the
+    SAME exchange + sort."""
+    plan = plan_of(REGISTRY[qid].fn(spark, sf_dir))
     assert "SortMergeJoin" not in plan and "NestedLoop" not in plan
     # exactly one exchange: hashpartitioning on the as-of key
     n_exchange = plan.count("Arguments: hashpartitioning")

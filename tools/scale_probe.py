@@ -27,6 +27,64 @@ from etl_caltopo_spark.session import build_spark
 
 BASE = "/root/testdata/sf0.1"
 
+#: bump whenever SHIFTS changes semantics — build_scaled wipes and
+#: rebuilds a cached /tmp replica dir whose marker disagrees, so a
+#: stale identical-clone set can never masquerade as the perturbed one
+SHIFTS_VERSION = "2-perturbed-dilution"
+
+
+def _perturb_documents(df, i: int):
+    """Copy 0 is the original; copy i > 0 mutates 1-2 TOKENS in place
+    (position chosen by a deterministic hash of (doc_id, i), suffix
+    ``~m<i>``) instead of the old trailing ``variant<i>`` marker
+    (VERDICT r8 #3 / r9 #4): the clones stay HIGH-Jaccard near-dups of
+    their source — realistic dedup neighborhoods — rather than
+    byte-appended copies whose shingle sets differ only at the tail.
+    (Tokenization here is a plain space split; runs of whitespace
+    collapse on rejoin — irrelevant for a replica generator.)"""
+    df = df.withColumn("doc_id", F.col("doc_id") + i * 10_000_000)
+    if i == 0:
+        return df
+    toks = F.split(F.col("text"), " ")
+    nt = F.greatest(F.size(toks), F.lit(1))
+    p1 = F.pmod(F.hash("doc_id", F.lit(i)), nt)
+    p2 = F.pmod(F.hash("doc_id", F.lit(i), F.lit(7)), nt)
+    mut = F.transform(
+        toks,
+        lambda t, j: F.when(
+            (j == p1) | (j == p2), F.concat(t, F.lit(f"~m{i}"))
+        ).otherwise(t),
+    )
+    return df.withColumn("text", F.array_join(mut, " "))
+
+
+def _perturb_embeddings(df, i: int):
+    """Copy 0 is the original; copy i > 0 adds deterministic
+    per-component noise uniform in ±eps (eps = 0.02·i, hash-seeded by
+    (vec_id, i, component)) and renormalizes to unit length (VERDICT
+    r8 #3 / r9 #4).  The old replica cloned vectors bit-identically,
+    so the dedup/ANN ladder measured a duplicate flood; the jitter
+    gives each base vector a GRADED neighborhood — i=1 sits at
+    cos ≈ 0.996 of its source (a near-dup), i=9 near cos ≈ 0.75 (a
+    same-region non-dup) — the structure a real 100 TB embedding
+    corpus has."""
+    df = df.withColumn("vec_id", F.col("vec_id") + i * 10_000_000)
+    if i == 0:
+        return df
+    eps = 0.02 * i
+    jit = F.transform(
+        F.col("embedding"),
+        lambda x, j: x.cast("double")
+        + F.hash(F.col("vec_id"), F.lit(i), j).cast("double")
+        / F.lit(2147483648.0)
+        * F.lit(eps),
+    )
+    nrm = F.sqrt(F.aggregate(jit, F.lit(0.0), lambda a, x: a + x * x))
+    return df.withColumn(
+        "embedding", F.transform(jit, lambda x: (x / nrm).cast("float"))
+    )
+
+
 #: per-table key-shift expressions for copy i (None → copy unchanged)
 SHIFTS = {
     "lineitem": lambda df, i: df.withColumn("l_orderkey", F.col("l_orderkey") + i * 100_000_000)
@@ -39,9 +97,8 @@ SHIFTS = {
     "part": lambda df, i: df.withColumn("p_partkey", F.col("p_partkey") + i * 10_000_000),
     "events": lambda df, i: df.withColumn("event_id", F.col("event_id") + i * 100_000_000)
     .withColumn("user_id", F.col("user_id") + i * 1_000_000),
-    "documents": lambda df, i: df.withColumn("doc_id", F.col("doc_id") + i * 10_000_000)
-    .withColumn("text", F.concat(F.col("text"), F.lit(f" variant{i}"))),
-    "embeddings": lambda df, i: df.withColumn("vec_id", F.col("vec_id") + i * 10_000_000),
+    "documents": _perturb_documents,
+    "embeddings": _perturb_embeddings,
     "nation": None,
     "region": None,
 }
@@ -133,6 +190,15 @@ PROBE_QUERIES = [
 
 
 def build_scaled(spark, n_copies: int, out_dir: str) -> None:
+    import shutil
+
+    marker = os.path.join(out_dir, "_shifts_version")
+    cur = open(marker).read().strip() if os.path.exists(marker) else None
+    if cur != SHIFTS_VERSION:
+        for t in TABLES:
+            shutil.rmtree(f"{out_dir}/{t}.parquet", ignore_errors=True)
+        with open(marker, "w") as f:
+            f.write(SHIFTS_VERSION)
     for t in TABLES:
         path = f"{out_dir}/{t}.parquet"
         if os.path.exists(path):
@@ -157,9 +223,72 @@ def time_query(spark, name: str, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+#: the dedup/ANN ladder — the ids whose 10x story depends on the
+#: replica set having realistic neighborhoods (VERDICT r9 #4)
+ANN_LADDER = [
+    "q_dedup_near",
+    "q_dedup_clusters",
+    "q_dedup_clusters_lsh",
+    "q_semdedup",
+    "q_sim_topk_ivf",
+    "q_ann_recall_eval",
+]
+
+
+def ann_recall_probe(spark, sf_dir: str, k: int = 10) -> float:
+    """recall@k of the production-sized IVF path on the scaled
+    embeddings (VERDICT r9 #4): n_cells = sqrt(N) (the sizing the
+    docstrings promise — total work ~ N^1.5), n_probe=2, measured on
+    a ~200-query deterministic hash sample against the exact
+    brute-force top-k.  On the perturbed-dilution replica each query's
+    true neighborhood is its jitter family (graded cos 0.75-0.996),
+    so recall here measures real nearest-neighbor retrieval, not
+    duplicate-flood lookup."""
+    from pyspark.sql.window import Window
+
+    from etl_caltopo_spark.llm.similarity import cosine, ivf_candidate_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    n = emb.count()
+    n_cells = max(8, int(n**0.5))
+    sample = F.pmod(F.hash("vec_id"), F.lit(max(1, n // 200))) == 0
+
+    q = emb.filter(sample).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    pts = emb.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"))
+    w = Window.partitionBy("qid").orderBy(F.col("s").desc(), F.col("nid"))
+    exact = (
+        pts.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("s"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "nid")
+    )
+    pairs = ivf_candidate_pairs(emb, n_cells=n_cells, n_probe=2)
+    ivf = (
+        pairs.join(F.broadcast(q.select("qid")), "qid", "left_semi")
+        .select("qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("s"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "nid")
+    )
+    hits = exact.join(ivf, ["qid", "nid"], "left_semi").count()
+    n_q = q.count()
+    recall = hits / (n_q * k)
+    print(
+        f"| ann recall probe | n={n}, n_cells={n_cells} (sqrt N), "
+        f"n_probe=2 | {n_q} queries | recall@{k} = {recall:.3f} |"
+    )
+    return recall
+
+
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    names = sys.argv[2:] or PROBE_QUERIES
+    args = [a for a in sys.argv[1:] if a != "--ann"]
+    ann_only = "--ann" in sys.argv[1:]
+    n = int(args[0]) if args else 10
+    names = args[1:] or (ANN_LADDER if ann_only else PROBE_QUERIES)
     out_dir = f"/tmp/spark_graft_scale_{n}x"
     os.makedirs(out_dir, exist_ok=True)
     spark = build_spark(app_name="scale-probe")
@@ -173,6 +302,8 @@ def main() -> None:
         t_big = time_query(spark, name, out_dir)
         ratio = t_big / t_base if t_base > 0 else float("nan")
         print(f"| {name} | {t_base:.2f} | {t_big:.2f} | {ratio:.1f}x |")
+    if ann_only:
+        ann_recall_probe(spark, out_dir)
 
 
 if __name__ == "__main__":
