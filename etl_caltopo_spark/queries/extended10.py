@@ -255,15 +255,20 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-min clone is always dropped by its own representative
     (cos = 1) and any drop witnessed by a clone is witnessed by its
     smaller-id representative too.  That collapse is what keeps the
-    duplicate-heavy regime linear (the 10× scale probe's cloned
-    replicas collapse 10→1 before any pairwise work).  The assignment
-    pass is map-only against broadcast centroids; the pairwise step is
-    an equi-join on the cell id, so the residual quadratic is bounded
+    duplicate-heavy regime linear.  The assignment pass is map-only
+    against broadcast centroids; the pairwise step shuffles once on
+    the cell id into per-cell chunked-BLAS (dedup.py
+    semdedup_drop_within_blocks — r10: the pair equi-join + per-pair
+    higher-order cosine it replaces measured 49x on the
+    perturbed-dilution 10x replica, where realistic non-identical
+    neighborhoods defeat the exact-dup collapse; the GEMM form runs
+    the same quadratic vectorized).  The residual quadratic is bounded
     by the largest cell of DISTINCT vectors (SemDeDup's design point —
     at 100 TB the quantizer's k grows to cap cell sizes, or the
     hyperplane-LSH bucket variant replaces the cell key).  Cosine
-    floors at 6 dp on both engines before the threshold test so
-    boundary ulps can't flip membership."""
+    floors at 6 dp on both engines before the threshold test —
+    GEMM only screens; the ambiguity band re-scores with the exact
+    sequential fold — so boundary ulps can't flip membership."""
     apply_runtime_conf(spark)
     # NULL vectors can't be assigned or compared (r8 NULL policy;
     # a NULL embedding also must not become a groupBy("embedding")
@@ -294,18 +299,10 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_id", F.struct(F.col("cos_sim"), -F.col("centroid_id"))
         ).alias("centroid_id")
     )
-    a = cells.join(pts, "vec_id").select(
-        "centroid_id", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
-    )
-    b = cells.join(pts, "vec_id").select(
-        "centroid_id", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
-    )
-    dup = (
-        a.join(b, ["centroid_id"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(fround(similarity.cosine(F.col("va"), F.col("vb")), 6) >= 0.3)
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
+    from etl_caltopo_spark.llm.dedup import semdedup_drop_within_blocks
+
+    dup = semdedup_drop_within_blocks(
+        cells.join(pts, "vec_id"), "centroid_id", 0.3
     )
     return cells.join(dup, "vec_id", "left_anti")
 

@@ -83,6 +83,9 @@ DEGENERATE_IDS = [
                            # (r8: F.corr ANSI-crashed here; manual
                            # guarded pop-variant pearson now)
     "q_corr_matrix",       # same class, all six coefficients
+    "q_semdedup",          # zero-norm vector -> NULL cosine -> joins
+                           # nothing, survives (r10: pins the policy
+                           # through the per-cell GEMM rewrite)
 ]
 
 
