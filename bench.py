@@ -53,7 +53,8 @@ NOTES: dict[str, str] = {
         "this box drifts a uniform 1.3-1.8x field multiplier for hours "
         "(HANDOFF knowledge #11); same-code totals span 9-14 s.  A real "
         "regression moves ONE query against the field — adjudicate with "
-        "tools/bench_ab.py old-rev new-rev (r9)."
+        "tools/bench_ab.py old-rev new-rev (built r10; identical-code "
+        "smoke: field 1.001, adjusted ratios 0.87-1.08, none flagged)."
     ),
 }
 

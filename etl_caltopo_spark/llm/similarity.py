@@ -180,6 +180,127 @@ def embedding_near_pairs(
     )
 
 
+def near_pairs_within_blocks(
+    emb: DataFrame,
+    block_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`embedding_near_pairs` as per-block chunked BLAS —
+    hash-identical output (``id_a``, ``id_b``, ``cos_sim`` floored at
+    6 dp), same discipline as ``dedup.clusters_within_blocks``: the
+    GEMM cosine is authoritative only when it sits safely INSIDE a
+    1e-6 grid cell; pairs within 1e-3 grid units of a floor boundary
+    (and membership decisions within 1e-6 of ``threshold``) re-score
+    with the exact sequential fold both engines use, so a BLAS
+    summation ulp can never flip a floored value or a membership.
+
+    Motivation (r10): the expression-form pair join evaluates a
+    64-element higher-order cosine PER PAIR — the perturbed-dilution
+    10x probe measured q_dedup_embed at 14x/102 s (realistic
+    neighborhoods defeat any exact-dup collapse); the in-block
+    quadratic belongs in vectorized float64, not Catalyst
+    interpretation.  Scale shape unchanged: one shuffle on the block
+    key, per-block work O(chunk x block) floats at a time, quadratic
+    bounded by the largest block (the caller's blocking dial).
+    Zero-norm/NULL vectors join nothing (engines yield NULL cosine)
+    — requires ``threshold > 0`` so the GEMM's 0.0 placeholder for
+    zero-norm rows always screens out."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    if threshold <= 0:  # pragma: no cover - caller bug
+        raise ValueError("near_pairs_within_blocks requires threshold > 0")
+    out_schema = "id_a long, id_b long, cos_sim double"
+
+    def one_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "id_a": np.empty(0, dtype=np.int64),
+                "id_b": np.empty(0, dtype=np.int64),
+                "cos_sim": np.empty(0, dtype=np.float64),
+            }
+        )
+        if n <= 1:
+            return empty
+        order = np.argsort(pdf[id_col].to_numpy())
+        ids = pdf[id_col].to_numpy()[order]
+        V = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )[order]
+        norms = np.sqrt((V * V).sum(axis=1))
+        norms[norms == 0.0] = np.inf  # zero vectors join nothing
+
+        rows_l = V.tolist()
+        seq_norm = [0.0] * n
+        for i in range(n):
+            t = 0.0
+            for x in rows_l[i]:
+                t += x * x
+            seq_norm[i] = math.sqrt(t)
+
+        def seq_cos(r: int, c: int) -> float | None:
+            na, nb = seq_norm[r], seq_norm[c]
+            if na == 0.0 or nb == 0.0:
+                return None
+            a, b = rows_l[r], rows_l[c]
+            t = 0.0
+            for k in range(len(a)):
+                t += a[k] * b[k]
+            return t / (na * nb)
+
+        out_a, out_b, out_c = [], [], []
+        chunk = 1024
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            G = (V[s:e] @ V.T) / np.outer(norms[s:e], norms)
+            rr, cc = np.nonzero(G >= threshold - 1e-6)
+            rr_g = rr + s
+            keep = rr_g < cc  # id order == index order: emit a < b
+            for r_loc, c in zip(rr[keep], cc[keep]):
+                g = G[r_loc, c]
+                g6 = g * 1e6
+                fl = math.floor(g6)
+                # authoritative only safely inside the grid cell AND
+                # safely past the membership threshold
+                if (
+                    g6 - fl > 1e-3
+                    and fl + 1 - g6 > 1e-3
+                    and g >= threshold + 2e-6
+                ):
+                    val = fl / 1e6
+                else:
+                    sc = seq_cos(r_loc + s, c)
+                    if sc is None:
+                        continue
+                    val = math.floor(sc * 1e6) / 1e6
+                    if val < threshold:
+                        continue
+                out_a.append(ids[r_loc + s])
+                out_b.append(ids[c])
+                out_c.append(val)
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.asarray(out_a, dtype=np.int64),
+                "id_b": np.asarray(out_b, dtype=np.int64),
+                "cos_sim": np.asarray(out_c, dtype=np.float64),
+            }
+        )
+
+    return (
+        emb.where(F.col(vec_col).isNotNull())
+        .select(id_col, block_col, vec_col)
+        .groupBy(block_col)
+        .applyInPandas(one_block, out_schema)
+    )
+
+
 def embedding_near_pairs_lsh(
     emb: DataFrame,
     threshold: float = 0.9,
@@ -190,10 +311,11 @@ def embedding_near_pairs_lsh(
 ) -> DataFrame:
     """The scale path: block on the random-hyperplane bucket (vectors
     with high cosine share all sign bits with high probability), then
-    verify exact cosine within buckets.  Probabilistic recall —
-    rows-only, not an oracle query."""
+    verify exact cosine within buckets (per-block chunked BLAS since
+    r10 — see :func:`near_pairs_within_blocks`).  Probabilistic
+    recall on the blocking, exact values on the survivors."""
     bucketed = attach_bucket(emb, vec_col, n_planes, dim)
-    return embedding_near_pairs(
+    return near_pairs_within_blocks(
         bucketed, "_bucket", threshold, id_col=id_col, vec_col=vec_col
     )
 

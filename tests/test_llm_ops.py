@@ -1058,3 +1058,34 @@ def test_hll_portable_estimate_quality(spark):
             regs[b] = max(regs.get(b, 0), rank)
         got = {r["bucket"]: r["max_rank"] for r in rows}
         assert got == regs
+
+def test_near_pairs_gemm_form_equals_expression_form(spark, sf_dir):
+    """r10: near_pairs_within_blocks (per-block chunked BLAS) must be
+    FRAME-IDENTICAL — same pairs, bit-equal 6-dp-floored cos_sim — to
+    the expression-form embedding_near_pairs on the same blocking, in
+    both directions (soundness AND completeness).  Run on the
+    hyperplane bucket (the graded q_dedup_embed operating point) and
+    on a single block (the all-pairs worst case)."""
+    from etl_caltopo_spark.io import load_table
+    from etl_caltopo_spark.llm import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    for blocked in (
+        sim.attach_bucket(emb, "embedding", 4, 64).withColumnRenamed(
+            "_bucket", "_blk"
+        ),
+        emb.withColumn("_blk", F.lit(1)),
+    ):
+        gemm = {
+            (r["id_a"], r["id_b"]): r["cos_sim"]
+            for r in sim.near_pairs_within_blocks(
+                blocked, "_blk", 0.3
+            ).collect()
+        }
+        expr = {
+            (r["id_a"], r["id_b"]): r["cos_sim"]
+            for r in sim.embedding_near_pairs(blocked, "_blk", 0.3).collect()
+        }
+        assert gemm == expr and gemm
