@@ -186,6 +186,7 @@ def near_pairs_within_blocks(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    emit_block: bool = False,
 ) -> DataFrame:
     """:func:`embedding_near_pairs` as per-block chunked BLAS —
     hash-identical output (``id_a``, ``id_b``, ``cos_sim`` floored at
@@ -215,6 +216,10 @@ def near_pairs_within_blocks(
     if threshold <= 0:  # pragma: no cover - caller bug
         raise ValueError("near_pairs_within_blocks requires threshold > 0")
     out_schema = "id_a long, id_b long, cos_sim double"
+    if emit_block:
+        # the shared block key, carried through (one value per group)
+        blk_t = dict(emb.dtypes)[block_col]
+        out_schema = f"id_a long, id_b long, {block_col} {blk_t}, cos_sim double"
 
     def one_block(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
@@ -222,6 +227,9 @@ def near_pairs_within_blocks(
             {
                 "id_a": np.empty(0, dtype=np.int64),
                 "id_b": np.empty(0, dtype=np.int64),
+                **(
+                    {block_col: pdf[block_col].iloc[:0]} if emit_block else {}
+                ),
                 "cos_sim": np.empty(0, dtype=np.float64),
             }
         )
@@ -289,6 +297,11 @@ def near_pairs_within_blocks(
             {
                 "id_a": np.asarray(out_a, dtype=np.int64),
                 "id_b": np.asarray(out_b, dtype=np.int64),
+                **(
+                    {block_col: [pdf[block_col].iloc[0]] * len(out_a)}
+                    if emit_block
+                    else {}
+                ),
                 "cos_sim": np.asarray(out_c, dtype=np.float64),
             }
         )

@@ -1672,19 +1672,12 @@ def q_embed_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = similarity.attach_bucket(
         emb, vec_col="v", n_planes=8, dim=64, out_col="bucket"
     ).select("vec_id", "v", F.col("bucket").cast("bigint").alias("bucket"))
-    a = bucketed.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket"
-    )
-    b = bucketed.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bucket"
-    )
-    cos = fround(similarity.cosine(F.col("va"), F.col("vb")), 6)
-    return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cos >= 0.3)
-        .select("id_a", "id_b", "bucket", cos.alias("cos_sim"))
-    )
+    # within-bucket pairs via per-block chunked BLAS (r10 — same
+    # hash-identical fast/band value contract as q_dedup_embed; the
+    # expression-form twin is pinned frame-equal in test_llm_ops.py)
+    return similarity.near_pairs_within_blocks(
+        bucketed, "bucket", 0.3, vec_col="v", emit_block=True
+    ).select("id_a", "id_b", "bucket", "cos_sim")
 
 
 @query(
