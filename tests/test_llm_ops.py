@@ -1089,3 +1089,53 @@ def test_near_pairs_gemm_form_equals_expression_form(spark, sf_dir):
             for r in sim.embedding_near_pairs(blocked, "_blk", 0.3).collect()
         }
         assert gemm == expr and gemm
+
+def test_semdedup_drop_rule_matches_bruteforce(spark):
+    """r10: semdedup_drop_within_blocks must implement the order-free
+    pair-pruning rule exactly — drop j iff EXISTS i < j in-block with
+    floored cosine >= t, where the witness i may itself be dropped
+    (chain case: a drops b, b drops c even though b is gone), blocks
+    never interact, and a zero-norm vector neither drops nor is
+    dropped.  Brute-force reference in plain python."""
+    import math
+
+    from etl_caltopo_spark.llm.dedup import semdedup_drop_within_blocks
+
+    # block 1: a chain a->b->c with cos(a,c) < t; block 2: isolated +
+    # a zero vector; ids deliberately out of insertion order
+    rows = [
+        (30, 1, [1.0, 0.0, 0.0]),        # c: dropped by b (a dropped b)
+        (10, 1, [0.8, 0.6, 0.0]),        # a: survives (lowest id)
+        (20, 1, [0.98, 0.199, 0.0]),     # b: dropped by a
+        (40, 2, [0.0, 1.0, 0.0]),        # other block: survives
+        (50, 2, [0.0, 0.0, 0.0]),        # zero-norm: joins nothing
+        (60, 2, [0.0, 0.995, 0.0999]),   # dropped by 40
+    ]
+    t = 0.95
+    df = spark.createDataFrame(
+        rows, "vec_id long, blk int, embedding array<double>"
+    )
+    got = sorted(
+        r["vec_id"]
+        for r in semdedup_drop_within_blocks(df, "blk", t).collect()
+    )
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        if na == 0 or nb == 0:
+            return None
+        d = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+        return math.floor(d / (na * nb) * 1e6) / 1e6
+
+    expect = sorted(
+        j
+        for j, bj, vj in rows
+        if any(
+            bi == bj and i < j and (c := cos(vi, vj)) is not None and c >= t
+            for i, bi, vi in rows
+        )
+    )
+    assert got == expect and 30 in got and 50 not in got, (got, expect)
