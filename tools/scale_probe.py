@@ -235,7 +235,7 @@ ANN_LADDER = [
 ]
 
 
-def ann_recall_probe(spark, sf_dir: str, k: int = 10) -> float:
+def ann_recall_probe(spark, sf_dir: str, k: int = 10, n_probe: int = 2) -> float:
     """recall@k of the production-sized IVF path on the scaled
     embeddings (VERDICT r9 #4): n_cells = sqrt(N) (the sizing the
     docstrings promise — total work ~ N^1.5), n_probe=2, measured on
@@ -266,7 +266,7 @@ def ann_recall_probe(spark, sf_dir: str, k: int = 10) -> float:
         .filter(F.col("rn") <= k)
         .select("qid", "nid")
     )
-    pairs = ivf_candidate_pairs(emb, n_cells=n_cells, n_probe=2)
+    pairs = ivf_candidate_pairs(emb, n_cells=n_cells, n_probe=n_probe)
     ivf = (
         pairs.join(F.broadcast(q.select("qid")), "qid", "left_semi")
         .select("qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("s"))
@@ -279,7 +279,7 @@ def ann_recall_probe(spark, sf_dir: str, k: int = 10) -> float:
     recall = hits / (n_q * k)
     print(
         f"| ann recall probe | n={n}, n_cells={n_cells} (sqrt N), "
-        f"n_probe=2 | {n_q} queries | recall@{k} = {recall:.3f} |"
+        f"n_probe={n_probe} | {n_q} queries | recall@{k} = {recall:.3f} |"
     )
     return recall
 
@@ -303,7 +303,8 @@ def main() -> None:
         ratio = t_big / t_base if t_base > 0 else float("nan")
         print(f"| {name} | {t_base:.2f} | {t_big:.2f} | {ratio:.1f}x |")
     if ann_only:
-        ann_recall_probe(spark, out_dir)
+        for np_ in (1, 2, 4):  # the recall-vs-fan-in dial
+            ann_recall_probe(spark, out_dir, n_probe=np_)
 
 
 if __name__ == "__main__":
