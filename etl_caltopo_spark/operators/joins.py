@@ -144,7 +144,11 @@ def asof_join_nearest(
     d_back = epoch_us(F.col("_ts")) - epoch_us(F.col(f"_back.{right_ts}"))
     d_fwd = epoch_us(F.col(f"_fwd.{right_ts}")) - epoch_us(F.col("_ts"))
     nearest = (
-        F.when(F.col("_fwd").isNull(), F.col("_back"))
+        # a NULL left timestamp matches nothing (both ASOF inequalities
+        # are NULL) — without this guard the NULLS-FIRST sort would hand
+        # such a row the first real right row as a "forward" candidate
+        F.when(F.col("_ts").isNull(), F.lit(None).cast(r.schema["_r"].dataType))
+        .when(F.col("_fwd").isNull(), F.col("_back"))
         .when(F.col("_back").isNull(), F.col("_fwd"))
         .when(d_back <= d_fwd, F.col("_back"))
         .otherwise(F.col("_fwd"))

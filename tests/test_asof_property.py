@@ -75,3 +75,25 @@ def test_asof_nearest_matches_bruteforce(spark, lefts, rights):
         # min |delta|; tie -> earlier (backward) candidate
         best = min(cands, key=lambda c: (abs(c - lt), c))
         assert got[i] == best, (i, got[i], best, lt, sorted(cands))
+
+def test_asof_nearest_null_left_ts_matches_nothing(spark):
+    """A NULL left timestamp satisfies neither ASOF inequality (both
+    comparisons are NULL) — the engine must emit NULL, not hand the
+    row a 'forward' candidate via the NULLS-FIRST union sort."""
+    from etl_caltopo_spark.operators.joins import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, 7, None), (2, 7, BASE + timedelta(minutes=10))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(7, BASE + timedelta(minutes=5))], "user_id long, ts timestamp"
+    )
+    got = {
+        r["event_id"]: r["near_ts"]
+        for r in asof_join_nearest(
+            left, right, ["user_id"], "ts", "ts", [], prefix="near_"
+        ).collect()
+    }
+    assert got[1] is None
+    assert got[2] == BASE + timedelta(minutes=5)
