@@ -502,3 +502,55 @@ def test_two_hop_reach_dispatches_by_scale(spark, sf_dir):
     sketch = two_hop_reach(spark, sf_dir, max_exact_pairs=10)
     assert set(sketch.columns) == {"part", "n_buckets", "est_reach2"}
     assert sketch.count() > 0
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_string_tiebreak_property_random_prefix_clusters(spark, seed):
+    """Property pin for the r9/r10 string-proxy machinery: random
+    frames mixing (a) a hot primary whose tiebreaks cluster under
+    random shared prefixes of random lengths, (b) exact-duplicate
+    tiebreaks, (c) NULL tiebreaks, and (d) non-hot filler — the
+    composite bucketing must stay bit-exact against the window
+    reference for every draw (ascending and descending tiebreak)."""
+    rng = random.Random(seed)
+    prefixes = [
+        "".join(rng.choice("abcdefgh/:.") for _ in range(rng.randint(0, 24)))
+        for _ in range(rng.randint(1, 4))
+    ]
+    rows = []
+    for i in range(rng.randint(1500, 2500)):
+        if rng.random() < 0.6:  # hot primary
+            if rng.random() < 0.05:
+                tb = None
+            else:
+                p = rng.choice(prefixes)
+                # some exact-dup tiebreaks, some unique suffixes
+                suf = (
+                    "DUP"
+                    if rng.random() < 0.1
+                    else f"{rng.randint(0, 10**9):010d}"
+                )
+                tb = p + suf
+            rows.append((1, tb, i))
+        else:
+            rows.append((2 + (i % 37), f"x{i:07d}", i))
+    df = spark.createDataFrame(rows, "k int, w string, uid long").repartition(8)
+    for asc in (True, False):
+        tb = F.col("w").asc() if asc else F.col("w").desc()
+        # (k, w) can tie (DUP suffixes / NULLs); uid makes the window
+        # reference total so both sides agree on a deterministic rank,
+        # while bucketing still derives only from (k, w)
+        ref = df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("k", tb, "uid"))
+        )
+        got = global_row_number(
+            df,
+            "k",
+            [F.col("k"), tb, F.col("uid")],
+            rn_col="rn",
+            buckets=8,
+            tiebreak="w",
+            tiebreak_ascending=asc,
+        )
+        assert _pairs(ref, "uid", "rn") == _pairs(got, "uid", "rn"), (
+            f"seed={seed} asc={asc}"
+        )
