@@ -586,9 +586,13 @@ def clusters_within_blocks(
     # NULL vectors cannot participate in cosine clustering: dropped
     # here (not per caller) so every blocking strategy shares the
     # policy — the r8 NULL-injection sweep crashed the BLAS matrix
-    # build on a None row; the DuckDB oracle CTE filters identically
+    # build on a None row; the DuckDB oracle CTE filters identically.
+    # NULL block keys are dropped too (ADVICE r10): the equi-join form
+    # this claims identity with never matches NULL = NULL, so rows in
+    # a NULL block must not merge with each other.
     return (
         emb.where(F.col(vec_col).isNotNull())
+        .where(F.col(block_col).isNotNull())
         .select(id_col, block_col, vec_col)
         .groupBy(block_col)
         .applyInPandas(one_block, out_schema)
@@ -678,8 +682,12 @@ def semdedup_drop_within_blocks(
             dropped[s:e] |= (acc & (row_idx > col_idx)).any(axis=1)
         return pd.DataFrame({id_col: ids[dropped]})
 
+    # NULL block keys dropped for equi-join parity — see the note on
+    # clusters_within_blocks above (ADVICE r10: a groupBy keeps ONE
+    # NULL-key group; the expression-form pair join drops NULL blocks).
     return (
         emb.where(F.col(vec_col).isNotNull())
+        .where(F.col(block_col).isNotNull())
         .select(id_col, block_col, vec_col)
         .groupBy(block_col)
         .applyInPandas(one_block, out_schema)

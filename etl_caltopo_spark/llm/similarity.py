@@ -306,8 +306,14 @@ def near_pairs_within_blocks(
             }
         )
 
+    # NULL block keys are dropped to preserve hash-identity with the
+    # expression-form equi-join (which never matches NULL = NULL): a
+    # groupBy would otherwise keep ONE NULL-key group and emit pairs
+    # inside it (ADVICE r10).  Current callers (LSH bucket,
+    # centroid_id) never produce NULL blocks, so this is defensive.
     return (
         emb.where(F.col(vec_col).isNotNull())
+        .where(F.col(block_col).isNotNull())
         .select(id_col, block_col, vec_col)
         .groupBy(block_col)
         .applyInPandas(one_block, out_schema)

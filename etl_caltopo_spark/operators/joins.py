@@ -52,6 +52,12 @@ def asof_join(
     earlier right row exists — left-join semantics).
     """
     left_cols = left.columns
+    # A right row with a NULL timestamp can never satisfy the ASOF
+    # inequality (NULL <= ts is NULL), yet the NULLS-FIRST sort would
+    # make it the running backward candidate for every left row with
+    # no earlier real match — leaking its value columns where the SQL
+    # formulation yields all-NULL (ADVICE r10).  Drop such rows.
+    right = right.where(F.col(right_ts).isNotNull())
     # _side: right rows sort before left rows at equal timestamps so an
     # exactly-simultaneous right row is visible (<=, not <).
     r = right.select(
@@ -110,6 +116,11 @@ def asof_join_nearest(
     to the other; both-null yields nulls (left-join semantics).
     """
     left_cols = left.columns
+    # NULL-right-timestamp rows satisfy neither ASOF inequality in the
+    # oracle formulation — filtered out so a lone NULL-ts right row can
+    # never surface as the when(_fwd.isNull(), _back) fallback
+    # (ADVICE r10; same guard as asof_join above).
+    right = right.where(F.col(right_ts).isNotNull())
     r = right.select(
         *partition_keys,
         F.col(right_ts).alias("_ts"),

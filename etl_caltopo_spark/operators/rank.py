@@ -154,8 +154,15 @@ def _tiebreak_proxy(
         if offset and prefix is not None:
             head = F.substring(enc, 1, offset)
             p = F.lit(prefix)
+            # NULL input must stay a NULL proxy (ADVICE r10): without
+            # the leading isNull branch a NULL tiebreak falls through
+            # both comparisons (NULL conditions are false) into the
+            # _PROXY_HIGH clamp and pollutes the approx_percentile
+            # sub-cut probe, which should IGNORE NULL tiebreaks just
+            # like the unclamped path (where base is naturally NULL).
             return (
-                F.when(head == p, base)
+                F.when(F.col(name).isNull(), F.lit(None).cast("long"))
+                .when(head == p, base)
                 .when(head < p, F.lit(-1).cast("long"))
                 .otherwise(F.lit(_PROXY_HIGH).cast("long"))
             )

@@ -115,6 +115,36 @@ def _remove_worktree(path: str) -> None:
     )
 
 
+def adjudicate(
+    med_old: dict[str, float], med_new: dict[str, float]
+) -> tuple[float, dict[str, float], list[str], list[str]]:
+    """Per-query ratios with the field multiplier factored out.
+
+    Returns ``(field, adjusted_ratios, flagged, unmeasurable)``.  A
+    zero old-median yields a NaN ratio; NaNs are EXCLUDED from the
+    field median (NaN in a sorted list lands unpredictably and, if
+    selected, turns every adjusted ratio NaN and silently empties
+    FLAGGED — ADVICE r10) and their queries are flagged explicitly.
+    """
+    names = sorted(med_old.keys() & med_new.keys())
+    ratios = {
+        n: (med_new[n] / med_old[n]) if med_old[n] > 0 else float("nan")
+        for n in names
+    }
+    unmeasurable = sorted(n for n, r in ratios.items() if r != r)
+    finite = sorted(r for r in ratios.values() if r == r)
+    if not finite:
+        raise ValueError("no finite per-query ratios — nothing to adjudicate")
+    field = finite[len(finite) // 2]
+    adjusted = {n: r / field for n, r in ratios.items()}
+    flagged = sorted(
+        set(unmeasurable)
+        | {n for n, r in adjusted.items()
+           if r == r and (r > FLAG_HIGH or r < FLAG_LOW)}
+    )
+    return field, adjusted, flagged, unmeasurable
+
+
 def main() -> None:
     if len(sys.argv) < 3:
         print(__doc__)
@@ -155,29 +185,29 @@ def main() -> None:
         k: {n: sorted(v)[len(v) // 2] for n, v in samples[k].items()}
         for k in samples
     }
-    ratios = {
-        n: (med["new"][n] / med["old"][n]) if med["old"][n] > 0 else float("nan")
-        for n in names
-    }
-    field = sorted(ratios.values())[len(ratios) // 2]
-    adjusted = {n: r / field for n, r in ratios.items()}
-    flagged = sorted(
-        n for n, r in adjusted.items() if r > FLAG_HIGH or r < FLAG_LOW
-    )
+    field, adjusted, flagged, unmeasurable = adjudicate(med["old"], med["new"])
+    if unmeasurable:
+        print(f"UNMEASURABLE (old median 0 s — flagged): {unmeasurable}")
 
     print(f"\nfield multiplier (median new/old ratio): {field:.3f}")
     print("| query | old med (s) | new med (s) | ratio | adj ratio | |")
     print("|---|---|---|---|---|---|")
-    for n in sorted(names, key=lambda x: -adjusted[x]):
+    um = set(unmeasurable)
+    for n in sorted(
+        names, key=lambda x: (0, x) if x in um else (1, -adjusted[x])
+    ):
         mark = "<-- FLAGGED" if n in flagged else ""
         print(
             f"| {n} | {med['old'][n]:.3f} | {med['new'][n]:.3f} "
-            f"| {ratios[n]:.2f} | {adjusted[n]:.2f} | {mark} |"
+            f"| {adjusted[n] * field:.2f} | {adjusted[n]:.2f} | {mark} |"
         )
     print(json.dumps({
         "old": old_rev, "new": new_rev, "sf_dir": sf_dir, "passes": passes,
         "field": round(field, 4),
-        "ratios": {n: round(r, 4) for n, r in adjusted.items()},
+        "ratios": {
+            n: (round(r, 4) if r == r else None) for n, r in adjusted.items()
+        },
+        "unmeasurable": unmeasurable,
         "flagged": flagged,
     }))
 

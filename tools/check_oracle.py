@@ -158,10 +158,36 @@ def main() -> int:
     print(f"\n{n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail / {len(names)}")
     if args.json:
         import json
+        import subprocess
 
+        # Stamp the exact source revision the sweep ran against
+        # (VERDICT r10 #2): staleness vs the round's final commit is
+        # then self-evident — the invariant is "the committed full
+        # sweep's git_rev equals the last source-touching commit".
+        try:
+            rev = subprocess.run(
+                ["git", "rev-parse", "HEAD"],
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                capture_output=True, text=True, check=True,
+            ).stdout.strip()
+            dirty = bool(subprocess.run(
+                ["git", "status", "--porcelain"],
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                capture_output=True, text=True, check=True,
+            ).stdout.strip())
+        except Exception:
+            rev, dirty = None, None
+        records["_meta"] = {
+            "git_rev": rev,
+            "working_tree_dirty": dirty,
+            "n_pass": n_pass,
+            "n_rows_only": n_rowsonly,
+            "n_fail": n_fail,
+            "n_ids": len(names),
+        }
         with open(args.json, "w") as f:
             json.dump(records, f, indent=2)
-        print(f"wrote {args.json}")
+        print(f"wrote {args.json} (git_rev {rev}, dirty={dirty})")
     return 1 if n_fail else 0
 
 

@@ -235,7 +235,22 @@ ANN_LADDER = [
 ]
 
 
-def ann_recall_probe(spark, sf_dir: str, k: int = 10, n_probe: int = 2) -> float:
+def build_embeddings_replica(spark, n_copies: int, base_dir: str = BASE):
+    """Just the perturbed embeddings table, in-memory (no disk write) —
+    the corpus the IVF recall dial is pinned on.  Used by the recall
+    probe below and by tests/test_ann_recall.py (VERDICT r10 #5) so a
+    quantizer/blocking change that craters recall fails CI."""
+    base = load_table(spark, base_dir, "embeddings")
+    parts = [_perturb_embeddings(base, i) for i in range(n_copies)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def ann_recall_probe(
+    spark, sf_dir: str | None, k: int = 10, n_probe: int = 2, emb=None
+) -> float:
     """recall@k of the production-sized IVF path on the scaled
     embeddings (VERDICT r9 #4): n_cells = sqrt(N) (the sizing the
     docstrings promise — total work ~ N^1.5), n_probe=2, measured on
@@ -248,7 +263,9 @@ def ann_recall_probe(spark, sf_dir: str, k: int = 10, n_probe: int = 2) -> float
 
     from etl_caltopo_spark.llm.similarity import cosine, ivf_candidate_pairs
 
-    emb = load_table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    if emb is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+    emb = emb.localCheckpoint(eager=True)
     n = emb.count()
     n_cells = max(8, int(n**0.5))
     sample = F.pmod(F.hash("vec_id"), F.lit(max(1, n // 200))) == 0
