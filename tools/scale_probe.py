@@ -30,7 +30,7 @@ BASE = "/root/testdata/sf0.1"
 #: bump whenever SHIFTS changes semantics — build_scaled wipes and
 #: rebuilds a cached /tmp replica dir whose marker disagrees, so a
 #: stale identical-clone set can never masquerade as the perturbed one
-SHIFTS_VERSION = "2-perturbed-dilution"
+SHIFTS_VERSION = "3-capped-jitter"
 
 
 def _perturb_documents(df, i: int):
@@ -67,11 +67,26 @@ def _perturb_embeddings(df, i: int):
     gives each base vector a GRADED neighborhood — i=1 sits at
     cos ≈ 0.996 of its source (a near-dup), i=9 near cos ≈ 0.75 (a
     same-region non-dup) — the structure a real 100 TB embedding
-    corpus has."""
+    corpus has.
+
+    The schedule is CAPPED at the i=9 design point (r11): uncapped,
+    eps = 0.02·i puts the noise norm past the signal norm around
+    i ≈ 11 (64 components, |e|² = 64·eps²/3), so a 100-copy replica
+    was ~80% uniform-random vectors — measured cos-to-base 0.47 at
+    i=20, 0.11 at i=99 — the one structure no real corpus has, and
+    it made the 100x ANN/near-pair ladder measure noise physics
+    (random 64-dim cosines pass a 0.3 threshold at ~0.8%) instead of
+    scale.  With the cap, copies past 9 populate the same-region
+    shell (cos ≈ 0.75 to base, ~0.6 pairwise, independent noise per
+    copy): each base becomes a topic CLUSTER whose per-copy
+    neighborhood statistics are independent of the dilution factor,
+    so 10x-vs-100x compares scale, not data regimes.  Copies 0-9 are
+    bit-identical to the r10 schedule (the 10x ladder is unchanged).
+    """
     df = df.withColumn("vec_id", F.col("vec_id") + i * 10_000_000)
     if i == 0:
         return df
-    eps = 0.02 * i
+    eps = 0.02 * min(i, 9)
     jit = F.transform(
         F.col("embedding"),
         lambda x, j: x.cast("double")
@@ -215,12 +230,16 @@ def build_scaled(spark, n_copies: int, out_dir: str) -> None:
         out.write.mode("overwrite").parquet(path)
 
 
-def time_query(spark, name: str, sf_dir: str) -> float:
+def time_query(spark, name: str, sf_dir: str) -> tuple[float, int]:
+    """(wall seconds, output rows) — rows emitted is reported alongside
+    wall in the ladder so an output-bound id (q_dedup_near: true-pair
+    count grows with replica fan-out) isn't misread as a plan
+    regression (VERDICT r10 'what's wrong' #4)."""
     spec = REGISTRY[name]
-    spec.fn(spark, sf_dir).count()  # warm (codegen compile)
+    rows = spec.fn(spark, sf_dir).count()  # warm (codegen compile)
     t0 = time.perf_counter()
-    spec.fn(spark, sf_dir).count()
-    return time.perf_counter() - t0
+    rows = spec.fn(spark, sf_dir).count()
+    return time.perf_counter() - t0, rows
 
 
 #: the dedup/ANN ladder — the ids whose 10x story depends on the
@@ -301,6 +320,47 @@ def ann_recall_probe(
     return recall
 
 
+def semdedup_production_dial(spark, sf_dir: str, threshold: float = 0.3) -> None:
+    """SemDeDup at the PRODUCTION cell sizing (k = sqrt(N) quantizer
+    cells) on the scaled embeddings — the graded q_semdedup pins k=8
+    as its oracle-replayable eval sizing, which is quadratic in N by
+    definition (8 cells of N/8 each); SemDeDup's own design point
+    grows k with N.  This measures the same operator
+    (dedup.semdedup_drop_within_blocks) under the grown dial so the
+    SCALING ladder separates 'the pinned eval sizing is quadratic'
+    (expected, documented) from 'the operator can't scale' (false)."""
+    import time as _t
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from etl_caltopo_spark.llm.dedup import semdedup_drop_within_blocks
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    ).localCheckpoint(eager=True)
+    n = emb.count()
+    n_cells = max(8, int(n**0.5))
+    t0 = _t.perf_counter()
+    feat = emb.withColumn(
+        "_features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    model = KMeans(k=n_cells, seed=42, featuresCol="_features").fit(feat)
+    assigned = (
+        model.transform(feat)
+        .withColumnRenamed("prediction", "centroid_id")
+        .drop("_features")
+    )
+    dropped = semdedup_drop_within_blocks(
+        assigned, "centroid_id", threshold
+    ).count()
+    dt = _t.perf_counter() - t0
+    print(
+        f"| semdedup production dial | n={n}, k={n_cells} (sqrt N), "
+        f"tau={threshold} | dropped {dropped} | {dt:.2f} s |"
+    )
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if a != "--ann"]
     ann_only = "--ann" in sys.argv[1:]
@@ -312,16 +372,21 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     build_scaled(spark, n, out_dir)
 
-    print(f"| query | sf0.1 (s) | {n}x (s) | ratio |")
-    print("|---|---|---|---|")
+    print(f"| query | sf0.1 (s) | {n}x (s) | ratio | sf0.1 rows | {n}x rows |")
+    print("|---|---|---|---|---|---|")
     for name in names:
-        t_base = time_query(spark, name, BASE)
-        t_big = time_query(spark, name, out_dir)
+        t_base, r_base = time_query(spark, name, BASE)
+        t_big, r_big = time_query(spark, name, out_dir)
         ratio = t_big / t_base if t_base > 0 else float("nan")
-        print(f"| {name} | {t_base:.2f} | {t_big:.2f} | {ratio:.1f}x |")
+        print(
+            f"| {name} | {t_base:.2f} | {t_big:.2f} | {ratio:.1f}x "
+            f"| {r_base} | {r_big} |",
+            flush=True,
+        )
     if ann_only:
         for np_ in (1, 2, 4):  # the recall-vs-fan-in dial
             ann_recall_probe(spark, out_dir, n_probe=np_)
+        semdedup_production_dial(spark, out_dir)
 
 
 if __name__ == "__main__":
