@@ -170,11 +170,17 @@ def main() -> int:
                 cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                 capture_output=True, text=True, check=True,
             ).stdout.strip()
-            dirty = bool(subprocess.run(
+            # the artifact being written is expectedly untracked at
+            # sweep time — it must not trip its own dirtiness flag
+            own = os.path.basename(args.json)
+            porcelain = subprocess.run(
                 ["git", "status", "--porcelain"],
                 cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                 capture_output=True, text=True, check=True,
-            ).stdout.strip())
+            ).stdout.splitlines()
+            dirty = bool(
+                [ln for ln in porcelain if ln.strip() and not ln.endswith(own)]
+            )
         except Exception:
             rev, dirty = None, None
         records["_meta"] = {
