@@ -587,16 +587,24 @@ def clusters_within_blocks(
     # here (not per caller) so every blocking strategy shares the
     # policy — the r8 NULL-injection sweep crashed the BLAS matrix
     # build on a None row; the DuckDB oracle CTE filters identically.
-    # NULL block keys are dropped too (ADVICE r10): the equi-join form
-    # this claims identity with never matches NULL = NULL, so rows in
-    # a NULL block must not merge with each other.
-    return (
-        emb.where(F.col(vec_col).isNotNull())
-        .where(F.col(block_col).isNotNull())
+    # NULL block keys produce NO EDGES (ADVICE r10: the equi-join form
+    # this claims identity with never matches NULL = NULL) — but this
+    # operator is VERTEX-COMPLETE, so a NULL-block row must still come
+    # out as its own singleton cluster, exactly as connected_components
+    # over the same (empty) edge set would emit it (r11 review: an
+    # outright filter here silently dropped such rows from the output
+    # while the oracle's recursive closure keeps them as singletons).
+    non_null_vec = emb.where(F.col(vec_col).isNotNull())
+    clustered = (
+        non_null_vec.where(F.col(block_col).isNotNull())
         .select(id_col, block_col, vec_col)
         .groupBy(block_col)
         .applyInPandas(one_block, out_schema)
     )
+    null_singletons = non_null_vec.where(F.col(block_col).isNull()).select(
+        F.col(id_col), F.col(id_col).alias("cluster_id")
+    )
+    return clustered.unionByName(null_singletons)
 
 def semdedup_drop_within_blocks(
     emb: DataFrame,

@@ -26,6 +26,51 @@ PINNED_RECALL_AT_10 = 0.826
 TOLERANCE = 0.05
 
 
+def test_replica_jitter_capped_at_design_band(spark, sf_dir):
+    """r11: the perturbation schedule must stay inside its calibrated
+    band — copy i > 9 populates the same-region shell (cos ≈ 0.75 to
+    base), NOT uniform noise (the uncapped schedule measured
+    cos-to-base 0.11 at i=99, poisoning every 100x ladder).  Pins
+    eps = 0.02·min(i, 9): copy 1 is a near-dup, copy 9 and copy 20
+    sit in the same shell."""
+    from pyspark.sql import functions as F
+
+    from tools.scale_probe import _perturb_embeddings
+
+    # deterministic selector, NOT .limit(): an unordered limit can pick
+    # different rows on each re-evaluation of the lineage, and `base`
+    # is evaluated in two subtrees of the self-join below
+    base = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where(F.col("embedding").isNotNull())
+        .where(F.col("vec_id") < 64)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("bv"))
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "bv", lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def avg_cos(i: int) -> float:
+        c = _perturb_embeddings(base.withColumnRenamed("bv", "embedding"), i)
+        c = c.select(
+            (F.col("vec_id") - i * 10_000_000).alias("vec_id"), "embedding"
+        )
+        j = c.join(base, "vec_id")
+        # both sides unit-ish; the perturbed copy is renormalized, the
+        # base is synthetic unit data — the dot IS the cosine up to
+        # the base's own norm, which divides out below
+        nrm = F.sqrt(F.aggregate("bv", F.lit(0.0), lambda a, x: a + x * x))
+        return j.select(F.avg(dot / nrm).alias("m")).collect()[0]["m"]
+
+    assert avg_cos(1) > 0.98                  # near-dup
+    c9, c20, c99 = avg_cos(9), avg_cos(20), avg_cos(99)
+    assert 0.65 < c9 < 0.85                   # same-region shell edge
+    assert abs(c20 - c9) < 0.08               # capped: i=20 stays in the shell
+    assert abs(c99 - c9) < 0.08               # capped: i=99 stays in the shell
+
+
 def test_ivf_recall_dial_within_band(spark, sf_dir):
     sf01 = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.1")
     if not os.path.isdir(sf01):

@@ -49,9 +49,13 @@ def test_null_block_keys_emit_no_pairs(spark):
     assert sorted(r["vec_id"] for r in drops) == [4]
 
     clusters = clusters_within_blocks(df, "blk", 0.5).collect()
-    # NULL-block rows are excluded entirely (same policy as NULL
-    # vectors); in-block rows 3/4 merge onto the min id
+    # clustering is VERTEX-COMPLETE: NULL-block rows contribute no
+    # edges (equi-join semantics) but still come out as their own
+    # singleton clusters, exactly as the oracle's recursive closure
+    # emits them; in-block rows 3/4 merge onto the min id
     assert {(r["vec_id"], r["cluster_id"]) for r in clusters} == {
+        (1, 1),
+        (2, 2),
         (3, 3),
         (4, 3),
     }
@@ -97,6 +101,13 @@ def test_bench_ab_adjudicate_nan_guard():
 
     with pytest.raises(ValueError):
         adjudicate({"x": 0.0}, {"x": 1.0})    # nothing finite → loud
+
+    # even-length finite list: TRUE median (mean of the two middle
+    # ratios), not the upper-middle element (r11 review)
+    field_even, _, _, _ = adjudicate(
+        {"a": 1.0, "b": 1.0}, {"a": 0.9, "b": 1.3}
+    )
+    assert abs(field_even - 1.1) < 1e-12
 
 
 def test_asof_joins_ignore_null_right_ts(spark):

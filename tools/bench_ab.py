@@ -135,7 +135,10 @@ def adjudicate(
     finite = sorted(r for r in ratios.values() if r == r)
     if not finite:
         raise ValueError("no finite per-query ratios — nothing to adjudicate")
-    field = finite[len(finite) // 2]
+    # true median — the upper-middle element alone biases every
+    # adjusted ratio when the finite list is even-length (r11 review)
+    mid = len(finite) // 2
+    field = finite[mid] if len(finite) % 2 else (finite[mid - 1] + finite[mid]) / 2
     adjusted = {n: r / field for n, r in ratios.items()}
     flagged = sorted(
         set(unmeasurable)

@@ -8,7 +8,12 @@ iterating:
     python tools/check_oracle.py [--sf /root/testdata/sf0.01] [q_name ...]
 
 ``--json PATH`` additionally writes the per-query records in the
-driver's CORRECTNESS_r{N}.json shape — regenerated over ALL ids and
+driver's CORRECTNESS_r{N}.json shape, plus ONE extra ``"_meta"`` key
+(git_rev / working_tree_dirty / pass counts — the staleness stamp,
+VERDICT r10 #2).  Consumers iterating the mapping as query records
+must skip keys starting with ``_``; every other value carries the
+rows_match/schema_match/hash_match/spark_rows/oracle_rows/err fields.
+Regenerated over ALL ids and
 committed as CORRECTNESS_full_r{N}.json each round, so the full
 registry (not any harness sample) has a visible correctness record.
 """
@@ -171,15 +176,26 @@ def main() -> int:
                 capture_output=True, text=True, check=True,
             ).stdout.strip()
             # the artifact being written is expectedly untracked at
-            # sweep time — it must not trip its own dirtiness flag
-            own = os.path.basename(args.json)
+            # sweep time — it must not trip its own dirtiness flag.
+            # Compare the EXACT repo-relative path (porcelain field 2,
+            # or the rename target after " -> ") — a basename-suffix
+            # match would let an unrelated dirty file with the same
+            # name slip through (r11 review).
+            repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            own = os.path.relpath(os.path.abspath(args.json), repo)
             porcelain = subprocess.run(
                 ["git", "status", "--porcelain"],
-                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                capture_output=True, text=True, check=True,
+                cwd=repo, capture_output=True, text=True, check=True,
             ).stdout.splitlines()
+
+            def _path(ln: str) -> str:
+                p = ln[3:]
+                if " -> " in p:
+                    p = p.split(" -> ", 1)[1]
+                return p.strip().strip('"')
+
             dirty = bool(
-                [ln for ln in porcelain if ln.strip() and not ln.endswith(own)]
+                [ln for ln in porcelain if ln.strip() and _path(ln) != own]
             )
         except Exception:
             rev, dirty = None, None
