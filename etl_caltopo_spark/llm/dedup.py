@@ -25,6 +25,7 @@ from etl_caltopo_spark.functions.portable import (
     minhash_signature_cols,
     portable_string_hash_col,
 )
+from etl_caltopo_spark.llm.similarity import vector_finite
 from etl_caltopo_spark.llm.text import tokens
 
 
@@ -594,7 +595,9 @@ def clusters_within_blocks(
     # over the same (empty) edge set would emit it (r11 review: an
     # outright filter here silently dropped such rows from the output
     # while the oracle's recursive closure keeps them as singletons).
-    non_null_vec = emb.where(F.col(vec_col).isNotNull())
+    # Non-finite vectors are excluded with the NULL ones (extremes
+    # r11): a NaN/inf component has no portable cosine in any engine.
+    non_null_vec = emb.where(vector_finite(F.col(vec_col)))
     clustered = (
         non_null_vec.where(F.col(block_col).isNotNull())
         .select(id_col, block_col, vec_col)
@@ -693,8 +696,9 @@ def semdedup_drop_within_blocks(
     # NULL block keys dropped for equi-join parity — see the note on
     # clusters_within_blocks above (ADVICE r10: a groupBy keeps ONE
     # NULL-key group; the expression-form pair join drops NULL blocks).
+    # Non-finite vectors excluded with the NULL ones (extremes r11).
     return (
-        emb.where(F.col(vec_col).isNotNull())
+        emb.where(vector_finite(F.col(vec_col)))
         .where(F.col(block_col).isNotNull())
         .select(id_col, block_col, vec_col)
         .groupBy(block_col)

@@ -17,11 +17,65 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from etl_caltopo_spark.functions.numeric import fround
+from etl_caltopo_spark.functions.numeric import _FLOOR_SAFE, fround
 
 
 def _as_double(v: Column) -> Column:
     return v.cast("array<double>")
+
+
+def vector_finite(col: Column) -> Column:
+    """True iff the vector is non-NULL with no NaN/±inf component.
+
+    Non-finite vectors have NO portable geometry (extremes sweep r11):
+    numpy GEMM follows IEEE (NaN > t is false) while both SQL engines
+    order NaN above every threshold, Spark ML's KMeans rejects them
+    outright, and an inf component turns every dot product into
+    NaN/±inf — so the vector-pair helpers exclude them exactly like
+    NULL vectors (r8 policy).  Mirror: :func:`sql_vector_finite`."""
+    bad = F.exists(
+        _as_double(col),
+        lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+    )
+    return col.isNotNull() & ~bad
+
+
+def sql_vector_finite(expr: str) -> str:
+    """DuckDB mirror of :func:`vector_finite` (expects a list expr)."""
+    return (
+        f"(({expr}) IS NOT NULL AND len(list_filter(CAST(({expr}) AS DOUBLE[]),"
+        f" x -> NOT isfinite(x))) = 0)"
+    )
+
+
+#: float(2**63) — the int64-representability edge, shared with
+#: numeric.fround's saturation guard
+_GRID_EDGE = _FLOOR_SAFE
+
+
+def vector_on_grid(col: Column, scale: float = 10000.0) -> Column:
+    """True iff the vector is non-NULL and every component sits on the
+    ``scale``-scaled int64 grid: ``|x·scale| < 2^63``.  The
+    exact-integer-mean chains (k-means M-step, silhouette centroids)
+    floor-scale components into int64 and REQUIRE this domain — Spark's
+    long floor silently saturates outside it while DuckDB's CAST
+    raises.  One abs() comparison also excludes NaN/±inf, which order
+    above the limit in both engines (extremes r11).  Mirror:
+    :func:`sql_vector_on_grid`."""
+    off = F.exists(
+        _as_double(col),
+        lambda x: F.abs(x * F.lit(float(scale))) >= F.lit(_GRID_EDGE),
+    )
+    return col.isNotNull() & ~off
+
+
+def sql_vector_on_grid(expr: str, scale: float = 10000.0) -> str:
+    """DuckDB mirror of :func:`vector_on_grid`."""
+    s = float(scale)
+    return (
+        f"(({expr}) IS NOT NULL AND len(list_filter(CAST(({expr}) AS DOUBLE[]),"
+        f" x -> abs(x * {s}) >= {_GRID_EDGE})) = 0)"
+    )
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -159,7 +213,12 @@ def embedding_near_pairs(
     """Embedding-cosine near-duplicate pairs within a blocking key
     (exact, deterministic — oracle-checkable).  The blocking key
     bounds the quadratic pair count; at scale the natural key is an
-    LSH bucket (see :func:`embedding_near_pairs_lsh`)."""
+    LSH bucket (see :func:`embedding_near_pairs_lsh`).
+
+    Non-finite vectors are excluded (extremes r11) — without the
+    filter a NaN cosine passes ``>= threshold`` under the engines'
+    NaN-is-largest comparison, diverging from the BLAS form."""
+    emb = emb.where(vector_finite(F.col(vec_col)))
     base = emb.select(
         F.col(id_col).alias("_id"),
         F.col(block_col).alias("_blk"),
@@ -311,8 +370,10 @@ def near_pairs_within_blocks(
     # groupBy would otherwise keep ONE NULL-key group and emit pairs
     # inside it (ADVICE r10).  Current callers (LSH bucket,
     # centroid_id) never produce NULL blocks, so this is defensive.
+    # Non-finite vectors are excluded like NULL ones (extremes r11):
+    # their GEMM geometry is IEEE while the engines' is total-order.
     return (
-        emb.where(F.col(vec_col).isNotNull())
+        emb.where(vector_finite(F.col(vec_col)))
         .where(F.col(block_col).isNotNull())
         .select(id_col, block_col, vec_col)
         .groupBy(block_col)
@@ -364,6 +425,10 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # Spark ML Vectors reject NaN/inf components outright (extremes
+    # r11: USER_RAISED_EXCEPTION from array_to_vector) — non-finite
+    # vectors can't be indexed, exactly like NULL ones.
+    emb = emb.where(vector_finite(F.col(vec_col)))
     with_features = emb.withColumn("_features", array_to_vector(_as_double(F.col(vec_col))))
     model = KMeans(k=n_cells, seed=seed, featuresCol="_features").fit(with_features)
     assigned = model.transform(with_features).withColumnRenamed("prediction", "_cell")

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_caltopo_spark.functions.numeric import fround
+from etl_caltopo_spark.functions.numeric import finite_or_null, fround
 from etl_caltopo_spark.io import load_table
 from etl_caltopo_spark.queries.registry import query
 from etl_caltopo_spark.session import apply_runtime_conf
@@ -221,16 +221,19 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_robust_stats",
     oracle="""
-    WITH med AS (
+    WITH ev AS (
+        SELECT event_type, value FROM events
+        WHERE value IS NULL OR isfinite(value)
+    ), med AS (
         SELECT event_type,
                quantile_cont(value, 0.5) AS med,
                quantile_cont(value, 0.25) AS q1,
                quantile_cont(value, 0.75) AS q3
-        FROM events GROUP BY event_type
+        FROM ev GROUP BY event_type
     ), mad AS (
         SELECT e.event_type,
                quantile_cont(abs(e.value - m.med), 0.5) AS mad
-        FROM events e JOIN med m USING (event_type)
+        FROM ev e JOIN med m USING (event_type)
         GROUP BY e.event_type
     )
     SELECT m.event_type,
@@ -247,9 +250,17 @@ def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-group median broadcast back under the second quantile);
     both engines use the same linear-interpolation quantile, and the
     |x - med| inputs are bitwise-identical doubles, so 4-dp flooring
-    is safely inside the agreement margin."""
+    is safely inside the agreement margin.
+
+    Non-finite observations are excluded (extremes sweep r11): the
+    engines place NaN differently inside interpolated quantiles, and
+    a ±inf observation makes IQR/MAD undefined (inf - inf)."""
     apply_runtime_conf(spark)
-    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .where(finite_or_null(F.col("value")))
+    )
     med = ev.groupBy("event_type").agg(
         F.percentile("value", 0.5).alias("med"),
         F.percentile("value", 0.25).alias("q1"),

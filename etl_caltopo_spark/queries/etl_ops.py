@@ -11,6 +11,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_caltopo_spark.functions.numeric import (
+    bucket_long,
+    finite_or_null,
+    sql_bucket_long,
+)
 from etl_caltopo_spark.functions.temporal import epoch_us
 from etl_caltopo_spark.io import load_table
 from etl_caltopo_spark.operators.merge import merge_upsert
@@ -204,13 +209,17 @@ def q_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_anomaly_zscore",
     oracle="""
-    WITH moments AS (
+    WITH ev AS (
+        SELECT * FROM events
+        WHERE value IS NULL
+           OR (isfinite(value) AND abs(value * 100) < 9.223372036854776e18)
+    ), moments AS (
         SELECT event_type,
                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s1c,
                CAST(sum(CAST(round(value * 100) AS BIGINT)
                         * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s2c,
                CAST(count(*) AS BIGINT) AS n
-        FROM events
+        FROM ev
         GROUP BY event_type
     ), stats AS (
         SELECT event_type, n, s1c / (100.0 * n) AS mean,
@@ -220,7 +229,7 @@ def q_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.event_id, e.event_type,
            (e.value - m.mean) / sqrt(m.var) AS zscore
-    FROM events e JOIN stats m ON e.event_type = m.event_type
+    FROM ev e JOIN stats m ON e.event_type = m.event_type
     WHERE m.var > 0
       AND abs((e.value - m.mean) / sqrt(m.var)) > 2.5
     """,
@@ -243,9 +252,19 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     / DuckDB with sqrt(negative) (code-review r6).
 
     One aggregate + one broadcast join back; the anomaly scan of a
-    100 TB table is two passes, no sort."""
+    100 TB table is two passes, no sort.
+
+    Observations OFF the exact-cents grid are excluded (extremes
+    sweep r11): the method's stated domain is value·100 exactly
+    representable as int64, and outside it the cents cast
+    ANSI-overflows in Spark (NaN/±inf/|v·100| ≥ 2^63) while z-scores
+    over NaN-poisoned moments are meaningless in both engines."""
     apply_runtime_conf(spark)
-    ev = load_table(spark, sf_dir, "events")
+    cents_ok = finite_or_null(F.col("value")) & (
+        F.col("value").isNull()
+        | (F.abs(F.col("value") * 100) < F.lit(9.223372036854776e18))
+    )
+    ev = load_table(spark, sf_dir, "events").where(cents_ok)
     c = F.round(F.col("value") * 100).cast("long")
     moments = ev.groupBy("event_type").agg(
         F.sum(c).alias("s1c"),
@@ -266,21 +285,26 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_histogram",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
-           CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+           {sql_bucket_long("value", 10.0)} AS bucket,
            CAST(count(*) AS BIGINT) AS n
     FROM events
-    GROUP BY event_type, CAST(floor(value / 10.0) AS BIGINT)
+    GROUP BY event_type, {sql_bucket_long("value", 10.0)}
     """,
 )
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram per group (floor-bucketed), the profiling
     primitive behind DQ dashboards — pure partial-aggregating
-    group-by whose shuffle carries one row per (group, bucket)."""
+    group-by whose shuffle carries one row per (group, bucket).
+    ROW-COMPLETE: values whose bucket is not representable on the
+    int64 grid (NaN/±inf/|v/10| ≥ 2^63 — extremes sweep r11: Spark's
+    long floor silently saturates where DuckDB's CAST raises) land in
+    the NULL bucket together with NULL values, so bucket counts
+    always sum to the table's row count."""
     apply_runtime_conf(spark)
     ev = load_table(spark, sf_dir, "events")
-    bucket = F.floor(F.col("value") / 10.0).cast("long")
+    bucket = bucket_long(F.col("value"), 10.0)
     return (
         ev.groupBy("event_type", bucket.alias("bucket"))
         .agg(F.count("*").alias("n"))

@@ -250,6 +250,8 @@ def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(round(c_acctbal * 100) AS BIGINT) * 100000000 - c_custkey)
                AS poorest_cust
     FROM customer
+    WHERE c_acctbal IS NULL
+       OR (isfinite(c_acctbal) AND abs(c_acctbal) <= 9.0e8)
     GROUP BY c_mktsegment
     """,
 )
@@ -257,9 +259,19 @@ def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional aggregates max_by/min_by (arg_max/arg_min).  The
     ordering key is an exact integer composite (2-dp balance grid
     scaled + custkey tiebreak) so ties resolve identically across
-    engines — struct ordering keys aren't portable to DuckDB."""
+    engines — struct ordering keys aren't portable to DuckDB.
+
+    Balances OFF the composite-key grid are excluded (extremes sweep
+    r11): the key is cents·10^8 ± custkey, so it is exact int64 only
+    for |balance| ≤ ~9·10^8 (cents·10^8 < 2^63 with tiebreak
+    headroom) — beyond that, NaN/±inf included, the cents cast or the
+    scale multiply overflows in BOTH engines.  NULL balances were
+    already ignored by both engines' NULL-key skipping."""
     apply_runtime_conf(spark)
-    cust = load_table(spark, sf_dir, "customer")
+    bal_ok = F.col("c_acctbal").isNull() | (
+        ~F.isnan("c_acctbal") & (F.abs("c_acctbal") <= F.lit(9.0e8))
+    )
+    cust = load_table(spark, sf_dir, "customer").where(bal_ok)
     key_hi = F.round(F.col("c_acctbal") * 100).cast("long") * F.lit(100000000)
     return cust.groupBy("c_mktsegment").agg(
         F.max_by("c_custkey", key_hi + F.col("c_custkey")).alias("richest_cust"),

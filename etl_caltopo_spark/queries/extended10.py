@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_caltopo_spark.functions.numeric import fround
+from etl_caltopo_spark.functions.numeric import finite_or_null, fround
 from etl_caltopo_spark.functions.portable import (
     MH_A,
     MH_B,
@@ -46,6 +46,7 @@ from etl_caltopo_spark.functions.portable import (
 )
 from etl_caltopo_spark.io import load_table
 from etl_caltopo_spark.llm import dedup, similarity, text
+from etl_caltopo_spark.llm.similarity import sql_vector_finite as _sql_vector_finite
 from etl_caltopo_spark.queries.registry import query
 from etl_caltopo_spark.session import apply_runtime_conf
 
@@ -202,13 +203,15 @@ def q_span_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_semdedup",
-    oracle="""
+    oracle=f"""
     WITH c AS (
         SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
-        FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL
+        FROM embeddings
+        WHERE vec_id < 8 AND {_sql_vector_finite("embedding")}
     ), p AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        FROM embeddings WHERE vec_id >= 8 AND embedding IS NOT NULL
+        FROM embeddings
+        WHERE vec_id >= 8 AND {_sql_vector_finite("embedding")}
     ), s AS (
         SELECT p.vec_id, c.centroid_id,
                floor(list_dot_product(v, cv) /
@@ -272,9 +275,12 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_conf(spark)
     # NULL vectors can't be assigned or compared (r8 NULL policy;
     # a NULL embedding also must not become a groupBy("embedding")
-    # NULL group with a min-id representative)
+    # NULL group with a min-id representative); non-finite vectors
+    # are excluded with them (extremes r11 — NaN cosine passes every
+    # DESC ordering as the engines' largest value, so an unfiltered
+    # NaN point would grab an arbitrary cell)
     emb = load_table(spark, sf_dir, "embeddings").where(
-        F.col("embedding").isNotNull()
+        similarity.vector_finite(F.col("embedding"))
     )
     cents = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
@@ -901,15 +907,22 @@ def _kmeans_oracle(iters: int = 3) -> str:
             f" + list_dot_product({vc}, {vc})) * 1000000) / 1000000"
         )
 
-    sql = """
+    # the exact-integer M-step needs every component on the 4-dp int64
+    # grid: |x·10^4| < 2^63.  NaN/±inf order above the limit in both
+    # engines, so ONE comparison excludes non-finite AND huge-finite
+    # vectors (extremes r11).
+    from etl_caltopo_spark.llm.similarity import sql_vector_on_grid
+
+    grid = sql_vector_on_grid("embedding")
+    sql = f"""
     WITH p AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        FROM embeddings WHERE vec_id >= 8
+        FROM embeddings WHERE vec_id >= 8 AND {grid}
     ), cent0 AS (
         SELECT vec_id AS centroid_id,
                list_transform(CAST(embedding AS DOUBLE[]),
                               x -> floor(x * 10000) / 10000) AS cv
-        FROM embeddings WHERE vec_id < 8
+        FROM embeddings WHERE vec_id < 8 AND {grid}
     )"""
     for i in range(iters):
         sql += f""", s{i} AS (
@@ -959,7 +972,12 @@ def q_kmeans_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration is one scan + one tiny shuffle (or the loop
     localCheckpoints per round to cut lineage)."""
     apply_runtime_conf(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
+    # 4-dp-grid domain filter — the oracle's `grid` predicate: one
+    # abs() comparison excludes NaN/±inf (they order above the limit
+    # in both engines) and huge-finite components alike (extremes r11)
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        similarity.vector_on_grid(F.col("embedding"))
+    )
     pts = emb.filter(F.col("vec_id") >= 8).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -1625,10 +1643,12 @@ def _embed_lsh_oracle() -> str:
         "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
         " * 1000000) / 1000000"
     )
+    from etl_caltopo_spark.llm.similarity import sql_vector_finite
+
     return f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        WHERE embedding IS NOT NULL
+        WHERE {sql_vector_finite("embedding")}
     ), bucketed AS (
         SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM e
     )
@@ -1665,8 +1685,9 @@ def q_embed_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_conf(spark)
     emb = (
         load_table(spark, sf_dir, "embeddings")
-        # NULL vectors have no bucket (r8 NULL policy)
-        .where(F.col("embedding").isNotNull())
+        # NULL vectors have no bucket (r8 NULL policy); non-finite
+        # ones have no portable geometry (extremes r11)
+        .where(similarity.vector_finite(F.col("embedding")))
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
     bucketed = similarity.attach_bucket(
@@ -2089,6 +2110,7 @@ def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT value AS score,
                CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
         FROM events
+        WHERE value IS NULL OR isfinite(value)
     ), bounds AS (
         SELECT min(score) AS lo, max(score) AS hi FROM scored
     ), binned AS (
@@ -2119,9 +2141,15 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: a broadcast 1-row bounds aggregate, then ONE
     partial-agg shuffle of ≤10 groups — shuffle-free relative to data
-    volume; this is the AUC-family plan that survives 100 TB."""
+    volume; this is the AUC-family plan that survives 100 TB.
+
+    Non-finite scores are excluded (extremes sweep r11: a ±inf bound
+    poisons every bin edge and the bin cast diverges — Spark's floor
+    saturates where DuckDB's CAST raises)."""
     apply_runtime_conf(spark)
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(
+        finite_or_null(F.col("value"))
+    )
     scored = ev.select(
         F.col("value").alias("score"),
         (F.col("event_type") == "click").cast("int").alias("y"),

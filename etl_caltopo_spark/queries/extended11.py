@@ -19,6 +19,10 @@ from etl_caltopo_spark.functions.portable import (
     portable_string_hash_sql,
 )
 from etl_caltopo_spark.io import load_table
+from etl_caltopo_spark.llm import similarity
+from etl_caltopo_spark.llm.similarity import (
+    sql_vector_on_grid as _sql_vector_on_grid,
+)
 from etl_caltopo_spark.llm.text import portable_lower
 from etl_caltopo_spark.queries.registry import query
 from etl_caltopo_spark.session import apply_runtime_conf
@@ -369,7 +373,7 @@ def _simplified_silhouette(member: DataFrame, out_cluster: str) -> DataFrame:
     oracle=_silhouette_chain_sql(
         "",
         "SELECT vec_id, label AS grp, CAST(embedding AS DOUBLE[]) AS v"
-        " FROM embeddings WHERE embedding IS NOT NULL",
+        f" FROM embeddings WHERE {_sql_vector_on_grid('embedding')}",
         "label",
     ),
 )
@@ -396,9 +400,12 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     min over k, and the rollup is a k-group aggregate — no pairwise
     stage anywhere."""
     apply_runtime_conf(spark)
-    # NULL vectors have no distances (r8 NULL-injection policy)
+    # NULL vectors have no distances (r8 NULL-injection policy);
+    # off-4-dp-grid vectors (NaN/±inf/huge components) can't feed the
+    # exact-integer centroid means (extremes r11 — Spark's long floor
+    # saturates, DuckDB's sum overflows)
     emb = load_table(spark, sf_dir, "embeddings").where(
-        F.col("embedding").isNotNull()
+        similarity.vector_on_grid(F.col("embedding"))
     )
     member = emb.select(
         "vec_id",
@@ -408,12 +415,14 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simplified_silhouette(member, "label")
 
 
-_IVF_ASSIGN_PRELUDE = """c0 AS (
+_IVF_ASSIGN_PRELUDE = f"""c0 AS (
         SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv0
-        FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL
+        FROM embeddings
+        WHERE vec_id < 8 AND {_sql_vector_on_grid("embedding")}
     ), p AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        FROM embeddings WHERE vec_id >= 8 AND embedding IS NOT NULL
+        FROM embeddings
+        WHERE vec_id >= 8 AND {_sql_vector_on_grid("embedding")}
     ), scored AS (
         SELECT p.vec_id, p.v, c.centroid_id,
                floor(list_dot_product(v, cv0) /
@@ -464,9 +473,10 @@ def q_silhouette_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_caltopo_spark.llm import similarity
     from etl_caltopo_spark.operators.rank import pin_frame
 
-    # NULL vectors can't be assigned or measured (r8 NULL policy)
+    # NULL vectors can't be assigned or measured (r8 NULL policy);
+    # off-grid vectors excluded like q_silhouette's (extremes r11)
     emb = load_table(spark, sf_dir, "embeddings").where(
-        F.col("embedding").isNotNull()
+        similarity.vector_on_grid(F.col("embedding"))
     )
     cents0 = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv0")

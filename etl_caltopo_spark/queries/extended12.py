@@ -30,7 +30,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from etl_caltopo_spark.functions.numeric import fround
+from etl_caltopo_spark.functions.numeric import (
+    bucket_long,
+    fround,
+    sql_bucket_long,
+)
 from etl_caltopo_spark.io import load_table
 from etl_caltopo_spark.queries.registry import query
 from etl_caltopo_spark.session import apply_runtime_conf
@@ -678,9 +682,9 @@ def q_quantile_sketch_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_dp_histogram",
-    oracle="""
+    oracle=f"""
     WITH g AS (
-        SELECT CAST(floor(value / 10) AS BIGINT) AS bucket,
+        SELECT {sql_bucket_long("value", 10.0)} AS bucket,
                CAST(count(*) AS BIGINT) AS n
         FROM events GROUP BY 1
     ), noised AS (
@@ -711,11 +715,14 @@ def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Spark and DuckDB both keep the dividend's sign).
 
     Scale shape: one partial-agg shuffle to the bounded bucket grid;
-    noise is a scalar expression per bucket."""
+    noise is a scalar expression per bucket.  ROW-COMPLETE like
+    q_histogram: off-int64-grid values (NaN/±inf/huge — extremes
+    sweep r11) share the NULL bucket, whose noisy count degrades to
+    NULL in both engines (the noise draw needs an integer bucket)."""
     apply_runtime_conf(spark)
     ev = load_table(spark, sf_dir, "events")
     g = ev.groupBy(
-        F.floor(F.col("value") / 10).cast("bigint").alias("bucket")
+        bucket_long(F.col("value"), 10.0).alias("bucket")
     ).agg(F.count("*").cast("bigint").alias("n"))
     nonneg = ((F.col("bucket") % 2147483647) + 2147483647) % 2147483647
     draw = (
@@ -1780,13 +1787,14 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_k_anonymity",
-    oracle="""
+    oracle=f"""
     SELECT c_nationkey AS nation, c_mktsegment AS segment,
-           CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_bucket,
+           {sql_bucket_long("c_acctbal", 2000.0)} AS bal_bucket,
            CAST(count(*) AS BIGINT) AS group_size,
            count(*) < 5 AS k_violation
     FROM customer
-    GROUP BY c_nationkey, c_mktsegment, floor(c_acctbal / 2000)
+    GROUP BY c_nationkey, c_mktsegment,
+             {sql_bucket_long("c_acctbal", 2000.0)}
     """,
 )
 def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1800,13 +1808,21 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     not just a pass/fail scalar.
 
     Scale shape: ONE partial-agg shuffle to the quasi-identifier
-    grid — the audit costs the same as the groupBy it guards."""
+    grid — the audit costs the same as the groupBy it guards.
+
+    The audit must stay ROW-COMPLETE (a dropped customer would
+    under-count an equivalence class), so an off-int64-grid balance
+    (NaN/±inf/huge) maps to the NULL bucket — the same class NULL
+    balances already form — instead of being excluded (extremes
+    sweep r11: the raw bucket cast saturates in Spark and raises in
+    DuckDB out there)."""
     apply_runtime_conf(spark)
     cust = load_table(spark, sf_dir, "customer")
+    bal_bucket = bucket_long(F.col("c_acctbal"), 2000.0)
     return cust.groupBy(
         F.col("c_nationkey").alias("nation"),
         F.col("c_mktsegment").alias("segment"),
-        F.floor(F.col("c_acctbal") / 2000).cast("bigint").alias("bal_bucket"),
+        bal_bucket.alias("bal_bucket"),
     ).agg(
         F.count("*").cast("bigint").alias("group_size"),
         (F.count("*") < 5).alias("k_violation"),
@@ -1815,14 +1831,15 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_l_diversity",
-    oracle="""
+    oracle=f"""
     SELECT c.c_nationkey AS nation, c.c_mktsegment AS segment,
-           CAST(floor(c.c_acctbal / 2000) AS BIGINT) AS bal_bucket,
+           {sql_bucket_long("c.c_acctbal", 2000.0)} AS bal_bucket,
            CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
            CAST(count(DISTINCT o.o_orderpriority) AS BIGINT) AS n_sensitive,
            count(DISTINCT o.o_orderpriority) < 3 AS l_violation
     FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
-    GROUP BY c.c_nationkey, c.c_mktsegment, floor(c.c_acctbal / 2000)
+    GROUP BY c.c_nationkey, c.c_mktsegment,
+             {sql_bucket_long("c.c_acctbal", 2000.0)}
     """,
 )
 def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1841,7 +1858,11 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one equi-join on the customer key (broadcast-eligible
     dim side) and one partial-agg shuffle to the quasi grid; the
-    distinct counts are per-group, never global."""
+    distinct counts are per-group, never global.
+
+    Same row-complete bucket rule as q_k_anonymity: the partition
+    must match the k-anonymity classes, so an off-int64-grid balance
+    maps to the NULL bucket rather than dropping the customer."""
     apply_runtime_conf(spark)
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
@@ -1850,10 +1871,11 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "o_orderpriority"
     )
     j = cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+    bal_bucket = bucket_long(F.col("c_acctbal"), 2000.0)
     return j.groupBy(
         F.col("c_nationkey").alias("nation"),
         F.col("c_mktsegment").alias("segment"),
-        F.floor(F.col("c_acctbal") / 2000).cast("bigint").alias("bal_bucket"),
+        bal_bucket.alias("bal_bucket"),
     ).agg(
         F.countDistinct("c_custkey").cast("bigint").alias("n_customers"),
         F.countDistinct("o_orderpriority").cast("bigint").alias("n_sensitive"),

@@ -315,10 +315,13 @@ def q_knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH c AS (
         SELECT c_custkey, c_mktsegment,
-               CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
-               min(CAST(round(c_acctbal * 100) AS BIGINT))
+               CASE WHEN abs(c_acctbal * 100) < 9.223372036854776e18
+                    THEN CAST(round(c_acctbal * 100) AS BIGINT) END AS cents,
+               min(CASE WHEN abs(c_acctbal * 100) < 9.223372036854776e18
+                        THEN CAST(round(c_acctbal * 100) AS BIGINT) END)
                    OVER (PARTITION BY c_mktsegment) AS mn,
-               max(CAST(round(c_acctbal * 100) AS BIGINT))
+               max(CASE WHEN abs(c_acctbal * 100) < 9.223372036854776e18
+                        THEN CAST(round(c_acctbal * 100) AS BIGINT) END)
                    OVER (PARTITION BY c_mktsegment) AS mx
         FROM customer
     )
@@ -337,10 +340,20 @@ def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor (degenerate groups where max = min yield null).  One
     shuffle on the 5-value segment key; the scale path for skewed or
     high-cardinality group keys is groupBy + broadcast-join-back
-    instead of the window."""
+    instead of the window.
+
+    Row-preserving, so balances OFF the exact-cents int64 grid
+    (NaN/±inf/|v·100| ≥ 2^63) scale to NULL like NULLs do (extremes
+    sweep r11: the cents cast ANSI-overflows in Spark and raises in
+    DuckDB out there) — the row stays, the group bounds ignore it.
+    NaN routes into the NULL branch because both engines order NaN
+    above every threshold, so the abs() comparison is false."""
     apply_runtime_conf(spark)
     cust = load_table(spark, sf_dir, "customer")
-    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    cents = F.when(
+        F.abs(F.col("c_acctbal") * 100) < F.lit(9.223372036854776e18),
+        F.round(F.col("c_acctbal") * 100).cast("long"),
+    )
     w = Window.partitionBy("c_mktsegment")
     c = cust.select(
         "c_custkey",

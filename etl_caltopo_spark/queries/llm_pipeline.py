@@ -239,7 +239,7 @@ def _dedup_embed_oracle() -> str:
     return f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        WHERE embedding IS NOT NULL
+        WHERE {similarity.sql_vector_finite("embedding")}
     ), bucketed AS (
         SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM e
     )
@@ -420,10 +420,10 @@ def _cc_components_cte() -> str:
     -> recursive transitive closure -> min-label components.  Used by
     BOTH q_dedup_clusters and q_dedup_resolve so the threshold/cosine
     algebra lives in one string (code-review r6)."""
-    return """
+    return f"""
     WITH base AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        WHERE embedding IS NOT NULL
+        WHERE {similarity.sql_vector_finite("embedding")}
     ), pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -934,7 +934,7 @@ def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_embed_quantize",
-    oracle="""
+    oracle=f"""
     WITH base AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), normed AS (
@@ -949,7 +949,8 @@ def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM base
     )
     SELECT vec_id, l2 AS l2_norm,
-           CASE WHEN l2 > 0 THEN array_to_string(
+           CASE WHEN {similarity.sql_vector_finite("v")} AND l2 > 0
+                THEN array_to_string(
                list_transform(v, x -> CAST(floor(x / l2 * 127) AS INTEGER)), ','
            ) END AS q8
     FROM normed
@@ -972,9 +973,13 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # NULL q8 for a zero-norm vector: ANSI Spark would raise
     # DIVIDE_BY_ZERO where DuckDB yields NULL elements — the same
-    # guard cosine() carries (code-review r6)
+    # guard cosine() carries (code-review r6).  NULL q8 likewise for a
+    # non-finite vector (extremes r11: floor(NaN) silently yields 0 in
+    # Spark where DuckDB's INT cast raises); the row and its raw
+    # l2_norm — inf/NaN propagate identically through the sequential
+    # fold in both engines — are kept.
     q8 = F.when(
-        F.col("l2_norm") > 0,
+        similarity.vector_finite(F.col("v")) & (F.col("l2_norm") > 0),
         F.array_join(
             F.transform(
                 F.col("v"),

@@ -34,11 +34,16 @@ RUNNING_TOTALS_OUTPUT = StructType(
     ]
 )
 
-#: persisted per-key state: (event count, value sum)
+#: persisted per-key state: (event count, value sum, non-null count).
+#:
+#: CHECKPOINT COMPATIBILITY: n_nonnull was added by the r11 extremes
+#: sweep (same upgrade contract as SESSION_STATE's r7 note — drain on
+#: the old code, restart fresh on this one).
 RUNNING_TOTALS_STATE = StructType(
     [
         StructField("n", LongType(), False),
         StructField("total", DoubleType(), False),
+        StructField("n_nonnull", LongType(), False),
     ]
 )
 
@@ -47,15 +52,49 @@ def _running_totals_fn(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
     """Accumulate (count, sum(value)) per user across micro-batches;
-    emit the updated running totals each batch."""
+    emit the updated running totals each batch.
+
+    SQL-sum semantics over the Arrow boundary (extremes sweep r11):
+    Arrow hands pandas a float64 column in which SQL NULL and a true
+    NaN value are the SAME NaN, and pandas ``.sum()`` default-skips
+    both — so a genuine NaN observation silently vanished where
+    SQL sum propagates it.  The caller therefore pre-splits the
+    column into ``_v_filled`` (NULL→0.0, real values untouched) and
+    ``_v_nonnull`` (0/1); the fold sums ``_v_filled`` with
+    ``skipna=False`` so NaN/±inf propagate exactly like SQL sum, and
+    the emitted total is NULL iff no non-null value was ever seen —
+    the SQL all-NULL-group result."""
     (user_id,) = key
-    n, total = state.get if state.exists else (0, 0.0)
+    n, total, n_nonnull = state.get if state.exists else (0, 0.0, 0)
+    if total is None:  # a NaN total nan_as_null'd on the state round-trip
+        total = float("nan")
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
+        total += float(pdf["_v_filled"].sum(skipna=False))
+        n_nonnull += int(pdf["_v_nonnull"].sum())
+    state.update((n, total, n_nonnull))
     yield pd.DataFrame(
-        {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_value": _float_or_null(total, bool(n_nonnull)),
+        }
+    )
+
+
+def _float_or_null(value: float, valid: bool):
+    """One-element nullable float column that can carry a TRUE NaN.
+
+    A plain float64 NaN is re-read as SQL NULL on the Arrow boundary
+    out of a pandas UDF (nan_as_null) — so a NaN running total (a
+    genuine NaN observation, extremes r11) silently became NULL where
+    SQL sum yields NaN.  FloatingArray's explicit mask separates the
+    two: masked → NULL, unmasked NaN → NaN."""
+    import numpy as np
+
+    return pd.arrays.FloatingArray(
+        np.array([value if valid else 0.0], dtype=np.float64),
+        np.array([not valid]),
     )
 
 
@@ -196,23 +235,46 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
             self._state = handle.getValueState("totals", RUNNING_TOTALS_STATE)
 
         def handleInputRows(self, key, rows, timerValues):
-            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            # same SQL-sum-over-Arrow discipline as _running_totals_fn
+            n, total, n_nonnull = (
+                self._state.get() if self._state.exists() else (0, 0.0, 0)
+            )
+            if total is None:  # NaN nan_as_null'd on the state round-trip
+                total = float("nan")
             for pdf in rows:
                 n += len(pdf)
-                total += float(pdf["value"].sum())
-            self._state.update((n, total))
+                total += float(pdf["_v_filled"].sum(skipna=False))
+                n_nonnull += int(pdf["_v_nonnull"].sum())
+            self._state.update((n, total, n_nonnull))
             yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": _float_or_null(total, bool(n_nonnull)),
+                }
             )
 
         def close(self) -> None:
             pass
 
-    return events.groupBy("user_id").transformWithStateInPandas(
+    return _split_value_for_sum(events).groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=_Totals(),
         outputStructType=RUNNING_TOTALS_OUTPUT,
         outputMode="Update",
         timeMode="None",
+    )
+
+
+def _split_value_for_sum(events: DataFrame):
+    """Pre-split ``value`` so the pandas fold can honor SQL sum
+    semantics (see :func:`_running_totals_fn`): NULLs become 0.0 +
+    a zero non-null flag BEFORE Arrow conflates them with NaN."""
+    from pyspark.sql import functions as F
+
+    return events.select(
+        "user_id",
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("_v_filled"),
+        F.col("value").isNotNull().cast("long").alias("_v_nonnull"),
     )
 
 
@@ -221,7 +283,7 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     operator the built-in aggregates can't express in update mode with
     arbitrary state shape.  Works on a streaming DataFrame grouped by
     user_id; one state tuple per user."""
-    return events.groupBy("user_id").applyInPandasWithState(
+    return _split_value_for_sum(events).groupBy("user_id").applyInPandasWithState(
         _running_totals_fn,
         outputStructType=RUNNING_TOTALS_OUTPUT,
         stateStructType=RUNNING_TOTALS_STATE,

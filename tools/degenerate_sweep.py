@@ -1,6 +1,6 @@
 """Full-registry oracle sweeps over PERTURBED data (round 8).
 
-Builds an sf0.001 replica under one of three perturbation modes and
+Builds an sf0.001 replica under one of five perturbation modes and
 runs tools/check_oracle.py over EVERY registered id against it:
 
 - ``degenerate``: constant lineitem discount AND quantity (variance
@@ -28,11 +28,22 @@ runs tools/check_oracle.py over EVERY registered id against it:
   "i"+combining dot, utf8proc maps 1:1 — fixed engine-wide by
   llm/text.portable_lower's simple case fold); \\x0B re-verified the
   documented RE2-vs-Java \\s tokenization rule registry-wide.
+- ``extremes`` (round 11): ~3% of events.value and customer.c_acctbal
+  replaced with a cycling extreme double — ±inf, NaN, ±max-double,
+  a denormal, -0.0, and 2.5e13 (a FINITE value above the dp=6
+  floor-scaling grid) — plus three poisoned embedding vectors (one
+  inf component, one NaN component, one all-1e200 norm-overflow).
+  Probes the edges the other four modes never reach: Spark's
+  floor(double)->LONG saturation vs DuckDB's double floor (caught
+  the fround silent-corruption fix, functions/numeric.py), NaN
+  ordering/grouping parity, and aggregate overflow asymmetry
+  (DuckDB stddev raises OutOfRange where Spark yields NaN).
 
 Each mode must read the SAME pass/rows-only/fail split as the
 normal-data sweep (278/10/0 at the r8 registry).
 
-Usage: python tools/degenerate_sweep.py [--mode degenerate|nulls|shuffled]
+Usage: python tools/degenerate_sweep.py
+       [--mode degenerate|nulls|shuffled|unitext|extremes]
        [--base /root/testdata/sf0.001] [q_name ...]
 """
 
@@ -159,11 +170,83 @@ def build_unitext(spark, base: str, out: str) -> None:
         _write_single(df, out, t)
 
 
+#: extremes mode: cycling extreme doubles.  2.5e13 is deliberately a
+#: FINITE value above the dp=6 floor-scaling grid (2^63 / 1e6 ≈
+#: 9.2e12) — it probes the fround saturation guard without leaving
+#: the finite domain.
+EXTREME_DOUBLES = [
+    float("inf"),
+    float("-inf"),
+    float("nan"),
+    1.7976931348623157e308,
+    -1.7976931348623157e308,
+    5e-324,
+    -0.0,
+    2.5e13,
+]
+
+
+def _extreme_expr(col: str, key_cols: list[str], pct: int = 3):
+    """~pct% of rows (hash-selected) get a cycling extreme double."""
+    from pyspark.sql import functions as F
+
+    h = F.abs(F.hash(*[F.col(k) for k in key_cols]))
+    sel = h % 100 < pct
+    pick = (h % 1000) % len(EXTREME_DOUBLES)
+    expr = F.col(col)
+    for i, v in enumerate(EXTREME_DOUBLES):
+        expr = F.when(sel & (pick == i), F.lit(v)).otherwise(expr)
+    return expr
+
+
+def build_extremes(spark, base: str, out: str) -> None:
+    from pyspark.sql import functions as F
+
+    from etl_caltopo_spark.io import TABLES, load_table
+
+    for t in TABLES:
+        df = load_table(spark, base, t)
+        if t == "events":
+            df = df.withColumn("value", _extreme_expr("value", ["event_id"]))
+        elif t == "customer":
+            df = df.withColumn(
+                "c_acctbal", _extreme_expr("c_acctbal", ["c_custkey"])
+            )
+        elif t == "embeddings":
+            # embedding is array<float> — cast every injected literal
+            # to float so the when() coercion can't widen the array to
+            # double and silently change the table schema.  1e19 is
+            # finite in float32 (max 3.4e38); its SQUARE only
+            # overflows once norms/dot-products accumulate, probing
+            # whether both engines do that math at double width.
+            inf_f = F.lit(float("inf")).cast("float")
+            nan_f = F.lit(float("nan")).cast("float")
+            huge_f = F.lit(1e19).cast("float")
+            inf_vec = F.transform(
+                F.col("embedding"),
+                lambda x, i: F.when(i == 0, inf_f).otherwise(x),
+            )
+            nan_vec = F.transform(
+                F.col("embedding"),
+                lambda x, i: F.when(i == 1, nan_f).otherwise(x),
+            )
+            huge_vec = F.transform(F.col("embedding"), lambda x: huge_f)
+            df = df.withColumn(
+                "embedding",
+                F.when(F.col("vec_id") == 1, inf_vec)
+                .when(F.col("vec_id") == 2, nan_vec)
+                .when(F.col("vec_id") == 3, huge_vec)
+                .otherwise(F.col("embedding")),
+            )
+        _write_single(df, out, t)
+
+
 BUILDERS = {
     "degenerate": build_degenerate,
     "nulls": build_nulls,
     "shuffled": build_shuffled,
     "unitext": build_unitext,
+    "extremes": build_extremes,
 }
 
 
