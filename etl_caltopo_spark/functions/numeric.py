@@ -84,6 +84,47 @@ def sql_finite_or_null(expr: str) -> str:
     return f"(({expr}) IS NULL OR isfinite({expr}))"
 
 
+#: variance-family observation bound: squared deviations and their
+#: accumulated sum must stay finite in float64.  1e100 leaves 10^86
+#: headroom over any physical row count (n × (2·10^100)² ≤ n·4e200,
+#: finite past 10^107 rows), while DuckDB's Welford/stddev raises
+#: OutOfRange the moment a deviation square overflows — Spark yields
+#: NaN there, so the portable variance domain is bounded magnitudes.
+_VAR_SAFE = 1e100
+
+
+def variance_safe(col: Column) -> Column:
+    """Filter predicate for variance/corr/regr observations: keeps
+    NULLs (the aggregates skip them identically) and finite values
+    with ``|x| < 1e100``; NaN/±inf order above the bound in both
+    engines, so one comparison excludes them too.  Mirror:
+    :func:`sql_variance_safe`."""
+    return col.isNull() | (F.abs(col) < F.lit(_VAR_SAFE))
+
+
+def sql_variance_safe(expr: str) -> str:
+    """The DuckDB-side mirror of :func:`variance_safe`."""
+    return f"(({expr}) IS NULL OR abs({expr}) < {_VAR_SAFE})"
+
+
+def cents(col: Column) -> Column:
+    """Exact-cents int64: ``round(col · 100)`` as long, NULL whenever
+    the scaled value is off the int64 grid (NaN/±inf/|v·100| ≥ 2^63 —
+    extremes r11 wave 2: the raw cast ANSI-raises in Spark and raises
+    in DuckDB out there; NaN orders above the limit in both engines so
+    one comparison covers everything).  Mirror: :func:`sql_cents`."""
+    scaled = col * F.lit(100.0)
+    return F.when(F.abs(scaled) < F.lit(_FLOOR_SAFE), F.round(scaled).cast("long"))
+
+
+def sql_cents(expr: str) -> str:
+    """The DuckDB-side mirror of :func:`cents`."""
+    return (
+        f"CASE WHEN abs(({expr}) * 100.0) < {_FLOOR_SAFE}"
+        f" THEN CAST(round(({expr}) * 100.0) AS BIGINT) END"
+    )
+
+
 def bucket_long(col: Column, width: float) -> Column:
     """Portable equi-width bucket id: ``floor(col / width)`` as int64,
     NULL whenever the quotient is NOT representable on the int64 grid

@@ -40,12 +40,44 @@ def rank_group_pandas(
     """Per-group ranking via applyInPandas (grouped-map): each group
     arrives as one pandas DataFrame; output schema is declared.  The
     integer-exact equivalent of row_number() — used to validate the
-    grouped-map surface against a window-function oracle."""
+    grouped-map surface against a window-function oracle.
+
+    SQL-total-order over the Arrow boundary (extremes r11 wave 2):
+    pandas sorts NaN LAST regardless of direction, and Arrow hands it
+    both SQL NULLs and true NaNs as the same NaN — while SQL's DESC
+    order puts a true NaN FIRST (NaN is the engines' largest double)
+    and NULLs last.  A Spark-side ``_ord_class`` column (2 = NaN,
+    1 = value, 0 = NULL) restores the distinction; within the NaN
+    class all keys tie (SQL: NaN = NaN) so the tiebreak decides, and
+    within the NULL class likewise."""
+    from pyspark.sql import functions as F
+
+    is_double = dict(df.dtypes).get(order_col) in ("double", "float")
+    if is_double:
+        oc = F.col(order_col)
+        df = df.withColumn(
+            "_ord_class",
+            F.when(F.isnan(oc), F.lit(2))
+            .when(oc.isNotNull(), F.lit(1))
+            .otherwise(F.lit(0)),
+        ).withColumn(
+            # NaN-free sort key: classes 2 (all-NaN, SQL: NaN = NaN tie)
+            # and 0 (NULL) collapse to a constant so the tiebreak
+            # decides; pandas then never sees a NaN in any sort key
+            "_ord_key",
+            F.when(F.col("_ord_class") == 1, oc).otherwise(F.lit(0.0)),
+        )
 
     def rank(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(
-            [order_col, tiebreak_col], ascending=[False, True], kind="mergesort"
+        keys = (
+            ["_ord_class", "_ord_key", tiebreak_col]
+            if is_double
+            else [order_col, tiebreak_col]
         )
+        asc = [False, False, True] if is_double else [False, True]
+        pdf = pdf.sort_values(keys, ascending=asc, kind="mergesort")
+        if is_double:
+            pdf = pdf.drop(columns=["_ord_class", "_ord_key"])
         pdf = pdf.reset_index(drop=True)
         pdf["rn"] = pdf.index + 1
         return pdf

@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_caltopo_spark.functions.numeric import fround
+from etl_caltopo_spark.functions.numeric import (
+    finite_or_null,
+    fround,
+    sql_variance_safe,
+    variance_safe,
+)
 from etl_caltopo_spark.io import TABLES, load_table
 from etl_caltopo_spark.queries.registry import query
 from etl_caltopo_spark.session import apply_runtime_conf
@@ -281,18 +286,25 @@ def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_agg_stats",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
            floor(stddev_samp(l_quantity) * 10000) / 10000 AS qty_stddev,
            floor(var_samp(l_quantity) * 10000) / 10000 AS qty_var
     FROM lineitem
+    WHERE {sql_variance_safe("l_quantity")}
     GROUP BY l_returnflag
     """,
 )
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates (sample stddev/variance)."""
+    """Statistical aggregates (sample stddev/variance).  Observations
+    outside the portable variance domain (|x| ≥ 1e100, NaN/±inf) are
+    excluded (extremes r11 wave 2): DuckDB's accumulator raises
+    OutOfRange the moment a squared deviation overflows, where Spark
+    yields NaN — there is no shared answer out there."""
     apply_runtime_conf(spark)
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        variance_safe(F.col("l_quantity"))
+    )
     return li.groupBy("l_returnflag").agg(
         fround(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
         fround(F.var_samp("l_quantity"), 4).alias("qty_var"),
@@ -392,15 +404,21 @@ def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
            quantile_cont(l_quantity, 0.5) AS median_qty,
            quantile_cont(l_quantity, 0.9) AS p90_qty
     FROM lineitem
+    WHERE l_quantity IS NULL OR isfinite(l_quantity)
     GROUP BY l_returnflag
     """,
 )
 def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (both engines use the same
     linear interpolation over sorted values; quantity is integral so
-    results land on .0/.5 grid points)."""
+    results land on .0/.5 grid points).  Non-finite observations are
+    excluded (extremes r11 wave 2): Spark's percentile ranks NaN as
+    the largest value while DuckDB's quantile_cont SKIPS it, shifting
+    every upper percentile by one position."""
     apply_runtime_conf(spark)
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        finite_or_null(F.col("l_quantity"))
+    )
     return li.groupBy("l_returnflag").agg(
         F.percentile("l_quantity", 0.5).alias("median_qty"),
         F.percentile("l_quantity", 0.9).alias("p90_qty"),

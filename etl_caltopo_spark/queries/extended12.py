@@ -48,6 +48,7 @@ from etl_caltopo_spark.session import apply_runtime_conf
                CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS is_a
         FROM lineitem WHERE l_returnflag IN ('A', 'R')
               AND l_quantity IS NOT NULL
+              AND abs(l_quantity) < 9.223372036854776e18
     ), grid AS (
         SELECT x, CAST(sum(is_a) AS BIGINT) AS ca,
                CAST(sum(1 - is_a) AS BIGINT) AS cb
@@ -94,9 +95,12 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # NULL quantities are missing observations, dropped on both
     # sides (r8 NULL-injection policy, see q_auc)
+    # NaN/±inf/huge excluded with the NULLs: the exact-cents cast
+    # raises in both engines off the int64 grid (extremes r11 wave 2)
     base = li.filter(
         F.col("l_returnflag").isin("A", "R")
         & F.col("l_quantity").isNotNull()
+        & (F.abs("l_quantity") < F.lit(9.223372036854776e18))
     ).select(
         F.round("l_quantity").cast("bigint").alias("x"),
         F.when(F.col("l_returnflag") == "A", 1).otherwise(0).alias("is_a"),
@@ -139,6 +143,7 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS is_a
         FROM lineitem WHERE l_returnflag IN ('A', 'R')
               AND l_quantity IS NOT NULL
+              AND abs(l_quantity) < 9.223372036854776e18
     ), grid AS (
         SELECT x, CAST(count(*) AS BIGINT) AS c,
                CAST(sum(is_a) AS BIGINT) AS ca
@@ -180,9 +185,12 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # NULL quantities are missing observations, dropped on both
     # sides (r8 NULL-injection policy, see q_auc)
+    # NaN/±inf/huge excluded with the NULLs: the exact-cents cast
+    # raises in both engines off the int64 grid (extremes r11 wave 2)
     base = li.filter(
         F.col("l_returnflag").isin("A", "R")
         & F.col("l_quantity").isNotNull()
+        & (F.abs("l_quantity") < F.lit(9.223372036854776e18))
     ).select(
         F.round("l_quantity").cast("bigint").alias("x"),
         F.when(F.col("l_returnflag") == "A", 1).otherwise(0).alias("is_a"),

@@ -8,7 +8,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_caltopo_spark.functions.numeric import fround
+from etl_caltopo_spark.functions.numeric import (
+    finite,
+    fround,
+    sql_variance_safe,
+    variance_safe,
+)
 from etl_caltopo_spark.io import load_table
 from etl_caltopo_spark.queries.registry import query
 from etl_caltopo_spark.session import apply_runtime_conf
@@ -194,14 +199,19 @@ def q_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor(exp(l_discount) * 10000) / 10000 AS e_disc,
            floor(log10(l_extendedprice) * 10000) / 10000 AS log10_price,
            floor(pow(l_quantity, 2) * 100) / 100 AS qty_sq,
-           CAST(sign(l_discount - 0.05) AS INTEGER) AS disc_sign,
+           CASE WHEN isfinite(l_discount)
+                THEN CAST(sign(l_discount - 0.05) AS INTEGER) END AS disc_sign,
            CAST(l_orderkey % 7 AS BIGINT) AS key_mod
     FROM lineitem
     """,
 )
 def q_math_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exp/log10/pow/sign/mod (transcendentals floor-scaled — libm
-    results can differ by ulps across engines)."""
+    results can differ by ulps across engines).  disc_sign is NULL
+    for a non-finite discount (extremes r11 wave 2: sign(NaN) = NaN,
+    whose INT cast ANSI-raises in Spark and raises in DuckDB); the
+    transcendental columns propagate inf/NaN identically through the
+    guarded fround."""
     apply_runtime_conf(spark)
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
@@ -210,7 +220,10 @@ def q_math_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.exp("l_discount"), 4).alias("e_disc"),
         fround(F.log10("l_extendedprice"), 4).alias("log10_price"),
         fround(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
-        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+        F.when(
+            finite(F.col("l_discount")),
+            F.signum(F.col("l_discount") - 0.05).cast("int"),
+        ).alias("disc_sign"),
         (F.col("l_orderkey") % 7).alias("key_mod"),
     )
 
@@ -349,11 +362,13 @@ def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_agg_corr",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
            floor(corr(l_quantity, l_extendedprice) * 10000) / 10000 AS qty_price_corr,
            floor(covar_samp(l_quantity, l_extendedprice) * 100) / 100 AS qty_price_cov
     FROM lineitem
+    WHERE {sql_variance_safe("l_quantity")}
+      AND {sql_variance_safe("l_extendedprice")}
     GROUP BY l_returnflag
     """,
 )
@@ -375,9 +390,18 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     either side is NULL, and a plain stddev_pop(x) would include
     x-values whose partner is NULL (caught by the r8 NULL-injection
     sweep: the naive form diverged from DuckDB corr at the 4-dp floor
-    with 2% nulls)."""
+    with 2% nulls).
+
+    Variance-domain bound (extremes r11 wave 2): observations with
+    |x| ≥ 1e100 on either side are excluded — DuckDB's corr/stddev
+    accumulator raises OutOfRange once a squared deviation overflows,
+    Spark yields NaN; NaN/±inf order above the bound in both engines
+    so the same comparison excludes them too."""
     apply_runtime_conf(spark)
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        variance_safe(F.col("l_quantity"))
+        & variance_safe(F.col("l_extendedprice"))
+    )
     both = F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
     sx = F.stddev_pop(F.when(both, F.col("l_quantity")))
     sy = F.stddev_pop(F.when(both, F.col("l_extendedprice")))

@@ -13,7 +13,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_caltopo_spark.functions.numeric import fround
+from etl_caltopo_spark.functions.numeric import (
+    fround,
+    sql_variance_safe,
+    variance_safe,
+)
+
+#: shared variance-domain predicates (extremes r11 wave 2)
+_VS_QTY = sql_variance_safe("l_quantity")
+_VS_PRICE = sql_variance_safe("l_extendedprice")
 from etl_caltopo_spark.io import load_table
 from etl_caltopo_spark.queries.registry import query
 from etl_caltopo_spark.session import apply_runtime_conf
@@ -86,7 +94,7 @@ def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_agg_regr",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
            CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pts,
            floor(regr_slope(l_extendedprice, l_quantity) * 10000) / 10000
@@ -96,6 +104,7 @@ def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor(regr_r2(l_extendedprice, l_quantity) * 10000) / 10000
                AS r2
     FROM lineitem
+    WHERE {_VS_PRICE} AND {_VS_QTY}
     GROUP BY l_returnflag
     """,
 )
@@ -103,9 +112,15 @@ def q_agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear-regression aggregates (regr_slope / intercept / r2 /
     count) — the SQL:2003 bivariate fitting family, one shuffle with
     partial aggregation.  4-dp floor-scaling absorbs the sub-1e-10
-    summation-order difference (same policy as q_agg_corr)."""
+    summation-order difference (same policy as q_agg_corr, including
+    the variance-domain bound: DuckDB's regr accumulators raise
+    OutOfRange past |x| ~1e100 where Spark yields NaN — extremes r11
+    wave 2)."""
     apply_runtime_conf(spark)
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        variance_safe(F.col("l_extendedprice"))
+        & variance_safe(F.col("l_quantity"))
+    )
     y, x = F.col("l_extendedprice"), F.col("l_quantity")
     return li.groupBy("l_returnflag").agg(
         F.regr_count(y, x).cast("bigint").alias("n_pts"),
@@ -292,6 +307,9 @@ def q_skyline_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS wavg_price,
            CAST(sum(l_quantity) AS BIGINT) AS total_qty
     FROM lineitem
+    WHERE l_quantity IS NULL
+       OR (isfinite(l_quantity)
+           AND abs(l_quantity) < 9.223372036854776e18)
     GROUP BY l_returnflag
     """,
 )
@@ -299,9 +317,17 @@ def q_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantity-weighted average price (the VWAP shape): sum of
     grid-exact products over sum of integral weights, one partial-
     aggregating shuffle.  round(sum, 2) recovers the exact grid sum
-    before the division, so the quotient is bit-identical."""
+    before the division, so the quotient is bit-identical.
+
+    The weight total is an exact int64 by contract, so weights OFF
+    the int64 grid (NaN/±inf/huge — extremes r11 wave 2: the BIGINT
+    cast raises in BOTH engines on them) are excluded."""
     apply_runtime_conf(spark)
-    li = load_table(spark, sf_dir, "lineitem")
+    qty_ok = F.col("l_quantity").isNull() | (
+        ~F.isnan("l_quantity")
+        & (F.abs("l_quantity") < F.lit(9.223372036854776e18))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(qty_ok)
     return li.groupBy("l_returnflag").agg(
         (
             F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2)

@@ -17,7 +17,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_caltopo_spark.functions.numeric import fround
+from etl_caltopo_spark.functions.numeric import (
+    cents,
+    fround,
+    sql_cents as _sql_cents,
+)
 from etl_caltopo_spark.io import load_table
 from etl_caltopo_spark.queries.registry import query
 from etl_caltopo_spark.session import apply_runtime_conf
@@ -27,7 +31,9 @@ from etl_caltopo_spark.session import apply_runtime_conf
 
 
 def _cents(col: str) -> F.Column:
-    return F.round(F.col(col) * 100).cast("long")
+    # off-int64-grid values (NaN/±inf/huge) yield NULL cents on both
+    # engines — numeric.cents / sql_cents (extremes r11 wave 2)
+    return cents(F.col(col))
 
 
 # log10(1 + 1/d) for d=1..9, pre-rounded to 4 dp and inlined as
@@ -42,6 +48,7 @@ _BENFORD_PCT = [30.103, 17.6091, 12.4939, 9.691, 7.9181, 6.6947, 5.7992, 5.115, 
         SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
                            1, 1) AS INTEGER) AS digit
         FROM orders
+        WHERE o_totalprice >= 1 AND o_totalprice < 9.223372036854776e18
     )
     SELECT digit,
            CAST(count(*) AS BIGINT) AS n_obs,
@@ -60,9 +67,19 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the exact integer part (no log10: floor(log10(x)) flips at
     power-of-ten boundaries under double rounding).  One shuffle on a
     9-value key with map-side partial counts; the share is a
-    9-row unpartitioned window (driver-trivial)."""
+    9-row unpartitioned window (driver-trivial).
+
+    Benford's domain is positive int64-grid magnitudes — the WHERE
+    bound excludes NaN/±inf/huge (extremes r11 wave 2: Spark's
+    saturated floor stringifies to '-92233…' whose first char '-'
+    ANSI-crashes the digit cast; DuckDB's BIGINT cast raises first).
+    NaN falls out of ``x < limit`` in both engines (NaN-is-largest),
+    sub-1 values are out of audit scope (seeded totals are ≥ 900)."""
     apply_runtime_conf(spark)
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_totalprice") >= 1)
+        & (F.col("o_totalprice") < F.lit(9.223372036854776e18))
+    )
     digit = (
         F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1)
         .cast("int")
@@ -83,11 +100,12 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_gini",
-    oracle="""
+    oracle=f"""
     WITH rev AS (
         SELECT o_custkey,
-               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+               SUM({_sql_cents("o_totalprice")}) AS rev_c
         FROM orders GROUP BY 1
+        HAVING SUM({_sql_cents("o_totalprice")}) IS NOT NULL
     ), r AS (
         SELECT rev_c,
                row_number() OVER (ORDER BY rev_c, o_custkey) AS rn
@@ -116,10 +134,14 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     # pinned so the rank probe scans the customer-cardinality
     # aggregate instead of re-shuffling all of orders (rank.pin_frame)
+    # a customer whose EVERY total is off the cents grid (extremes
+    # r11 wave 2) has a NULL revenue — excluded on both sides, else
+    # its rank position diverges (Spark sorts ASC NULLS FIRST, DuckDB
+    # NULLS LAST) and shifts every rn after it
     rev = pin_frame(
-        orders.groupBy("o_custkey").agg(
-            F.sum(_cents("o_totalprice")).alias("rev_c")
-        )
+        orders.groupBy("o_custkey")
+        .agg(F.sum(_cents("o_totalprice")).alias("rev_c"))
+        .where(F.col("rev_c").isNotNull())
     )
     r = global_row_number(
         rev,
@@ -141,11 +163,11 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_hhi",
-    oracle="""
+    oracle=f"""
     WITH rev AS (
         SELECT n_name,
                p_brand,
-               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_c
+               SUM({_sql_cents("l_extendedprice")}) AS rev_c
         FROM lineitem
         JOIN part ON p_partkey = l_partkey
         JOIN supplier ON s_suppkey = l_suppkey
@@ -195,10 +217,10 @@ def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_interpolate_linear",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
         SELECT o_orderdate AS d,
-               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS v_c
+               SUM({_sql_cents("o_totalprice")}) AS v_c
         FROM orders
         GROUP BY 1
         HAVING day(o_orderdate) % 3 <> 0
@@ -628,26 +650,24 @@ def q_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_corr_matrix",
-    oracle="""
-    SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
-           floor(corr(l_quantity, l_extendedprice) * 10000) / 10000 AS pearson_r
-    FROM lineitem
-    UNION ALL
-    SELECT 'l_quantity', 'l_discount',
-           floor(corr(l_quantity, l_discount) * 10000) / 10000 FROM lineitem
-    UNION ALL
-    SELECT 'l_quantity', 'l_tax',
-           floor(corr(l_quantity, l_tax) * 10000) / 10000 FROM lineitem
-    UNION ALL
-    SELECT 'l_extendedprice', 'l_discount',
-           floor(corr(l_extendedprice, l_discount) * 10000) / 10000 FROM lineitem
-    UNION ALL
-    SELECT 'l_extendedprice', 'l_tax',
-           floor(corr(l_extendedprice, l_tax) * 10000) / 10000 FROM lineitem
-    UNION ALL
-    SELECT 'l_discount', 'l_tax',
-           floor(corr(l_discount, l_tax) * 10000) / 10000 FROM lineitem
-    """,
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{a}' AS col_x, '{b}' AS col_y,
+           floor(corr(
+               CASE WHEN abs({a}) < 1e+100 AND abs({b}) < 1e+100
+                    THEN {a} END,
+               CASE WHEN abs({a}) < 1e+100 AND abs({b}) < 1e+100
+                    THEN {b} END) * 10000) / 10000 AS pearson_r
+    FROM lineitem"""
+        for a, b in [
+            ("l_quantity", "l_extendedprice"),
+            ("l_quantity", "l_discount"),
+            ("l_quantity", "l_tax"),
+            ("l_extendedprice", "l_discount"),
+            ("l_extendedprice", "l_tax"),
+            ("l_discount", "l_tax"),
+        ]
+    ),
 )
 def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlation matrix over the lineitem numeric
@@ -667,11 +687,19 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         # even under a CASE guard (aggregates evaluate before the
         # projection; r8 degenerate sweep) — DuckDB yields NULL.
         # stddevs masked to pairwise-complete rows: corr() drops a
-        # pair when EITHER side is NULL (r8 NULL-injection sweep)
-        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        # pair when EITHER side is NULL (r8 NULL-injection sweep).
+        # The mask also bounds the pair to the portable variance
+        # domain |x| < 1e100 (extremes r11 wave 2 — NULL and NaN both
+        # fail the abs() comparison, NaN because it orders largest),
+        # and covar_pop consumes the SAME masked pair so all three
+        # moments see identical observations.
+        both = (F.abs(F.col(a)) < F.lit(1e100)) & (
+            F.abs(F.col(b)) < F.lit(1e100)
+        )
         sa = F.stddev_pop(F.when(both, F.col(a)))
         sb = F.stddev_pop(F.when(both, F.col(b)))
-        return F.when((sa > 0) & (sb > 0), F.covar_pop(a, b) / (sa * sb))
+        cov = F.covar_pop(F.when(both, F.col(a)), F.when(both, F.col(b)))
+        return F.when((sa > 0) & (sb > 0), cov / (sa * sb))
 
     aggs = [
         fround(pearson(a, b), 4).alias(f"r_{i}")

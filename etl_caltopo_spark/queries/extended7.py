@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_caltopo_spark.functions.numeric import fround
+from etl_caltopo_spark.functions.numeric import cents, fround, sql_cents
 from etl_caltopo_spark.io import load_table
 from etl_caltopo_spark.llm import similarity
 from etl_caltopo_spark.queries.registry import query
@@ -378,11 +378,11 @@ def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_feature_bins",
-    oracle="""
+    oracle=f"""
     WITH t AS (
-        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        SELECT {sql_cents("o_totalprice")} AS cents,
                ntile(10) OVER (
-                   ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
+                   ORDER BY {sql_cents("o_totalprice")}
                                 ASC NULLS FIRST,
                             o_orderkey) AS decile
         FROM orders
@@ -401,7 +401,10 @@ def q_feature_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic, so bin edges are exact ints.  The decile comes from
     the distributed two-pass rank (operators/rank.py — VERDICT r6 #1):
     exact global row number + frame count feed the same ntile row
-    arithmetic, and the orders frame never sorts into one task."""
+    arithmetic, and the orders frame never sorts into one task.
+    Off-grid totals (NaN/±inf/huge — extremes r11 wave 2) take the
+    NULL cents the NULL-total rows already ride (ASC NULLS FIRST,
+    pinned in the oracle since the r8 nulls sweep)."""
     apply_runtime_conf(spark)
     from etl_caltopo_spark.operators.rank import (
         global_row_number,
@@ -409,9 +412,8 @@ def q_feature_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     orders = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     r = global_row_number(
-        orders.select(cents.alias("cents"), "o_orderkey"),
+        orders.select(cents(F.col("o_totalprice")).alias("cents"), "o_orderkey"),
         "cents",
         [F.col("cents"), F.col("o_orderkey")],
         rn_col="_grn",

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_caltopo_spark.functions.numeric import fround
+from etl_caltopo_spark.functions.numeric import cents, fround, sql_cents
 from etl_caltopo_spark.io import load_table
 from etl_caltopo_spark.llm import text
 from etl_caltopo_spark.queries.registry import query
@@ -480,9 +480,9 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_window_median",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey, o_custkey,
-           median(CAST(round(o_totalprice * 100) AS BIGINT))
+           median({sql_cents("o_totalprice")})
                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100.0
                AS trailing_median_price
@@ -503,8 +503,13 @@ def q_window_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_conf(spark)
     orders = load_table(spark, sf_dir, "orders")
     w0 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
-    d = orders.select("o_orderkey", "o_custkey", "o_orderdate", cents.alias("c"))
+    # off-grid totals take NULL cents (numeric.cents, extremes r11
+    # wave 2) and fall out of the frame via array_compact, exactly
+    # like NULL totals — DuckDB's median skips them the same way
+    d = orders.select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        cents(F.col("o_totalprice")).alias("c"),
+    )
     d = d.withColumn(
         "arr",
         F.array_sort(

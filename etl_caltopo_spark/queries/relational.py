@@ -301,24 +301,33 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            floor(l_extendedprice * (1 + l_tax) * 100) / 100 AS gross,
            floor(abs(l_discount - 0.05) * 10000) / 10000 AS disc_dev,
-           CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
-           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+           CASE WHEN abs(l_quantity) < 9.223372036854776e18
+                THEN CAST(ceil(l_quantity) AS BIGINT) END AS qty_ceil,
+           CASE WHEN abs(l_quantity) < 9.223372036854776e18
+                THEN CAST(floor(l_quantity) AS BIGINT) END AS qty_floor,
            floor(sqrt(l_extendedprice) * 10000) / 10000 AS price_sqrt,
            floor(ln(l_extendedprice + 1) * 10000) / 10000 AS price_ln
     FROM lineitem
     """,
 )
 def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Math function family ([EXT] completion, SURVEY §2.3)."""
+    """Math function family ([EXT] completion, SURVEY §2.3).
+
+    qty_ceil/qty_floor are int64 by contract, so an off-grid quantity
+    (NaN/±inf/|q| ≥ 2^63 — extremes r11 wave 2: Spark's long
+    ceil/floor saturate silently where DuckDB's cast raises) yields
+    NULL on both engines; disc_dev rides fround's guarded grid
+    (inf/NaN propagate identically)."""
     apply_runtime_conf(spark)
     li = load_table(spark, sf_dir, "lineitem")
+    qty_ok = F.abs(F.col("l_quantity")) < F.lit(9.223372036854776e18)
     return li.select(
         "l_orderkey",
         "l_linenumber",
         fround(F.col("l_extendedprice") * (1 + F.col("l_tax")), 2).alias("gross"),
         fround(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
-        F.ceil("l_quantity").alias("qty_ceil"),
-        F.floor("l_quantity").alias("qty_floor"),
+        F.when(qty_ok, F.ceil("l_quantity")).alias("qty_ceil"),
+        F.when(qty_ok, F.floor("l_quantity")).alias("qty_floor"),
         fround(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
         fround(F.log(F.col("l_extendedprice") + 1), 4).alias("price_ln"),
     )

@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_caltopo_spark.functions.numeric import fround, sql_fround
+from etl_caltopo_spark.functions.numeric import (
+    cents,
+    fround,
+    sql_cents,
+    sql_fround,
+)
 from etl_caltopo_spark.functions.temporal import epoch_us
 from etl_caltopo_spark.io import load_table
 from etl_caltopo_spark.queries.registry import query
@@ -175,9 +180,10 @@ def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH rev AS (
         SELECT o_custkey,
-               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               CAST(sum({sql_cents("o_totalprice")}) AS BIGINT)
                    AS revenue_c
         FROM orders GROUP BY o_custkey
+        HAVING sum({sql_cents("o_totalprice")}) IS NOT NULL
     ), tot AS (
         SELECT CAST(sum(revenue_c) AS BIGINT) AS total_c FROM rev
     )
@@ -212,10 +218,15 @@ def q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_caltopo_spark.operators.rank import global_running_sum, pin_frame
 
     orders = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    # pinned: the probe and the total each scan the customer-
-    # cardinality aggregate, not a re-shuffle of orders (pin_frame)
-    rev = pin_frame(orders.groupBy("o_custkey").agg(F.sum(cents).alias("revenue_c")))
+    # off-grid totals (NaN/±inf/huge — extremes r11 wave 2) yield NULL
+    # cents (numeric.cents); a customer whose EVERY total is off-grid
+    # is excluded like q_gini's — its NULL revenue would rank
+    # engine-differently (NULLS FIRST vs LAST)
+    rev = pin_frame(
+        orders.groupBy("o_custkey")
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("revenue_c"))
+        .where(F.col("revenue_c").isNotNull())
+    )
     total = rev.agg(F.sum("revenue_c").alias("total_c"))
     cum = global_running_sum(
         rev,

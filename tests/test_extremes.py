@@ -194,6 +194,76 @@ def test_vector_predicates_parity(spark):
     assert dfin == fin and dgrid == grid
 
 
+def test_cents_extreme_parity(spark):
+    """cents / sql_cents agree for every double: exact int64 cents on
+    the grid, NULL off it (NaN/±inf/huge — where the raw round+cast
+    ANSI-raises in Spark and raises in DuckDB)."""
+    from etl_caltopo_spark.functions.numeric import cents, sql_cents
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(EXTREMES)] + [(len(EXTREMES), None)],
+        "id long, v double",
+    )
+    got = {
+        r.id: r.c for r in df.select("id", cents(F.col("v")).alias("c")).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, {_duck_lit(v)})" for i, v in enumerate(EXTREMES))
+        + f", ({len(EXTREMES)}, NULL::DOUBLE)) t(id, v)"
+    )
+    want = dict(con.execute(f"select id, {sql_cents('v')} from t").fetchall())
+    assert got == want
+    assert got[EXTREMES.index(123456.789)] == 12345679  # round half-up
+    assert got[EXTREMES.index(1e300)] is None
+    assert got[EXTREMES.index(INF)] is None
+
+
+def test_variance_safe_parity(spark):
+    """variance_safe / sql_variance_safe keep the same rows on both
+    engines, and the bound is the real portable variance domain:
+    DuckDB's stddev raises OutOfRange past it where Spark yields NaN."""
+    from etl_caltopo_spark.functions.numeric import (
+        sql_variance_safe,
+        variance_safe,
+    )
+
+    vals = [1.0, None, 1e99, 1e100, 1.7976931348623157e308, INF, -INF, NAN]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v double"
+    )
+    kept = {r.id for r in df.where(variance_safe(F.col("v"))).collect()}
+    assert kept == {0, 1, 2}  # NULL kept; 1e100/huge/inf/nan excluded
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(
+            f"({i}, {'NULL::DOUBLE' if v is None else _duck_lit(v)})"
+            for i, v in enumerate(vals)
+        )
+        + ") t(id, v)"
+    )
+    dkept = {
+        r[0]
+        for r in con.execute(
+            f"select id from t where {sql_variance_safe('v')}"
+        ).fetchall()
+    }
+    assert dkept == kept
+    # the bound is load-bearing: unfiltered max-double RAISES in DuckDB
+    with pytest.raises(duckdb.OutOfRangeException):
+        con.execute("select stddev_samp(v) from t where not isnan(v)").fetchone()
+    # and the filtered domain aggregates cleanly
+    assert (
+        con.execute(
+            f"select stddev_samp(v) from t where {sql_variance_safe('v')}"
+        ).fetchone()[0]
+        is not None
+    )
+
+
 def test_float_or_null_carries_nan_through_arrow(spark):
     """_float_or_null must deliver a TRUE NaN out of a pandas UDF —
     plain float64 NaN is nan_as_null'd to SQL NULL on the Arrow

@@ -28,11 +28,12 @@ runs tools/check_oracle.py over EVERY registered id against it:
   "i"+combining dot, utf8proc maps 1:1 — fixed engine-wide by
   llm/text.portable_lower's simple case fold); \\x0B re-verified the
   documented RE2-vs-Java \\s tokenization rule registry-wide.
-- ``extremes`` (round 11): ~3% of events.value and customer.c_acctbal
+- ``extremes`` (round 11): ~3% of events.value, customer.c_acctbal,
+  lineitem.l_discount/l_quantity, and orders.o_totalprice (wave 2)
   replaced with a cycling extreme double — ±inf, NaN, ±max-double,
   a denormal, -0.0, and 2.5e13 (a FINITE value above the dp=6
   floor-scaling grid) — plus three poisoned embedding vectors (one
-  inf component, one NaN component, one all-1e200 norm-overflow).
+  inf component, one NaN component, one all-1e19 norm-overflow).
   Probes the edges the other four modes never reach: Spark's
   floor(double)->LONG saturation vs DuckDB's double floor (caught
   the fround silent-corruption fix, functions/numeric.py), NaN
@@ -211,6 +212,20 @@ def build_extremes(spark, base: str, out: str) -> None:
         elif t == "customer":
             df = df.withColumn(
                 "c_acctbal", _extreme_expr("c_acctbal", ["c_custkey"])
+            )
+        elif t == "lineitem":
+            # wave 2: the TPC-H money/quantity columns — the fact
+            # surface the r11 wave-1 injection never reached
+            df = df.withColumn(
+                "l_discount",
+                _extreme_expr("l_discount", ["l_orderkey", "l_linenumber"]),
+            ).withColumn(
+                "l_quantity",
+                _extreme_expr("l_quantity", ["l_linenumber", "l_orderkey"]),
+            )
+        elif t == "orders":
+            df = df.withColumn(
+                "o_totalprice", _extreme_expr("o_totalprice", ["o_orderkey"])
             )
         elif t == "embeddings":
             # embedding is array<float> — cast every injected literal
