@@ -362,6 +362,7 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id, event_type,
            CAST(epoch_us(ts) AS BIGINT) AS ts_us
     FROM events
+    WHERE epoch_us(ts) >= 0
     """,
 )
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -383,7 +384,14 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     -drop semantics hash-checked, not just row-counted.  (The final
     driver materialization is harness plumbing for the grader;
     production streams keep the same plan and write to a durable
-    sink.)  Protocol plumbing: ingest.run_two_phase."""
+    sink.)  Protocol plumbing: ingest.run_two_phase.
+
+    Domain (temporal sweep r11): event times >= epoch 0 — Spark's
+    watermark clock bottoms at 1970-01-01, so a pre-epoch row is BORN
+    LATE and dropped by the operator from the first batch; the
+    operator filter makes that contract explicit and the oracle
+    mirrors it (no-op on the seeded 2024 data).  The phase split
+    likewise ignores pre-epoch rows when placing its boundaries."""
     apply_runtime_conf(spark)
     from etl_caltopo_spark.streaming.ingest import (
         run_two_phase,
@@ -393,7 +401,16 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts"
     )
-    bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    # boundaries from IN-DOMAIN (post-epoch) rows only: a pre-epoch
+    # outlier would otherwise drag lo centuries down and degenerate
+    # the older/newer split (temporal sweep r11)
+    in_domain = ev.filter(
+        F.col("ts").cast("timestamp_ntz")
+        >= F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    bounds = in_domain.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).first()
     span = bounds["hi"] - bounds["lo"]
     mid = bounds["lo"] + span / 2
     early = bounds["lo"] + span / 4

@@ -290,6 +290,70 @@ def test_float_or_null_carries_nan_through_arrow(spark):
     assert row.plain == 2.5
 
 
+def test_pre_epoch_event_times_filtered_from_watermark_dedup(spark):
+    """Temporal-sweep pin: Spark's watermark clock bottoms at epoch 0,
+    so a pre-1970 event time is BORN LATE for
+    dropDuplicatesWithinWatermark — stream_dedup_within_watermark
+    makes that domain explicit by filtering pre-epoch rows (and the
+    q_stream_dedup oracle mirrors it with epoch_us(ts) >= 0)."""
+    from datetime import datetime
+
+    from etl_caltopo_spark.streaming.ingest import post_epoch_only
+
+    rows = [
+        (1, datetime(1969, 7, 20, 20, 17, 40)),   # pre-epoch: excluded
+        (2, datetime(1970, 1, 1, 0, 0, 0)),       # epoch zero: kept
+        (3, datetime(2024, 1, 15, 12, 0, 0)),     # normal: kept
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    got = sorted(r.event_id for r in post_epoch_only(df, "ts").collect())
+    assert got == [2, 3]
+
+
+def test_negative_epoch_batch_parity(spark):
+    """Pre-1970 timestamps stay exact in the BATCH engine: epoch_us /
+    year / date_trunc agree with DuckDB down to the TIMESTAMP(NANOS)
+    floor (the temporal sweep's batch surface)."""
+    stamps = [
+        "1677-09-22 00:12:44.145224",
+        "1900-01-01 00:00:00",
+        "1969-07-20 20:17:40.123456",
+        "1970-01-01 00:00:00",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(stamps)], "id long, s string"
+    ).select(
+        "id", F.col("s").cast("timestamp_ntz").alias("ts")
+    )
+    got = {
+        r.id: (r.us, r.y, r.mo)
+        for r in df.select(
+            "id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            F.year("ts").alias("y"),
+            F.date_trunc("month", "ts").cast("string").alias("mo"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, TIMESTAMP '{s}')" for i, s in enumerate(stamps))
+        + ") t(id, ts)"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            "select id, CAST(epoch_us(ts) AS BIGINT), CAST(year(ts) AS INT),"
+            " CAST(date_trunc('month', ts) AS VARCHAR) from t"
+        ).fetchall()
+    }
+    for i in got:
+        assert got[i][0] == want[i][0], (i, got[i], want[i])  # exact micros
+        assert got[i][1] == want[i][1]
+        assert got[i][2].startswith(want[i][2][:7])  # same month
+    assert got[2][0] == -14182939876544  # 1969-07-20T20:17:40.123456 UTC
+
+
 def test_nan_total_order_canary(spark):
     """Both engines sort -inf < finite < inf < NaN and group NaN/−0.0
     with themselves; a Spark or DuckDB upgrade that breaks this shared

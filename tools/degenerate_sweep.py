@@ -39,12 +39,19 @@ runs tools/check_oracle.py over EVERY registered id against it:
   the fround silent-corruption fix, functions/numeric.py), NaN
   ordering/grouping parity, and aggregate overflow asymmetry
   (DuckDB stddev raises OutOfRange where Spark yields NaN).
+- ``temporal`` (round 11): ~2% of events.ts replaced with PAST-side
+  extreme timestamps (the TIMESTAMP(NANOS) floor, 1900, a
+  negative-epoch value with odd microseconds, epoch zero) — probes
+  negative-epoch integer arithmetic, pre-1970 date_trunc/year/week
+  logic, sessionization across century gaps, and as-of joins with
+  huge deltas.  Future-side extremes are deliberately excluded (see
+  EXTREME_TIMESTAMPS).
 
 Each mode must read the SAME pass/rows-only/fail split as the
 normal-data sweep (278/10/0 at the r8 registry).
 
 Usage: python tools/degenerate_sweep.py
-       [--mode degenerate|nulls|shuffled|unitext|extremes]
+       [--mode degenerate|nulls|shuffled|unitext|extremes|temporal]
        [--base /root/testdata/sf0.001] [q_name ...]
 """
 
@@ -256,12 +263,52 @@ def build_extremes(spark, base: str, out: str) -> None:
         _write_single(df, out, t)
 
 
+#: temporal mode: PAST-side timestamp extremes only.  Future
+#: outliers (e.g. 2262, the ns-range ceiling) are deliberately NOT
+#: injected: a far-future event time legitimately advances a
+#: streaming watermark and drops later batches' events — the
+#: streamed-equals-batch contract is then undefined BY DESIGN
+#: (operator semantics, not an engine divergence), while past
+#: extremes arrive in ts order under the two-phase protocol and keep
+#: it intact.  Values probe the int96/ns floor, negative-epoch
+#: arithmetic (epoch_us < 0; integer div vs floor division), and
+#: pre-Gregorian-reform-adjacent date logic.
+EXTREME_TIMESTAMPS = [
+    "1677-09-22 00:12:44.145224",  # just above the TIMESTAMP(NANOS) floor
+    "1900-01-01 00:00:00",
+    "1969-07-20 20:17:40.123456",  # negative epoch with odd micros
+    "1970-01-01 00:00:00",         # epoch zero
+]
+
+
+def build_temporal(spark, base: str, out: str, pct: int = 2) -> None:
+    from pyspark.sql import functions as F
+
+    from etl_caltopo_spark.io import TABLES, load_table
+
+    for t in TABLES:
+        df = load_table(spark, base, t)
+        if t == "events":
+            h = F.abs(F.hash(F.col("event_id")))
+            sel = h % 100 < pct
+            pick = (h % 1000) % len(EXTREME_TIMESTAMPS)
+            expr = F.col("ts")
+            for i, s in enumerate(EXTREME_TIMESTAMPS):
+                expr = F.when(
+                    sel & (pick == i),
+                    F.lit(s).cast("timestamp_ntz").cast(dict(df.dtypes)["ts"]),
+                ).otherwise(expr)
+            df = df.withColumn("ts", expr)
+        _write_single(df, out, t)
+
+
 BUILDERS = {
     "degenerate": build_degenerate,
     "nulls": build_nulls,
     "shuffled": build_shuffled,
     "unitext": build_unitext,
     "extremes": build_extremes,
+    "temporal": build_temporal,
 }
 
 
