@@ -50,8 +50,6 @@ def rank_group_pandas(
     1 = value, 0 = NULL) restores the distinction; within the NaN
     class all keys tie (SQL: NaN = NaN) so the tiebreak decides, and
     within the NULL class likewise."""
-    from pyspark.sql import functions as F
-
     is_double = dict(df.dtypes).get(order_col) in ("double", "float")
     if is_double:
         oc = F.col(order_col)

@@ -32,7 +32,10 @@ def vector_finite(col: Column) -> Column:
     order NaN above every threshold, Spark ML's KMeans rejects them
     outright, and an inf component turns every dot product into
     NaN/±inf — so the vector-pair helpers exclude them exactly like
-    NULL vectors (r8 policy).  Mirror: :func:`sql_vector_finite`."""
+    NULL vectors (r8 policy).  A vector CONTAINING a NULL element is
+    excluded too (exists() three-valued logic degrades the predicate
+    to NULL, which where() drops — and the SQL mirror spells that arm
+    out explicitly).  Mirror: :func:`sql_vector_finite`."""
     bad = F.exists(
         _as_double(col),
         lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
@@ -41,10 +44,16 @@ def vector_finite(col: Column) -> Column:
 
 
 def sql_vector_finite(expr: str) -> str:
-    """DuckDB mirror of :func:`vector_finite` (expects a list expr)."""
+    """DuckDB mirror of :func:`vector_finite` (expects a list expr).
+
+    The element predicate includes ``x IS NULL``: DuckDB's
+    list_filter DISCARDS elements whose predicate is NULL, while
+    Spark's exists() degrades to NULL (dropping the row) — without
+    the explicit NULL arm a vector containing a NULL element would
+    be kept here and dropped there (r11 continuation self-review)."""
     return (
         f"(({expr}) IS NOT NULL AND len(list_filter(CAST(({expr}) AS DOUBLE[]),"
-        f" x -> NOT isfinite(x))) = 0)"
+        f" x -> x IS NULL OR NOT isfinite(x))) = 0)"
     )
 
 
@@ -70,11 +79,13 @@ def vector_on_grid(col: Column, scale: float = 10000.0) -> Column:
 
 
 def sql_vector_on_grid(expr: str, scale: float = 10000.0) -> str:
-    """DuckDB mirror of :func:`vector_on_grid`."""
+    """DuckDB mirror of :func:`vector_on_grid` (same explicit NULL
+    element arm as :func:`sql_vector_finite` — list_filter discards
+    NULL-predicate elements where Spark's exists() drops the row)."""
     s = float(scale)
     return (
         f"(({expr}) IS NOT NULL AND len(list_filter(CAST(({expr}) AS DOUBLE[]),"
-        f" x -> abs(x * {s}) >= {_GRID_EDGE})) = 0)"
+        f" x -> x IS NULL OR abs(x * {s}) >= {_GRID_EDGE})) = 0)"
     )
 
 

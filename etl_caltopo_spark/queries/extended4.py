@@ -18,10 +18,6 @@ from etl_caltopo_spark.functions.numeric import (
     sql_variance_safe,
     variance_safe,
 )
-
-#: shared variance-domain predicates (extremes r11 wave 2)
-_VS_QTY = sql_variance_safe("l_quantity")
-_VS_PRICE = sql_variance_safe("l_extendedprice")
 from etl_caltopo_spark.io import load_table
 from etl_caltopo_spark.queries.registry import query
 from etl_caltopo_spark.session import apply_runtime_conf
@@ -104,7 +100,8 @@ def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor(regr_r2(l_extendedprice, l_quantity) * 10000) / 10000
                AS r2
     FROM lineitem
-    WHERE {_VS_PRICE} AND {_VS_QTY}
+    WHERE {sql_variance_safe("l_extendedprice")}
+      AND {sql_variance_safe("l_quantity")}
     GROUP BY l_returnflag
     """,
 )

@@ -411,6 +411,17 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = in_domain.agg(
         F.min("ts").alias("lo"), F.max("ts").alias("hi")
     ).first()
+    if bounds["lo"] is None:
+        # no in-domain rows (empty table or all pre-epoch): the
+        # stream would emit nothing — return the empty frame with the
+        # output schema instead of a NoneType-arithmetic crash
+        # (r11 continuation self-review)
+        return ev.limit(0).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            epoch_us(F.col("ts").cast("timestamp_ntz")).alias("ts_us"),
+        )
     span = bounds["hi"] - bounds["lo"]
     mid = bounds["lo"] + span / 2
     early = bounds["lo"] + span / 4

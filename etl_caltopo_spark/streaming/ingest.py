@@ -83,8 +83,6 @@ def stream_dedup_within_watermark(
     very first batch regardless of arrival order (temporal sweep
     r11).  The filter makes that contract explicit instead of a
     silent drop; the graded oracle mirrors it."""
-    from pyspark.sql import functions as F
-
     df, _ = as_event_time(df, ts_col)
     df = post_epoch_only(df, ts_col)
     return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
@@ -97,8 +95,6 @@ def post_epoch_only(df: DataFrame, ts_col: str) -> DataFrame:
     timezone-independent; factored out so the domain contract is
     pinned by a batch test (the dedup operator itself only runs on
     streams)."""
-    from pyspark.sql import functions as F
-
     return df.where(
         F.col(ts_col).cast("timestamp_ntz")
         >= F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")

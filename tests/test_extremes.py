@@ -162,6 +162,11 @@ def test_vector_predicates_parity(spark):
         (3, [1e19, 1e19]),        # huge-finite: finite but OFF-grid
         (4, None),                # NULL vector
         (5, [0.0, -0.0]),         # zeros
+        # NULL ELEMENT: Spark's exists() degrades to NULL and drops
+        # the row; the SQL mirror needs its explicit `x IS NULL` arm
+        # because DuckDB's list_filter DISCARDS NULL-predicate
+        # elements (r11 continuation self-review finding)
+        (6, [None, 1.0]),
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     fin = {r.vec_id for r in df.where(vector_finite(F.col("embedding"))).collect()}
@@ -173,7 +178,11 @@ def test_vector_predicates_parity(spark):
     def lit(v):
         if v is None:
             return "NULL::DOUBLE[]"
-        return "[" + ",".join(_duck_lit(x) for x in v) + "]::DOUBLE[]"
+        return (
+            "["
+            + ",".join("NULL" if x is None else _duck_lit(x) for x in v)
+            + "]::DOUBLE[]"
+        )
     con.execute(
         "CREATE TABLE t AS SELECT * FROM (VALUES "
         + ",".join(f"({i}, {lit(v)})" for i, v in rows)
