@@ -37,7 +37,14 @@ _FLOOR_SAFE = 9.223372036854776e18
 
 
 def fround(col: Column, dp: int) -> Column:
-    """Engine-portable fixed-point truncation of a double column."""
+    """Engine-portable fixed-point truncation of a double column.
+
+    Sign-of-zero exception (ADVICE r11): on -0.0 the long-floor
+    branch returns integer 0, so fround yields +0.0 where DuckDB's
+    double floor preserves -0.0.  The values compare EQUAL in both
+    engines (and the oracle canon normalizes the sign), so parity is
+    value-level everywhere but bitwise only away from -0.0 — don't
+    build anything on the sign bit of a fround(0) output."""
     scale = float(10**dp)
     scaled = col * F.lit(scale)
     return F.when(

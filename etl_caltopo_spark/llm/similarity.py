@@ -597,6 +597,11 @@ def ivf_candidate_pairs(
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql.window import Window
 
+    # Spark ML Vectors reject NaN/inf components outright (extremes
+    # r11: USER_RAISED_EXCEPTION from array_to_vector) — non-finite
+    # vectors can't be indexed, exactly like NULL ones (ADVICE r11:
+    # ivf_topk had this guard; the candidate-pair entries did not).
+    emb = emb.where(vector_finite(F.col(vec_col)))
     with_features = emb.withColumn(
         "_features", array_to_vector(_as_double(F.col(vec_col)))
     )
@@ -668,7 +673,14 @@ def knn_candidate_pairs(
     paths: qid, qlabel, nid, nlabel, qv, nv.  The chosen path is
     recorded on the returned DataFrame as ``knn_dispatch_path``
     (``"gemm"`` / ``"ivf"``) for tests and plan audits.
+
+    Non-finite vectors are excluded up front (ADVICE r11): the IVF
+    path's array_to_vector raises on a NaN/inf component, and the
+    GEMM path can neither index nor be queried by one — the filter
+    also keeps the dispatch count consistent with the rows either
+    path actually indexes.
     """
+    emb = emb.where(vector_finite(F.col(vec_col)))
     n_ref = emb.count()
     if n_ref <= max_ref_rows:
         out = exact_knn_candidates(

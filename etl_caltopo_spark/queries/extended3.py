@@ -180,10 +180,43 @@ def q_map_higher(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_variant_extract",
     oracle="""
+    -- json sweep r12: mirror of try_variant_get(.., 'bigint') on
+    -- adversarial tokens.  The variant bigint cast TRUNCATES doubles
+    -- toward zero (1.5->1, -1.5->-1), maps booleans to 1/0, applies
+    -- Spark's integer-only string grammar to VARCHAR tokens, and
+    -- nulls out-of-range integers — DuckDB's raw JSON->BIGINT cast
+    -- ROUNDS doubles and raises on malformed docs, so every arm is
+    -- dispatched on json_type under a json_valid guard.  No-op on the
+    -- seeded integer-token data.
+    WITH k AS (
+        SELECT event_type,
+               CASE WHEN json_valid(props) THEN
+                   CASE json_type(props, '$.k')
+                       WHEN 'BIGINT' THEN
+                           TRY_CAST(json_extract(props, '$.k') AS BIGINT)
+                       WHEN 'UBIGINT' THEN
+                           TRY_CAST(json_extract(props, '$.k') AS BIGINT)
+                       WHEN 'DOUBLE' THEN
+                           TRY_CAST(trunc(TRY_CAST(json_extract(props, '$.k')
+                                                   AS DOUBLE)) AS BIGINT)
+                       WHEN 'BOOLEAN' THEN
+                           CASE WHEN json_extract_string(props, '$.k') = 'true'
+                                THEN 1 ELSE 0 END
+                       WHEN 'VARCHAR' THEN
+                           CASE WHEN regexp_matches(
+                                    trim(json_extract_string(props, '$.k')),
+                                    '^[+-]?[0-9]+$')
+                                THEN TRY_CAST(
+                                    trim(json_extract_string(props, '$.k'))
+                                    AS BIGINT) END
+                   END
+               END AS k
+        FROM events
+    )
     SELECT event_type,
-           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(sum(k) AS DECIMAL(38, 0)) AS sum_k,
            CAST(count(*) AS BIGINT) AS n_events
-    FROM events
+    FROM k
     GROUP BY event_type
     """,
 )
@@ -193,14 +226,33 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational aggregate over the extracted value.  Unlike
     get_json_object (per-access string re-parse), the variant encodes
     once and every subsequent access is a binary probe — the difference
-    between O(accesses x parse) and O(parse) on a 100 TB scan."""
+    between O(accesses x parse) and O(parse) on a 100 TB scan.
+
+    try_parse_json (json sweep r12): the bare parse_json RAISES
+    MALFORMED_RECORD_IN_PARSING on the first truncated/non-JSON doc;
+    the try_ form nulls it, and try_variant_get of a NULL variant is
+    NULL — matching the oracle's json_valid guard.
+
+    The sum runs in DECIMAL(38,0), not BIGINT (json sweep r12): a
+    single int64-boundary token makes the exact group sum
+    unrepresentable in 64 bits — Spark's long sum ANSI-raises
+    ARITHMETIC_OVERFLOW where DuckDB silently widens to HUGEINT.
+    Decimal sums are exact on both engines to 38 digits (10^19 rows
+    of int64-max values away — unreachable at any physical scale),
+    so this is also the correct 100 TB aggregate type, not just an
+    adversarial-input guard."""
     apply_runtime_conf(spark)
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.select(
             "event_type",
-            F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint").alias("k"),
+            F.try_variant_get(
+                F.try_parse_json(F.col("props")), "$.k", "bigint"
+            ).alias("k"),
         )
         .groupBy("event_type")
-        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n_events"))
+        .agg(
+            F.sum(F.col("k").cast("decimal(38,0)")).alias("sum_k"),
+            F.count("*").alias("n_events"),
+        )
     )

@@ -419,12 +419,20 @@ def q_seq_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_kmeans_update",
     oracle="""
-    WITH c AS (
+    -- off-grid vectors excluded on both sides (extremes r12: the new
+    -- points-side poisons overflowed the int64 ten-thousandths sum —
+    -- Spark's long sum ANSI-raises on a saturated floor(inf*10000)
+    -- where DuckDB's BIGINT cast raises first; same 4-dp-grid domain
+    -- as q_kmeans_converge / q_silhouette)
+    WITH g AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE {GRID}
+    ), c AS (
         SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
-        FROM embeddings WHERE vec_id < 8
+        FROM g WHERE vec_id < 8
     ), p AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        FROM embeddings WHERE vec_id >= 8
+        FROM g WHERE vec_id >= 8
     ), s AS (
         SELECT p.vec_id, p.v, c.centroid_id,
                floor(list_dot_product(v, cv) /
@@ -448,7 +456,7 @@ def q_seq_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor(sum(q) / (count(*) * 10000.0) * 10000) / 10000 AS new_mean
     FROM comp
     GROUP BY centroid_id, dim
-    """,
+    """.replace("{GRID}", similarity.sql_vector_on_grid("embedding")),
 )
 def q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMeans M-step: recompute per-dimension centroid means from the
@@ -462,7 +470,12 @@ def q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the explode fans out 64x but combines map-side to
     n_centroids x dim rows per task."""
     apply_runtime_conf(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
+    # 4-dp-grid domain (extremes r12): a NaN/inf component saturates
+    # floor(x*10000) to ±long-max and the int64 mean sum ANSI-
+    # overflows — same exclusion as q_kmeans_converge / q_silhouette
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        similarity.vector_on_grid(F.col("embedding"))
+    )
     cents = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
     )

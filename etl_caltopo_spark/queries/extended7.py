@@ -176,10 +176,14 @@ def _knn_vote_accuracy(scored: DataFrame, k: int = 5) -> DataFrame:
 
 @query(
     "q_knn_classify",
-    oracle="""
+    oracle=f"""
     WITH p AS (
+        -- non-finite vectors can't be indexed or queried: the
+        -- knn_candidate_pairs entry filters vector_finite (ADVICE
+        -- r11), mirrored here
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-        FROM embeddings WHERE vec_id >= 8 AND embedding IS NOT NULL
+        FROM embeddings
+        WHERE vec_id >= 8 AND {similarity.sql_vector_finite("embedding")}
     ), s AS (
         SELECT a.vec_id AS qid, a.label AS qlabel,
                b.label AS nlabel, b.vec_id AS nid,

@@ -28,14 +28,31 @@ from etl_caltopo_spark.session import apply_runtime_conf
 @query(
     "q_from_json",
     oracle="""
-    SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k
+    -- mirror of Spark's from_json('k INT') on ADVERSARIAL input
+    -- (json sweep r12): k is non-NULL only for a well-formed doc
+    -- whose $.k is an INTEGER TOKEN within int32 range.  json_valid
+    -- guards DuckDB's json_extract (it RAISES on malformed JSON where
+    -- from_json yields NULL); the json_type IN (BIGINT, UBIGINT) arm
+    -- excludes double/string/bool/array/object tokens (DuckDB's
+    -- JSON->INT cast COERCES '1.5'->2, '"12"'->12, true->1 where
+    -- Jackson nulls them); the HUGEINT range guard excludes integer
+    -- tokens past int32 (uint64-max is a valid UBIGINT token).  All
+    -- guards are no-ops on the seeded {"k": <small int>} data.
+    SELECT event_id,
+           CASE WHEN json_valid(props)
+                     AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                     AND TRY_CAST(json_extract(props, '$.k') AS HUGEINT)
+                         BETWEEN -2147483648 AND 2147483647
+                THEN CAST(json_extract(props, '$.k') AS INTEGER) END AS k
     FROM events
     """,
 )
 def q_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed JSON decode (ref task.ts:71-88): from_json with a declared
     schema, then nested-field extraction (the q_explode analog —
-    task.ts:92 — folded in per SURVEY §2.1 R4)."""
+    task.ts:92 — folded in per SURVEY §2.1 R4).  PERMISSIVE-mode
+    from_json nulls malformed docs and non-int-token fields; the
+    oracle mirrors that domain explicitly (json sweep r12)."""
     apply_runtime_conf(spark)
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
@@ -363,20 +380,39 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_json_extract",
     oracle="""
+    -- json sweep r12: json_valid guards DuckDB's raising json_extract
+    -- (get_json_object yields NULL on malformed input); k_int mirrors
+    -- Spark's STRING->BIGINT try_cast grammar (optional sign + digits,
+    -- trimmed) — DuckDB's own TRY_CAST would coerce '1.5'->2 and
+    -- '100.0'->100 where Spark nulls both.  TRY_CAST still guards the
+    -- int64 range (uint64-max digits pass the regexp but overflow).
     SELECT event_id,
-           json_extract_string(props, '$.k') AS k_str,
-           CAST(json_extract(props, '$.k') AS BIGINT) AS k_int
+           CASE WHEN json_valid(props)
+                THEN json_extract_string(props, '$.k') END AS k_str,
+           CASE WHEN json_valid(props)
+                     AND regexp_matches(
+                         trim(json_extract_string(props, '$.k')),
+                         '^[+-]?[0-9]+$')
+                THEN TRY_CAST(trim(json_extract_string(props, '$.k'))
+                              AS BIGINT) END AS k_int
     FROM events
     """,
 )
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON path extraction (ref task.ts:71-88 envelope fields)."""
+    """JSON path extraction (ref task.ts:71-88 envelope fields).
+
+    k_int uses ``try_cast`` (json sweep r12): the bare ``cast("long")``
+    ANSI-RAISES the whole query on the first non-integral token a
+    100 TB props column inevitably contains ('1.5', 'true',
+    '18446744073709551615') — a latent crash the adversarial sweep
+    promoted to a fix.  try_cast nulls them, matching the oracle's
+    integer-grammar mirror."""
     apply_runtime_conf(spark)
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").alias("k_str"),
-        F.get_json_object("props", "$.k").cast("long").alias("k_int"),
+        F.get_json_object("props", "$.k").try_cast("long").alias("k_int"),
     )
 
 

@@ -451,9 +451,15 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_stream_stateful_totals",
     oracle="""
+    -- finite |v| >= 1e100 is NULLed on both sides (ADVICE r11): the
+    -- operator's arrival-order fold would otherwise be order-
+    -- dependent at overflow magnitudes; NaN/inf stay in (they
+    -- saturate the sum identically in any order).  See
+    -- streaming/stateful._split_value_for_sum.
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 2) AS total_value
+           round(sum(CASE WHEN isfinite(value) AND abs(value) >= 1e100
+                          THEN NULL ELSE value END), 2) AS total_value
     FROM events
     GROUP BY user_id
     """,

@@ -39,10 +39,13 @@ RUNNING_TOTALS_OUTPUT = StructType(
 #: CHECKPOINT COMPATIBILITY: n_nonnull was added by the r11 extremes
 #: sweep (same upgrade contract as SESSION_STATE's r7 note — drain on
 #: the old code, restart fresh on this one).
+#: total is NULLABLE (ADVICE r11): a NaN total is nan_as_null'd to
+#: None on the state round-trip and restored by the ``total is None``
+#: branch below — the schema must admit the NULL the design stores.
 RUNNING_TOTALS_STATE = StructType(
     [
         StructField("n", LongType(), False),
-        StructField("total", DoubleType(), False),
+        StructField("total", DoubleType(), True),
         StructField("n_nonnull", LongType(), False),
     ]
 )
@@ -268,13 +271,32 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
 def _split_value_for_sum(events: DataFrame):
     """Pre-split ``value`` so the pandas fold can honor SQL sum
     semantics (see :func:`_running_totals_fn`): NULLs become 0.0 +
-    a zero non-null flag BEFORE Arrow conflates them with NaN."""
+    a zero non-null flag BEFORE Arrow conflates them with NaN.
+
+    Magnitude bound (ADVICE r11): a FINITE observation with
+    ``|v| >= 1e100`` is treated as NULL — the skipna=False running
+    sum is otherwise ORDER-DEPENDENT at extreme magnitudes (the
+    arrival-order fold can overflow to ±inf, e.g. 1.7e308 + 1.7e308
+    - 1.7e308, where a different accumulation order stays finite),
+    and micro-batch arrival order is not a portable quantity.  NaN
+    and ±inf themselves stay IN: once present they saturate the sum
+    identically in any order (x + NaN = NaN; inf folds to inf or,
+    meeting -inf, to NaN — both order-independent), matching SQL sum
+    on both engines.  Same 1e100 bound as the variance family
+    (functions/numeric._VAR_SAFE); the oracle mirror is
+    ``CASE WHEN isfinite(value) AND abs(value) >= 1e100 THEN NULL
+    ELSE value END`` (q_stream_stateful_totals)."""
     from pyspark.sql import functions as F
 
+    from etl_caltopo_spark.functions.numeric import _VAR_SAFE, finite
+
+    v = F.col("value")
+    oversized = finite(v) & (F.abs(v) >= F.lit(_VAR_SAFE))
+    v_dom = F.when(oversized, F.lit(None).cast("double")).otherwise(v)
     return events.select(
         "user_id",
-        F.coalesce(F.col("value"), F.lit(0.0)).alias("_v_filled"),
-        F.col("value").isNotNull().cast("long").alias("_v_nonnull"),
+        F.coalesce(v_dom, F.lit(0.0)).alias("_v_filled"),
+        v_dom.isNotNull().cast("long").alias("_v_nonnull"),
     )
 
 

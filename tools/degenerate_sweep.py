@@ -50,8 +50,18 @@ runs tools/check_oracle.py over EVERY registered id against it:
 Each mode must read the SAME pass/rows-only/fail split as the
 normal-data sweep (278/10/0 at the r8 registry).
 
+- ``json`` (round 12): ~10% of events.props replaced with a cycling
+  adversarial JSON payload (see ADVERSARIAL_PROPS) — malformed docs,
+  type-mismatched tokens, integer-boundary values.  Caught/forced the
+  q_json_extract try_cast fix and the typed oracle mirrors for all
+  three props-consuming ids (q_from_json, q_json_extract,
+  q_variant_extract).
+
+Each mode must read the SAME pass/rows-only/fail split as the
+normal-data sweep.
+
 Usage: python tools/degenerate_sweep.py
-       [--mode degenerate|nulls|shuffled|unitext|extremes|temporal]
+       [--mode degenerate|nulls|shuffled|unitext|extremes|temporal|json]
        [--base /root/testdata/sf0.001] [q_name ...]
 """
 
@@ -253,13 +263,100 @@ def build_extremes(spark, base: str, out: str) -> None:
                 lambda x, i: F.when(i == 1, nan_f).otherwise(x),
             )
             huge_vec = F.transform(F.col("embedding"), lambda x: huge_f)
+            # vec_id 1-3 poison the CENTROID side (many ids use
+            # vec_id < 8 as centroids/queries); 11/13 poison the
+            # POINTS side (vec_id >= 8) so the IVF/kNN candidate
+            # paths' array_to_vector guards are exercised too
+            # (ADVICE r11).
             df = df.withColumn(
                 "embedding",
                 F.when(F.col("vec_id") == 1, inf_vec)
                 .when(F.col("vec_id") == 2, nan_vec)
                 .when(F.col("vec_id") == 3, huge_vec)
+                .when(F.col("vec_id") == 11, inf_vec)
+                .when(F.col("vec_id") == 13, nan_vec)
                 .otherwise(F.col("embedding")),
             )
+        _write_single(df, out, t)
+
+
+#: json mode (round 12, the seventh sweep axis): adversarial
+#: events.props payloads — malformed docs, SQL NULL, non-object
+#: roots, missing keys, json null, non-integral doubles, quoted /
+#: padded / non-numeric strings, booleans, array and object values,
+#: int32/int64/uint64 boundary integers, insignificant whitespace,
+#: and a case-mismatched key.  Probes every engine asymmetry the r11
+#: probe catalogued: DuckDB json_extract RAISES on malformed JSON
+#: (Spark yields NULL), DuckDB's JSON->BIGINT cast COERCES
+#: ('1.5'->2, '"12"'->12, true->1) where from_json nulls non-integral
+#: tokens, get_json_object(...).cast('long') ANSI-crashed on '1.5'
+#: (fixed to try_cast this round), and variant bigint TRUNCATES
+#: doubles where DuckDB rounds.
+#:
+#: Deliberately NOT injected (documented irreconcilables):
+#: - duplicate keys: Jackson resolves last-wins, yyjson first-wins —
+#:   the JSON spec leaves it undefined; there is no portable answer.
+#: - integer tokens beyond uint64 (e.g. 20 digits): Jackson parses
+#:   BigInteger and get_json_object re-renders the exact digits,
+#:   yyjson overflows to double and re-renders '1e+20'-style — the
+#:   STRING extraction itself diverges.
+#: - large-magnitude double tokens (1e19, 9.5e15): Spark re-renders
+#:   '1.0E19' (Java Double.toString), DuckDB '10000000000000000000.0'
+#:   — same string-rendering divergence.  Small doubles (1.5, 1e2)
+#:   render identically ('1.5', '100.0') and ARE injected.
+ADVERSARIAL_PROPS = [
+    '{"k": 26',                    # truncated — malformed
+    "not json",                    # malformed
+    "",                            # empty string — malformed
+    None,                          # SQL NULL
+    "null",                        # root null
+    "[1,2,3]",                     # root array
+    "42",                          # root scalar
+    "{}",                          # missing key
+    '{"other": 3}',                # missing key
+    '{"k": null}',                 # json null
+    '{"k": 1.5}',                  # non-integral double
+    '{"k": -1.5}',
+    '{"k": 0.25}',
+    '{"k": 1e2}',                  # scientific integral: '100.0' both
+    '{"k": "12"}',                 # quoted integer
+    '{"k": " 12 "}',               # quoted padded integer (both trim)
+    '{"k": "1.5"}',                # quoted decimal
+    '{"k": "abc"}',
+    '{"k": "0x10"}',               # hex-looking string
+    '{"k": true}',
+    '{"k": false}',
+    '{"k": [1,2]}',                # array value
+    '{"k": {"n": 1}}',             # object value (minified identically)
+    '{"k": -7}',
+    '{"k": 2147483648}',           # int32 max + 1 (INT nulls, LONG ok)
+    '{"k": -2147483649}',
+    '{"k": 9223372036854775807}',  # int64 max
+    '{"k": -9223372036854775808}', # int64 min
+    '{"k": 18446744073709551615}', # uint64 max: BIGINT overflow both
+    '{"k" :\t 5 }',                # insignificant whitespace
+    '{"K": 5}',                    # case-sensitive key miss
+]
+
+
+def build_json(spark, base: str, out: str, pct: int = 10) -> None:
+    from pyspark.sql import functions as F
+
+    from etl_caltopo_spark.io import TABLES, load_table
+
+    for t in TABLES:
+        df = load_table(spark, base, t)
+        if t == "events":
+            h = F.abs(F.hash(F.col("event_id")))
+            sel = h % 100 < pct
+            pick = (h % 1000) % len(ADVERSARIAL_PROPS)
+            expr = F.col("props")
+            for i, s in enumerate(ADVERSARIAL_PROPS):
+                lit = (
+                    F.lit(None).cast("string") if s is None else F.lit(s)
+                )
+                expr = F.when(sel & (pick == i), lit).otherwise(expr)
+            df = df.withColumn("props", expr)
         _write_single(df, out, t)
 
 
@@ -309,6 +406,7 @@ BUILDERS = {
     "unitext": build_unitext,
     "extremes": build_extremes,
     "temporal": build_temporal,
+    "json": build_json,
 }
 
 
