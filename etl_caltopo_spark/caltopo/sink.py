@@ -12,12 +12,23 @@ path.
 
 from __future__ import annotations
 
+import hashlib
 import json
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
 Poster = Callable[[str, str], None]
+
+#: header-carrying poster: (url, body, headers) -> None; MUST raise on
+#: a non-success response so the retry loop can see the failure
+HeaderPoster = Callable[[str, str, dict], None]
+
+#: the idempotency header the retry contract rides on (the HTTP
+#: convention stripe/payment APIs standardized; any echo-once server
+#: key works)
+IDEMPOTENCY_HEADER = "Idempotency-Key"
 
 
 def _row_to_feature(row) -> dict:
@@ -85,6 +96,93 @@ def foreach_partition_post(df: DataFrame, url: str, poster: Poster) -> None:
     df.foreachPartition(handle)
 
 
+def urllib_header_poster(url: str, body: str, headers: dict) -> None:
+    """Stdlib default :data:`HeaderPoster`: POSTs the body with the
+    given headers and RAISES on any non-2xx response (urllib's
+    HTTPError), which is exactly what :func:`post_idempotent`'s retry
+    loop needs.  Importable on executors (lives in the package, not in
+    a test module), so it works under ``foreachPartition``."""
+    from urllib.request import Request, urlopen
+
+    req = Request(
+        url, data=body.encode("utf-8"), headers=headers, method="POST"
+    )
+    with urlopen(req) as resp:
+        resp.read()
+
+
+def idempotency_key(body: str) -> str:
+    """Content-derived idempotency key: sha256 of the exact payload
+    bytes.  A RE-DELIVERED batch (foreachBatch replay, a retry after a
+    response was lost, a Spark task re-attempt re-running the same
+    partition) serializes the identical body and therefore carries the
+    identical key — the server collapses it, exactly as the
+    epoch-keyed parquet sink collapses a replayed epoch directory
+    (streaming/ingest.epoch_overwrite_writer)."""
+    return hashlib.sha256(body.encode("utf-8")).hexdigest()
+
+
+def post_idempotent(
+    poster: HeaderPoster,
+    url: str,
+    body: str,
+    max_retries: int = 4,
+    backoff_s: float = 0.05,
+    sleep: Callable[[float], None] = time.sleep,
+) -> str:
+    """Bounded-retry POST carrying a content-derived
+    ``Idempotency-Key`` — the HTTP-sink redelivery contract
+    (VERDICT r11 #3), mirroring the epoch-keyed parquet sink's story:
+
+    - the SAME key is sent on every attempt, so a retry after a
+      lost/ambiguous response cannot double-submit on a server that
+      honors the key (at-least-once POST + server-side key dedup =
+      exactly-once effect);
+    - retries are BOUNDED (``max_retries`` re-attempts with
+      exponential backoff starting at ``backoff_s``), and the last
+      error propagates — an unreachable endpoint fails the job loudly
+      instead of retrying forever inside an executor.
+
+    Returns the key so callers/tests can correlate submissions."""
+    key = idempotency_key(body)
+    headers = {IDEMPOTENCY_HEADER: key, "Content-Type": "application/json"}
+    attempt = 0
+    while True:
+        try:
+            poster(url, body, headers)
+            return key
+        except Exception:
+            if attempt >= max_retries:
+                raise
+            sleep(backoff_s * (2**attempt))
+            attempt += 1
+
+
+def foreach_partition_post_idempotent(
+    df: DataFrame,
+    url: str,
+    poster: HeaderPoster,
+    max_retries: int = 4,
+    backoff_s: float = 0.05,
+) -> None:
+    """Executor-side batched submit with the redelivery contract: each
+    partition POSTs its FeatureCollection chunk through
+    :func:`post_idempotent`.  A Spark task RE-ATTEMPT re-runs the same
+    deterministic partition, serializes the identical body, and hits
+    the server with the identical key — so speculative execution and
+    task retries cannot double-submit either."""
+
+    def handle(rows) -> None:
+        feats = [_row_to_feature(r) for r in rows]
+        if feats:
+            body = json.dumps({"type": "FeatureCollection", "features": feats})
+            post_idempotent(
+                poster, url, body, max_retries=max_retries, backoff_s=backoff_s
+            )
+
+    df.foreachPartition(handle)
+
+
 DRIVER_COLLECT_MAX = 10_000
 
 
@@ -105,4 +203,31 @@ def submit(
         post_feature_collection(df, url, poster)
     else:
         foreach_partition_post(df, url, poster)
+    return n
+
+
+def submit_idempotent(
+    df: DataFrame,
+    url: str,
+    poster: HeaderPoster,
+    driver_collect_max: int = DRIVER_COLLECT_MAX,
+    max_retries: int = 4,
+    backoff_s: float = 0.05,
+) -> int:
+    """:func:`submit` with the redelivery contract on BOTH paths
+    (VERDICT r11 #3): the driver-side single POST and the executor-side
+    per-partition POSTs all go through :func:`post_idempotent` —
+    content-keyed idempotency plus bounded exponential-backoff retries.
+    Use this form against any real endpoint; plain :func:`submit`
+    stays for fire-and-forget test posters."""
+    n = df.count()
+    if n <= driver_collect_max:
+        body = json.dumps(to_feature_collection(df))
+        post_idempotent(
+            poster, url, body, max_retries=max_retries, backoff_s=backoff_s
+        )
+    else:
+        foreach_partition_post_idempotent(
+            df, url, poster, max_retries=max_retries, backoff_s=backoff_s
+        )
     return n

@@ -258,7 +258,19 @@ def minhash_banded_jaccard_pairs(
         ).alias("_sh"),
     )
     if not lazy:
-        base = base.persist()
+        # localCheckpoint, NOT persist (r12).  Measured at sf0.1 over
+        # the 5k exact-dedup survivors (warm, 3 reps): unmaterialized
+        # 13.8-20.7 s (the per-character portable hash re-evaluates
+        # once per consumer branch — cand's two sides + two verify
+        # joins), checkpointed 9.0-10.2 s (exactly one evaluation),
+        # persist first-call 10.1 s (same one evaluation + columnar
+        # cache build).  Checkpoint wins the single-call pattern every
+        # query uses and needs no unpersist bookkeeping: blocks are
+        # released by the ContextCleaner once the frame is
+        # unreferenced.  (Benchmarking note: never time this frame
+        # with .count() alone — Catalyst prunes the _sh column and
+        # measures the bare scan.)
+        base = base.localCheckpoint(eager=True)
     fp = base.select("_id", F.explode("_sh").alias("x"))
     sig = fp.groupBy("_id").agg(*minhash_signature_cols("x"))
     bands = F.array(
@@ -300,12 +312,10 @@ def minhash_banded_jaccard_pairs(
     )
     if lazy:
         return out
-    # materialize eagerly, then release the fingerprint cache — same
-    # leak discipline as near_duplicates (repeated calls in a
-    # long-lived session must not accumulate persisted tables)
-    out = out.localCheckpoint(eager=True)
-    base.unpersist()
-    return out
+    # materialize the (small) pair set eagerly so the checkpointed
+    # fingerprint blocks become collectable as soon as the caller
+    # drops this frame — same leak discipline as near_duplicates
+    return out.localCheckpoint(eager=True)
 
 
 def connected_components(

@@ -39,6 +39,7 @@ from etl_caltopo_spark.queries import extended10  # noqa: F401,E402
 from etl_caltopo_spark.queries import extended11  # noqa: F401,E402
 from etl_caltopo_spark.queries import extended12  # noqa: F401,E402
 from etl_caltopo_spark.queries import caltopo_e2e  # noqa: F401,E402
+from etl_caltopo_spark.queries import llm_e2e  # noqa: F401,E402
 
 # Registry order is plain module-import insertion order — no curation.
 # The full-registry correctness record (every id, not any harness

@@ -130,6 +130,9 @@ STREAM_PROTOCOL_SKIP = {
     "q_stream_enrich",           # run_two_phase, broadcast dim enrich
     "q_stream_hll",              # run_two_phase, mergeable sketch
     "q_stream_foreachbatch_exactly_once",  # run_two_phase, epoch replay
+    "q_llm_curation_stream",     # run_two_phase staging; the composed
+                                 # curation PLAN is graded via its
+                                 # batch twin q_llm_curation_pipeline
 }
 
 

