@@ -278,7 +278,10 @@ def _knn_bruteforce_pairs(pts: DataFrame) -> DataFrame:
     "q_knn_classify_ivf",
     oracle=None,
     note="IVF candidate join scores only same-cell pairs; accuracy is "
-    "approximate by design (recall vs brute force asserted in tests).",
+    "approximate by design (recall vs brute force asserted in tests).  "
+    "Non-finite vectors cannot be indexed (extremes r11/r12: "
+    "array_to_vector raises; ivf_candidate_pairs excludes them like "
+    "NULLs).",
 )
 def q_knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100-TB kNN-classification path: candidates come from the

@@ -180,7 +180,7 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_sim_topk_lsh",
     oracle=None,
-    note="hyperplane-LSH recall is approximate by design; rows-only.",
+    note="hyperplane-LSH recall is approximate by design; rows-only.  Non-finite vectors are excluded up front (extremes r11: a NaN cosine orders engine-divergently and ML Vectors reject NaN/inf).",
 )
 def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane bucket prefilter — the
@@ -196,7 +196,7 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_sim_topk_ivf",
     oracle=None,
-    note="IVF probes a KMeans-cell subset; recall is approximate by design.",
+    note="IVF probes a KMeans-cell subset; recall is approximate by design.  Non-finite vectors cannot be indexed (extremes r11: array_to_vector raises on a NaN/inf component) and are excluded like NULLs.",
 )
 def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: KMeans coarse quantizer + probe the 2
@@ -280,7 +280,7 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_embed_lsh",
     oracle=None,
-    note="hyperplane-bucket blocking is probabilistic; rows-only check.",
+    note="hyperplane-bucket blocking is probabilistic; rows-only check.  Non-finite vectors are excluded up front (extremes r11).",
 )
 def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup at scale: hyperplane-LSH bucket blocking +
@@ -477,7 +477,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,
     note="hyperplane-LSH bucket blocking is hash-family-specific; "
     "rows-only (refinement property vs the exact clusters is "
-    "asserted in tests/test_llm_ops.py).",
+    "asserted in tests/test_llm_ops.py).  Non-finite vectors are "
+    "excluded up front (extremes r11: sign-bit hashing and cosine on "
+    "NaN/inf are engine-divergent).",
 )
 def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100-TB duplicate-clustering path: candidate pairs come

@@ -295,7 +295,11 @@ def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     note="genuine two-phase Structured Streaming run (availableNow, "
     "persisted watermark, update mode); emissions are deterministic "
     "(single-file micro-batches) but the run protocol is not "
-    "SQL-expressible — rows-only.",
+    "SQL-expressible — rows-only.  Domain: the streaming watermark "
+    "clock bottoms at epoch 0 (temporal r11) — pre-1970 event times "
+    "are born late and future-side extremes legitimately advance the "
+    "watermark, so the lateness contract is defined on in-domain "
+    "event times only.",
 )
 def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark + late-data drop, end-to-end as a REAL streaming job
