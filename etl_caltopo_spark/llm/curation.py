@@ -65,11 +65,21 @@ def curate_documents(
     per_source_cap: int = PER_SOURCE_CAP,
     seq_len: int = SEQ_LEN,
     bench_source: str = BENCH_SOURCE,
+    portable_neardup: bool = True,
 ) -> DataFrame:
     """Run the full curation chain over a ``documents``-shaped frame
     (doc_id, text, lang, source, n_chars).  Output: one row per
     curated doc — (doc_id, source, n_tokens, quality, seq_id,
     offset_in_seq), hash-gradeable (integers + 4-dp floored quality).
+
+    ``portable_neardup`` is the grade-vs-throughput dial for stage 2:
+    True (default, the graded form) uses the DuckDB-replayable banded
+    portable MinHash (q_dedup_jaccard machinery — its per-character
+    portable hash is the documented cost of the hash grade); False
+    swaps in the production xxhash64 LSH (dedup.near_duplicates, the
+    q_dedup_near headliner) — same plan shape, same exact-Jaccard
+    verification, ~6x cheaper pair stage, but hash-family-specific
+    candidates, so only the portable form is oracle-graded.
     """
     from etl_caltopo_spark.operators.rank import pin_frame
 
@@ -90,9 +100,14 @@ def curate_documents(
     )
 
     # 2. near-dup drop: lower-id witness wins
-    pairs = dedup.minhash_banded_jaccard_pairs(
-        s1, "text", "doc_id", threshold=threshold
-    )
+    if portable_neardup:
+        pairs = dedup.minhash_banded_jaccard_pairs(
+            s1, "text", "doc_id", threshold=threshold
+        )
+    else:
+        pairs = dedup.near_duplicates(
+            s1, "text", "doc_id", n_hashes=16, bands=4, threshold=threshold
+        )
     near_drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     s2 = s1.join(near_drops, "doc_id", "left_anti")
 

@@ -136,3 +136,21 @@ def test_stream_twin_matches_batch(spark):
         for r in REGISTRY["q_llm_curation_stream"].fn(spark, SF_DIR).collect()
     }
     assert batch == streamed and len(batch) > 0
+
+
+def test_production_neardup_dial_composes(spark):
+    """portable_neardup=False swaps stage 2 to the xxhash64 LSH
+    (production path): same schema, same downstream invariants —
+    candidates are hash-family-specific so only the portable form is
+    oracle-graded."""
+    docs = load_table(spark, SF_DIR, "documents")
+    out = curation.curate_documents(docs, portable_neardup=False).collect()
+    assert len(out) > 0
+    assert {f for r in out for f in r.asDict()} == {
+        "doc_id", "source", "n_tokens", "quality", "seq_id", "offset_in_seq"
+    }
+    from collections import Counter
+
+    per_source = Counter(r["source"] for r in out)
+    assert all(n <= curation.PER_SOURCE_CAP for n in per_source.values())
+    assert all(r["source"] != curation.BENCH_SOURCE for r in out)
