@@ -167,13 +167,22 @@ def foreach_partition_post_idempotent(
 ) -> None:
     """Executor-side batched submit with the redelivery contract: each
     partition POSTs its FeatureCollection chunk through
-    :func:`post_idempotent`.  A Spark task RE-ATTEMPT re-runs the same
-    deterministic partition, serializes the identical body, and hits
-    the server with the identical key — so speculative execution and
-    task retries cannot double-submit either."""
+    :func:`post_idempotent`.  Features are CANONICALIZED (sorted by
+    id) before serialization so a Spark task re-attempt — which
+    re-runs the same partition but may iterate rows in a different
+    order — still produces the byte-identical body and therefore the
+    identical key: speculative execution and task retries cannot
+    double-submit.  Residual (documented, not solved here): a
+    non-deterministic UPSTREAM that changes partition MEMBERSHIP
+    between attempts changes chunk contents — the same caveat every
+    content-keyed sink carries; determinism of the feeding plan is
+    the caller's contract (same rule as the rank operator's
+    tiebreak-proxy clamp, HANDOFF r10 #2)."""
 
     def handle(rows) -> None:
-        feats = [_row_to_feature(r) for r in rows]
+        feats = sorted(
+            (_row_to_feature(r) for r in rows), key=lambda f: str(f["id"])
+        )
         if feats:
             body = json.dumps({"type": "FeatureCollection", "features": feats})
             post_idempotent(
