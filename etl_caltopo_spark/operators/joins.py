@@ -58,6 +58,14 @@ def asof_join(
     # no earlier real match — leaking its value columns where the SQL
     # formulation yields all-NULL (ADVICE r10).  Drop such rows.
     right = right.where(F.col(right_ts).isNotNull())
+    # Likewise a right row with a NULL PARTITION KEY (nullkeys sweep
+    # r12): the SQL ASOF equality never matches NULL = NULL, but the
+    # union+window implementation groups NULL keys into ONE window
+    # partition where such a row would become the running candidate
+    # for every NULL-key left row.  Drop them; NULL-key left rows
+    # then attach all-NULL, the left-join answer.
+    for k in partition_keys:
+        right = right.where(F.col(k).isNotNull())
     # _side: right rows sort before left rows at equal timestamps so an
     # exactly-simultaneous right row is visible (<=, not <).
     r = right.select(
@@ -121,6 +129,10 @@ def asof_join_nearest(
     # never surface as the when(_fwd.isNull(), _back) fallback
     # (ADVICE r10; same guard as asof_join above).
     right = right.where(F.col(right_ts).isNotNull())
+    # NULL partition keys never match the SQL ASOF equality either
+    # (nullkeys sweep r12; same reasoning as asof_join above).
+    for k in partition_keys:
+        right = right.where(F.col(k).isNotNull())
     r = right.select(
         *partition_keys,
         F.col(right_ts).alias("_ts"),

@@ -2064,7 +2064,11 @@ def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # engines because Spark orders ASC NULLS FIRST, DuckDB NULLS LAST)
     scored = ev.where(F.col("value").isNotNull()).select(
         F.col("value").alias("score"),
-        (F.col("event_type") == "click").cast("int").alias("y"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("y"),
+        # when/otherwise, not a bare cast: a NULL event_type must be
+        # a NEGATIVE label (the oracle's CASE ... ELSE 0), while
+        # (NULL == 'click').cast('int') is NULL — sum skips it where
+        # count(*) keeps the row (nullkeys sweep r12)
     )
     g = scored.groupBy("score").agg(
         F.count("*").alias("n"), F.sum("y").alias("npos")
@@ -2152,7 +2156,11 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = ev.select(
         F.col("value").alias("score"),
-        (F.col("event_type") == "click").cast("int").alias("y"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("y"),
+        # when/otherwise, not a bare cast: a NULL event_type must be
+        # a NEGATIVE label (the oracle's CASE ... ELSE 0), while
+        # (NULL == 'click').cast('int') is NULL — sum skips it where
+        # count(*) keeps the row (nullkeys sweep r12)
     )
     bounds = scored.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
     # hi == lo (all scores identical) must bin to 0, not raise ANSI

@@ -482,7 +482,19 @@ def q_seq_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_conf(spark)
     ev = load_table(spark, sf_dir, "events")
     firsts = ev.groupBy("user_id", "event_type").agg(F.min("ts").alias("ft"))
-    n_users = ev.select("user_id").distinct().count()
+    # NULL-excluding distinct (nullkeys sweep r12): SQL's
+    # count(DISTINCT user_id) IGNORES NULL, but DataFrame
+    # .distinct().count() keeps the NULL row as a "user" — the support
+    # denominator diverged by one the moment a NULL key existed.  (The
+    # pair join itself already agrees: a NULL user matches no equi-join
+    # in either engine, and NULL event types fail the <> filter's
+    # three-valued logic identically.)
+    n_users = (
+        ev.where(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .count()
+    )
     a = firsts.select(
         "user_id", F.col("event_type").alias("type_a"), F.col("ft").alias("fa")
     )

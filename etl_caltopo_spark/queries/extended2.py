@@ -342,7 +342,16 @@ def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("m"),
         F.percentile_approx("l_extendedprice", 0.99, 1000).alias("p99"),
     )
-    j = li.join(F.broadcast(appx), "l_returnflag")
+    # NULL-SAFE join back (nullkeys sweep r12): groupBy keeps a NULL
+    # flag group in both engines, but a plain equi-join re-drops it —
+    # the certificate must cover every group the oracle GROUP BY sees
+    appx2 = appx.select(
+        F.col("l_returnflag").alias("_rf"), "m", "p99"
+    )
+    j = li.join(
+        F.broadcast(appx2),
+        li["l_returnflag"].eqNullSafe(appx2["_rf"]),
+    ).drop("_rf")
     eps = 0.005
 
     def rank_ok(v: str, p: float):

@@ -36,11 +36,19 @@ def event_type_rank_dim(ev: DataFrame) -> DataFrame:
     value-domain-bounded frame, single-digit rows), never the event
     log itself.  Factored out so tests/test_plans.py can grade the
     plan directly (the enclosing query id runs the eager two-phase
-    streaming protocol and cannot be lazily planned)."""
+    streaming protocol and cannot be lazily planned).
+
+    A NULL event type is excluded (nullkeys sweep r12): it can never
+    enrich anything through the equi-join, but ranked it would take
+    rank 1 under Spark's ASC NULLS FIRST and shift every real type's
+    rank, while DuckDB ranks it LAST — the joined output's ranks
+    diverge even though the NULL rows themselves drop on both sides.
+    The oracle mirrors with WHERE event_type IS NOT NULL."""
     from pyspark.sql import Window
 
     return (
         ev.select("event_type")
+        .where(F.col("event_type").isNotNull())
         .distinct()
         .select(
             "event_type",
@@ -856,10 +864,12 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_enrich",
     oracle="""
     WITH dim AS (
+        -- NULL types excluded (nullkeys r12): see event_type_rank_dim
         SELECT event_type,
                CAST(row_number() OVER (ORDER BY event_type) AS BIGINT)
                    AS type_rank
-        FROM (SELECT DISTINCT event_type FROM events)
+        FROM (SELECT DISTINCT event_type FROM events
+              WHERE event_type IS NOT NULL)
     )
     SELECT e.event_id, e.event_type, d.type_rank
     FROM events e JOIN dim d USING (event_type)

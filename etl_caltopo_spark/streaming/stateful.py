@@ -26,9 +26,15 @@ from pyspark.sql.types import (
     StructType,
 )
 
+#: user_id is NULLABLE (nullkeys sweep r12): a NULL grouping key is a
+#: legal group in both engines (groupBy keeps one NULL group) — the
+#: key round-trips as None through applyInPandasWithState, and a
+#: non-nullable declaration crashes the Arrow read downstream
+#: ("Value at index is null" in BigIntVector) the first time a NULL
+#: key appears.
 RUNNING_TOTALS_OUTPUT = StructType(
     [
-        StructField("user_id", LongType(), False),
+        StructField("user_id", LongType(), True),
         StructField("n_events", LongType(), False),
         StructField("total_value", DoubleType(), True),
     ]
@@ -103,7 +109,9 @@ def _float_or_null(value: float, valid: bool):
 
 SESSION_OUTPUT = StructType(
     [
-        StructField("user_id", LongType(), False),
+        # nullable for the same NULL-grouping-key reason as
+        # RUNNING_TOTALS_OUTPUT (nullkeys r12)
+        StructField("user_id", LongType(), True),
         StructField("session_start_ms", LongType(), False),
         StructField("session_end_ms", LongType(), False),
         StructField("n_events", LongType(), False),

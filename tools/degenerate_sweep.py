@@ -56,12 +56,26 @@ normal-data sweep (278/10/0 at the r8 registry).
   q_json_extract try_cast fix and the typed oracle mirrors for all
   three props-consuming ids (q_from_json, q_json_extract,
   q_variant_extract).
+- ``nullkeys`` (round 12, the eighth axis): 2% NULLs into KEY/
+  DIMENSION columns (see NULLKEY_PLAN) — the r8 ``nulls`` mode only
+  nulled VALUE columns.  First run caught SEVEN latent divergences:
+  both as-of joins matching NULL = NULL through their window
+  partitions, a bare ``(key == lit).cast`` label yielding NULL where
+  the oracle CASE yields 0 (q_auc/q_pr_auc), ``.distinct().count()``
+  counting the NULL key SQL's count(DISTINCT) ignores
+  (q_seq_support), a certificate join-back re-dropping the NULL
+  group its own aggregate kept (q_percentile_approx → eqNullSafe),
+  the enrich rank dim shifting every rank under ASC NULLS FIRST
+  (q_stream_enrich), and a non-nullable grouping-key field crashing
+  the Arrow read of applyInPandasWithState output
+  (q_stream_stateful_totals).  Pins: tests/test_nullkeys.py.
 
 Each mode must read the SAME pass/rows-only/fail split as the
 normal-data sweep.
 
 Usage: python tools/degenerate_sweep.py
-       [--mode degenerate|nulls|shuffled|unitext|extremes|temporal|json]
+       [--mode degenerate|nulls|shuffled|unitext|extremes|temporal|
+        json|nullkeys]
        [--base /root/testdata/sf0.001] [q_name ...]
 """
 
@@ -360,6 +374,45 @@ def build_json(spark, base: str, out: str, pct: int = 10) -> None:
         _write_single(df, out, t)
 
 
+#: nullkeys mode (round 12, the eighth sweep axis): 2% NULLs into
+#: KEY/DIMENSION columns — group-by keys, window partition keys,
+#: join keys, filter-predicate columns — which the r8 ``nulls`` mode
+#: never touched (it nulls VALUE columns).  The divergence classes it
+#: probes: ASC ORDER BY a nullable key (Spark NULLS FIRST vs DuckDB
+#: NULLS LAST — shifts row_number/rank and which rows make a LIMIT
+#: cut), NULL group keys (both engines keep one NULL group — but
+#: first/min_by tiebreaks inside it differ), NULL join keys (inner
+#: equi-joins drop them identically; outer joins keep them), and
+#: NULL-key string concatenation.  Per-column hash salts decorrelate
+#: which rows get nulled across columns of the same table.
+NULLKEY_PLAN = {
+    "documents": [("source", ["doc_id"]), ("lang", ["doc_id"])],
+    "events": [("event_type", ["event_id"]), ("user_id", ["event_id"])],
+    "customer": [("c_mktsegment", ["c_custkey"])],
+    "orders": [("o_orderpriority", ["o_orderkey"])],
+    "lineitem": [("l_returnflag", ["l_orderkey", "l_linenumber"])],
+    "part": [("p_brand", ["p_partkey"])],
+}
+
+
+def build_nullkeys(spark, base: str, out: str, pct: int = 2) -> None:
+    from pyspark.sql import functions as F
+
+    from etl_caltopo_spark.io import TABLES, load_table
+
+    for t in TABLES:
+        df = load_table(spark, base, t)
+        for col, keys in NULLKEY_PLAN.get(t, []):
+            sel = (
+                F.abs(F.hash(F.lit(col), *[F.col(k) for k in keys])) % 100
+                < pct
+            )
+            df = df.withColumn(
+                col, F.when(sel, F.lit(None)).otherwise(F.col(col))
+            )
+        _write_single(df, out, t)
+
+
 #: temporal mode: PAST-side timestamp extremes only.  Future
 #: outliers (e.g. 2262, the ns-range ceiling) are deliberately NOT
 #: injected: a far-future event time legitimately advances a
@@ -407,6 +460,7 @@ BUILDERS = {
     "extremes": build_extremes,
     "temporal": build_temporal,
     "json": build_json,
+    "nullkeys": build_nullkeys,
 }
 
 
