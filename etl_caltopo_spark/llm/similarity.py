@@ -440,11 +440,21 @@ def ivf_topk(
     # r11: USER_RAISED_EXCEPTION from array_to_vector) — non-finite
     # vectors can't be indexed, exactly like NULL ones.
     emb = emb.where(vector_finite(F.col(vec_col)))
+    qrow = query.select(query_vec_col).first()
+    if qrow is None or qrow[0] is None or emb.isEmpty():
+        # empty-fit guard (empty-tables sweep r13): KMeans cannot fit
+        # zero rows, and a missing query vector has no probe cells —
+        # approximate top-k over nothing is the empty frame (a
+        # reachable 100 TB case: an empty partition/day of a feed)
+        return emb.limit(0).select(
+            F.col(id_col),
+            fround(cosine(F.col(vec_col), F.col(vec_col)), 6).alias("cos_sim"),
+        )
     with_features = emb.withColumn("_features", array_to_vector(_as_double(F.col(vec_col))))
     model = KMeans(k=n_cells, seed=seed, featuresCol="_features").fit(with_features)
     assigned = model.transform(with_features).withColumnRenamed("prediction", "_cell")
 
-    qv = np.array(query.select(query_vec_col).first()[0], dtype=float)
+    qv = np.array(qrow[0], dtype=float)
     centers = model.clusterCenters()
     dists = [float(np.linalg.norm(np.asarray(c) - qv)) for c in centers]
     probe_cells = [int(i) for i in np.argsort(dists)[:n_probe]]
@@ -511,6 +521,19 @@ def exact_knn_candidates(
             f"{max_ref_rows}; use knn_candidate_pairs (size-dispatched) "
             "or ivf_candidate_pairs for large references"
         )
+    if not ref_rows:
+        # empty-reference guard (empty-tables sweep r13): nothing to
+        # index and nothing to query — emit the
+        # (qid, qlabel, nid, nlabel, qv, nv)-shaped empty frame via
+        # the same join tail the GEMM path uses
+        label_t = dict(base.dtypes)[label_col]
+        pairs = spark.createDataFrame(
+            [],
+            f"qid bigint, qlabel {label_t}, nid bigint, nlabel {label_t}",
+        )
+        qv0 = emb.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        nv0 = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+        return pairs.join(F.broadcast(qv0), "qid").join(F.broadcast(nv0), "nid")
     ref_ids = np.array([r[0] for r in ref_rows], dtype=np.int64)
     ref_labels = [r[1] for r in ref_rows]
     R = np.array([list(r[2]) for r in ref_rows], dtype=np.float64)
@@ -602,6 +625,22 @@ def ivf_candidate_pairs(
     # vectors can't be indexed, exactly like NULL ones (ADVICE r11:
     # ivf_topk had this guard; the candidate-pair entries did not).
     emb = emb.where(vector_finite(F.col(vec_col)))
+    if emb.isEmpty():
+        # empty-fit guard (empty-tables sweep r13): KMeans cannot fit
+        # zero rows — no cells, hence no candidate pairs; emit the
+        # pair-shaped empty frame (same columns as the join below)
+        e0 = emb.limit(0)
+        q0 = e0.select(
+            F.col(id_col).alias("qid"),
+            *[F.col(c).alias(f"q_{c}") for c in carry],
+            F.col(vec_col).alias("qv"),
+        )
+        n0 = e0.select(
+            F.col(id_col).alias("nid"),
+            *[F.col(c).alias(f"n_{c}") for c in carry],
+            F.col(vec_col).alias("nv"),
+        )
+        return q0.crossJoin(n0).filter(F.col("qid") != F.col("nid"))
     with_features = emb.withColumn(
         "_features", array_to_vector(_as_double(F.col(vec_col)))
     )

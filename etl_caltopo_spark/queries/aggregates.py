@@ -109,13 +109,42 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets (subtotal rows carry nulls in the grouping
     columns; both group columns are non-null in the data so the null
-    encoding is unambiguous)."""
+    encoding is unambiguous).
+
+    EMPTY-INPUT portability (empty-tables sweep r13): Spark expands
+    grouping sets via Expand + one keyed groupBy, so ROLLUP over an
+    EMPTY table emits 0 rows — SQL semantics (and DuckDB) emit the
+    global () row with count 0.  The portable form keeps the rollup
+    for the keyed sets (grouping_id != 3) and UNIONS an explicit
+    global aggregate for the () set, which yields its one row on
+    empty input in both engines; on non-empty data the union is
+    row-for-row identical to the plain rollup (same partial-agg
+    shuffle shape — the global branch adds one map-side-combined
+    scalar aggregate)."""
     apply_runtime_conf(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
+    keyed = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+            F.grouping_id().alias("_gid"),
+        )
+        # _gid 3 = both columns aggregated = the () grouping set;
+        # a data-NULL l_returnflag group keeps _gid 0/1 (nullkeys r12)
+        .filter(F.col("_gid") != 3)
+        .drop("_gid")
+    )
+    global_row = li.agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.count("*").alias("n_rows"),
+    ).select(
+        F.lit(None).cast("string").alias("l_returnflag"),
+        F.lit(None).cast("string").alias("l_linestatus"),
+        "sum_qty",
+        "n_rows",
     )
+    return keyed.unionByName(global_row)
 
 
 @query(

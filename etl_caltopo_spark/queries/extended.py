@@ -542,13 +542,34 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE grouping sets (all 4 combinations)."""
+    """CUBE grouping sets (all 4 combinations).
+
+    The () set is an explicit unioned global aggregate (empty-tables
+    sweep r13): Spark's Expand-based CUBE emits 0 rows on an EMPTY
+    table where SQL emits the global row with count 0 — see
+    q_agg_rollup for the full note."""
     apply_runtime_conf(spark)
     orders = load_table(spark, sf_dir, "orders")
-    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+    keyed = (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.grouping_id().alias("_gid"),
+        )
+        .filter(F.col("_gid") != 3)
+        .drop("_gid")
+    )
+    global_row = orders.agg(
         F.count("*").alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
+    ).select(
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        "n",
+        "total",
     )
+    return keyed.unionByName(global_row)
 
 
 @query(

@@ -488,7 +488,13 @@ def q_grouped_map_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS with grouping() markers disambiguating
-    subtotal nulls from data nulls."""
+    subtotal nulls from data nulls.
+
+    The () set is an explicit unioned global aggregate (empty-tables
+    sweep r13): Spark's Expand-based grouping sets emit 0 rows on an
+    EMPTY table where SQL emits the global row with count 0 — see
+    q_agg_rollup for the full note.  The union's grouping() markers
+    are the () set's constants (1, 1)."""
     apply_runtime_conf(spark)
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
@@ -498,6 +504,10 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(grouping(o_orderstatus) AS INT) AS g_status,
                CAST(grouping(o_orderpriority) AS INT) AS g_prio
         FROM orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        UNION ALL
+        SELECT CAST(NULL AS STRING), CAST(NULL AS STRING),
+               count(*), 1, 1
+        FROM orders
         """
     )

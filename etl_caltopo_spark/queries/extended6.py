@@ -89,9 +89,16 @@ def q_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     def grp(flag: str, expr: F.Column) -> F.Column:
         return F.sum(F.when(F.col("l_returnflag") == flag, expr)).cast("double")
 
+    # counts are conditional COUNTs, not sum(when(..,1)): sum over
+    # ZERO rows is NULL where the oracle's count(*) FILTER is 0
+    # (empty-tables sweep r13) — count() gives 0 on both engines
     g = li.agg(
-        grp("A", F.lit(1)).alias("n1"),
-        grp("R", F.lit(1)).alias("n2"),
+        F.count(F.when(F.col("l_returnflag") == "A", 1))
+        .cast("double")
+        .alias("n1"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1))
+        .cast("double")
+        .alias("n2"),
         grp("A", c).alias("s1"),
         grp("R", c).alias("s2"),
         grp("A", cc).alias("ss1"),
@@ -236,9 +243,12 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("converted")
     ).withColumn("variant", F.col("user_id") % 2)
+    # conditional COUNTs, not sum(when(..,1)) — 0 on empty input on
+    # both engines where the sum form is NULL (empty sweep r13; the
+    # q_ttest_welch note)
     g = u.agg(
-        F.sum(F.when(F.col("variant") == 0, 1)).cast("double").alias("n0"),
-        F.sum(F.when(F.col("variant") == 1, 1)).cast("double").alias("n1"),
+        F.count(F.when(F.col("variant") == 0, 1)).cast("double").alias("n0"),
+        F.count(F.when(F.col("variant") == 1, 1)).cast("double").alias("n1"),
         F.sum(F.when(F.col("variant") == 0, F.col("converted")))
         .cast("double")
         .alias("c0"),

@@ -342,6 +342,14 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src", "node"
     )
     n = deg.count()
+    if n == 0:
+        # empty-graph guard (empty sweep r13): 1/n is undefined on a
+        # node-less graph; the oracle's p0 CTE (FROM deg, c) is
+        # likewise empty, so both engines emit 0 rows
+        return deg.select(
+            F.col("node").alias("part_id"),
+            F.lit(None).cast("long").alias("rank_fp"),
+        )
     p_init = 1_000_000_000_000 // n
     base = (15 * p_init) // 100
     p = deg.withColumn("p", F.lit(p_init).cast("long"))

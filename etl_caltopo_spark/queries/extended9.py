@@ -269,6 +269,12 @@ def q_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("total").desc(), "a", "b")
             .first()
         )
+        if top is None:
+            # no adjacent pairs left to merge (empty corpus or
+            # single-symbol words — empty sweep r13): the oracle's
+            # top{r} CTE is likewise empty, so later rounds emit no
+            # rows on either engine
+            break
         a, b = top["a"], top["b"]
         matches = p.filter((F.col("sym") == a) & (F.col("nxt") == b)).select(
             "word", "pos", F.row_number().over(w_word).alias("rn")

@@ -336,6 +336,33 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("ts", "value")
     max_ts = ev.agg(F.max("ts").alias("m")).first()["m"]
+    if max_ts is None:
+        # EMPTY-INPUT GUARD (empty-tables sweep r13; template:
+        # q_stream_dedup's r11 guard): a stream over zero rows emits
+        # nothing — return the batch-shaped empty OUTPUT frame and do
+        # NOT run the availableNow protocol (an empty run writes no
+        # epoch dirs and the sink read-back fails on schemaless
+        # parquet).  Reachable at 100 TB: an empty partition/day.
+        return (
+            tumbling_agg(
+                ev.limit(0),
+                "ts",
+                "10 minutes",
+                [],
+                [
+                    F.count("*").alias("n_events"),
+                    F.round(F.sum("value"), 2).alias("sum_value"),
+                ],
+            )
+            .drop("window_end")
+            .select(
+                F.col("window_start")
+                .cast("timestamp_ntz")
+                .alias("window_start"),
+                "n_events",
+                "sum_value",
+            )
+        )
     split = max_ts - timedelta(minutes=30)
     # build the split as an NTZ expression: a naive-datetime literal is
     # converted via the DRIVER system timezone while the NTZ ts column
@@ -502,6 +529,22 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "value", "ts")
     bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    if bounds["lo"] is None:
+        # empty-input guard (empty sweep r13; see q_stream_watermark_
+        # late): emit the protocol-output-shaped empty frame instead
+        # of running availableNow over zero rows
+        from etl_caltopo_spark.streaming.stateful import RUNNING_TOTALS_OUTPUT
+
+        return (
+            spark.createDataFrame([], RUNNING_TOTALS_OUTPUT)
+            .groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.round(F.max_by("total_value", "n_events"), 2).alias(
+                    "total_value"
+                ),
+            )
+        )
     mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) / 2
     mid_lit = F.lit(mid.isoformat(sep=" ")).cast("timestamp_ntz")
     out = run_two_phase(
@@ -554,6 +597,20 @@ def q_stream_incr_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
     bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    if bounds["lo"] is None:
+        # empty-input guard (empty sweep r13; see q_stream_watermark_
+        # late): the store-shaped empty frame via the SAME partial
+        # aggregate the upsert uses — schema can't drift
+        return partial_rollup(
+            ev.limit(0).withColumn("day", F.date_trunc("day", F.col("ts"))),
+            ["day", "event_type"],
+            "value",
+        ).select(
+            epoch_us(F.col("day").cast("timestamp_ntz")).alias("day_us"),
+            "event_type",
+            F.col("_pcount").cast("bigint").alias("n_events"),
+            F.round(F.col("_psum"), 2).alias("sum_value"),
+        )
     mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) / 2
     mid_lit = F.lit(mid.isoformat(sep=" ")).cast("timestamp_ntz")
 
@@ -632,6 +689,22 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "ts", "value"
     )
     bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    if bounds["lo"] is None:
+        # empty-input guard (empty sweep r13; see q_stream_watermark_
+        # late): the store-shaped empty frame via the upsert's own
+        # delta projection
+        empty_store = ev.limit(0).select(
+            "user_id",
+            "ts",
+            "event_id",
+            (F.col("event_type") == "logout").alias("deleted"),
+            "value",
+        )
+        return empty_store.filter(~F.col("deleted")).select(
+            "user_id",
+            epoch_us(F.col("ts").cast("timestamp_ntz")).alias("last_ts_us"),
+            F.round("value", 2).alias("last_value"),
+        )
     mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) / 2
     mid_lit = F.lit(mid.isoformat(sep=" ")).cast("timestamp_ntz")
 
@@ -828,6 +901,11 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "ts", "value"
     )
     bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    if bounds["lo"] is None:
+        # empty-input guard (empty sweep r13; see q_stream_watermark_
+        # late): topk of nothing is nothing — same projection as the
+        # store schema
+        return ev.limit(0).select("event_id", "event_type", "value")
     mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) / 2
     mid_lit = F.lit(mid.isoformat(sep=" ")).cast("timestamp_ntz")
 
@@ -903,6 +981,14 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim = event_type_rank_dim(ev)
     bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    if bounds["lo"] is None:
+        # empty-input guard (empty sweep r13; see q_stream_watermark_
+        # late): the enrich join over zero rows, batch-shaped
+        return (
+            ev.limit(0)
+            .join(F.broadcast(dim), "event_type")
+            .select("event_id", "event_type", "type_rank")
+        )
     mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) / 2
     mid_lit = F.lit(mid.isoformat(sep=" ")).cast("timestamp_ntz")
     out = run_two_phase(
@@ -968,8 +1054,9 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
     bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
-    mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) / 2
-    mid_lit = F.lit(mid.isoformat(sep=" ")).cast("timestamp_ntz")
+    if bounds["lo"] is not None:
+        mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) / 2
+        mid_lit = F.lit(mid.isoformat(sep=" ")).cast("timestamp_ntz")
 
     def regs_of(df: DataFrame) -> DataFrame:
         hv = (
@@ -1000,16 +1087,27 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         staged = merged.localCheckpoint()
         staged.write.mode("overwrite").parquet(store)
 
-    regs = run_two_phase(
-        spark,
-        [ev.filter(F.col("ts") < mid_lit), ev.filter(F.col("ts") >= mid_lit)],
-        lambda s: s,
-        sink="store",
-        store_upsert=upsert,
-        files_per_phase=4,
-        max_files_per_trigger=2,
-        prefix="q_stream_hll_",
-    )
+    if bounds["lo"] is None:
+        # empty-input guard (empty sweep r13; see q_stream_watermark_
+        # late): zero-row registers through the SAME regs_of — the
+        # per-bucket output (regs ⨯ agg) is then empty on both
+        # engines (the oracle's FROM regs, agg cross join likewise
+        # yields 0 rows)
+        regs = regs_of(ev.limit(0))
+    else:
+        regs = run_two_phase(
+            spark,
+            [
+                ev.filter(F.col("ts") < mid_lit),
+                ev.filter(F.col("ts") >= mid_lit),
+            ],
+            lambda s: s,
+            sink="store",
+            store_upsert=upsert,
+            files_per_phase=4,
+            max_files_per_trigger=2,
+            prefix="q_stream_hll_",
+        )
     agg = regs.agg(
         F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("s"),
         F.count("*").alias("nz"),

@@ -73,9 +73,14 @@ normal-data sweep (278/10/0 at the r8 registry).
 Each mode must read the SAME pass/rows-only/fail split as the
 normal-data sweep.
 
+- ``empty`` (round 13, the ninth axis): every table truncated to
+  ZERO rows, schema preserved — the empty-partition/day scenario.
+  The r12 probe read 268/7/17; the 17 fixes are catalogued on
+  build_empty's docstring and pinned in tests/test_empty_tables.py.
+
 Usage: python tools/degenerate_sweep.py
        [--mode degenerate|nulls|shuffled|unitext|extremes|temporal|
-        json|nullkeys]
+        json|nullkeys|empty]
        [--base /root/testdata/sf0.001] [q_name ...]
 """
 
@@ -452,6 +457,28 @@ def build_temporal(spark, base: str, out: str, pct: int = 2) -> None:
         _write_single(df, out, t)
 
 
+def build_empty(spark, base: str, out: str) -> None:
+    """empty mode (round 13, the NINTH sweep axis): every table
+    truncated to ZERO rows, schema preserved (``limit(0)`` per
+    table).  A genuinely reachable 100 TB scenario — an empty
+    partition/day of a feed — not just an adversarial input.  The
+    r12 probe read 268/7/17; round 13 fixed the 17: seven
+    streaming-protocol ids NoneType-crashed on all-NULL
+    ``agg(min,max)`` bounds (guard: return the batch-shaped empty
+    OUTPUT frame, do NOT run the availableNow protocol — an empty
+    run writes no epoch dirs and the sink read-back fails on
+    schemaless parquet), KMeans/IVF ids crashed on an empty fit,
+    q_agg_rollup hit the REAL Spark-vs-SQL divergence (Spark emits
+    0 rows for ROLLUP on empty input where SQL emits the global ()
+    row — fixed portably by unioning an explicit global aggregate),
+    and four scalar-stat ids (NULL-vs-NaN output shape, a None
+    best-pair, 1/0).  Pins: tests/test_empty_tables.py."""
+    from etl_caltopo_spark.io import TABLES, load_table
+
+    for t in TABLES:
+        _write_single(load_table(spark, base, t).limit(0), out, t)
+
+
 BUILDERS = {
     "degenerate": build_degenerate,
     "nulls": build_nulls,
@@ -461,6 +488,7 @@ BUILDERS = {
     "temporal": build_temporal,
     "json": build_json,
     "nullkeys": build_nullkeys,
+    "empty": build_empty,
 }
 
 
