@@ -151,7 +151,20 @@ def post_idempotent(
         try:
             poster(url, body, headers)
             return key
-        except Exception:
+        except Exception as exc:
+            # deterministic 4xx client errors (bad payload, auth,
+            # too-large) fail identically on every retry — surface
+            # them NOW instead of after the full backoff schedule
+            # inside an executor; 408 (timeout) and 429 (throttle)
+            # are the transient exceptions and stay retryable
+            # (ADVICE r12)
+            code = getattr(exc, "code", None)
+            if (
+                isinstance(code, int)
+                and 400 <= code < 500
+                and code not in (408, 429)
+            ):
+                raise
             if attempt >= max_retries:
                 raise
             sleep(backoff_s * (2**attempt))
@@ -231,7 +244,14 @@ def submit_idempotent(
     stays for fire-and-forget test posters."""
     n = df.count()
     if n <= driver_collect_max:
-        body = json.dumps(to_feature_collection(df))
+        fc = to_feature_collection(df)
+        # canonicalize exactly like the partition path (ADVICE r12):
+        # collect() order is not deterministic across re-runs, and a
+        # reordered body would change the content-derived key — a
+        # redelivered batch must serialize byte-identically on BOTH
+        # dispatch paths for the contract to hold
+        fc["features"].sort(key=lambda f: str(f["id"]))
+        body = json.dumps(fc)
         post_idempotent(
             poster, url, body, max_retries=max_retries, backoff_s=backoff_s
         )

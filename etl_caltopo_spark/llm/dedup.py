@@ -269,7 +269,13 @@ def minhash_banded_jaccard_pairs(
         # released by the ContextCleaner once the frame is
         # unreferenced.  (Benchmarking note: never time this frame
         # with .count() alone — Catalyst prunes the _sh column and
-        # measures the bare scan.)
+        # measures the bare scan.)  Fault-tolerance tradeoff (ADVICE
+        # r12): localCheckpoint truncates lineage onto NON-replicated
+        # executor blocks — losing an executor after the checkpoint
+        # fails the query where persist would recompute from lineage.
+        # Right for this single-session benchmark/grade pattern; a
+        # long-running production session with executor churn should
+        # prefer reliable checkpointing (or persist) here.
         base = base.localCheckpoint(eager=True)
     fp = base.select("_id", F.explode("_sh").alias("x"))
     sig = fp.groupBy("_id").agg(*minhash_signature_cols("x"))

@@ -191,6 +191,10 @@ def main() -> None:
     json_path = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            # --json with no value: fall through to usage (ADVICE r12)
+            print(__doc__)
+            sys.exit(2)
         json_path = argv[i + 1]
         del argv[i : i + 2]
     if len(argv) < 2:
