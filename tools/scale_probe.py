@@ -361,9 +361,84 @@ def semdedup_production_dial(spark, sf_dir: str, threshold: float = 0.3) -> None
     )
 
 
+def curation_neardup_dial(spark, sf_dir: str, reps: int = 3) -> None:
+    """VERDICT r12 #5: measure the curation stage-2 dial at the
+    regime it targets — a UNIQUE-BUT-NEAR-DUP corpus.  The perturbed
+    replica is exactly that shape: copies are 1-2-token-mutated, so
+    exact dedup cannot collapse them and the pair stage sees the
+    full table (at sf0.1 the pipeline's pair stage ran over ~5k
+    exact-dedup survivors, hiding the dial).  Times the two pair
+    generators alone — the only thing the dial changes — forcing
+    full evaluation with an aggregate over every output column
+    (knowledge #28: .count() alone lets Catalyst prune the hash
+    work), alternating forms per rep (knowledge #15)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from etl_caltopo_spark.io import load_table
+    from etl_caltopo_spark.llm import dedup
+    from etl_caltopo_spark.llm.curation import NEAR_DUP_THRESHOLD
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    n_docs = docs.count()
+
+    def run(form: str) -> tuple[float, int]:
+        t0 = _t.time()
+        if form == "portable":
+            pairs = dedup.minhash_banded_jaccard_pairs(
+                docs, "text", "doc_id", threshold=NEAR_DUP_THRESHOLD
+            )
+        else:
+            pairs = dedup.near_duplicates(
+                docs,
+                "text",
+                "doc_id",
+                n_hashes=16,
+                bands=4,
+                threshold=NEAR_DUP_THRESHOLD,
+            )
+        row = pairs.agg(
+            F.count("*").alias("n"),
+            F.sum("id_a").alias("sa"),
+            F.sum("id_b").alias("sb"),
+            F.sum(F.floor(F.col("jaccard") * 10000)).alias("sj"),
+        ).first()
+        return _t.time() - t0, row["n"]
+
+    walls: dict[str, list[float]] = {"portable": [], "xxhash": []}
+    n_pairs: dict[str, int] = {}
+    for form in ("portable", "xxhash"):  # JIT/code-cache warm-up
+        run(form)
+    for _ in range(reps):
+        for form in ("portable", "xxhash"):
+            w, np_ = run(form)
+            walls[form].append(w)
+            n_pairs[form] = np_
+    for form in ("portable", "xxhash"):
+        med = sorted(walls[form])[len(walls[form]) // 2]
+        print(
+            f"| neardup dial {form} | {med:.2f} s median of {reps} "
+            f"| {n_docs} docs | {n_pairs[form]} pairs |",
+            flush=True,
+        )
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--ann"]
+    args = [a for a in sys.argv[1:] if a not in ("--ann", "--dial")]
     ann_only = "--ann" in sys.argv[1:]
+    dial_only = "--dial" in sys.argv[1:]
+    if dial_only:
+        n = int(args[0]) if args else 10
+        out_dir = f"/tmp/spark_graft_scale_{n}x"
+        os.makedirs(out_dir, exist_ok=True)
+        spark = build_spark(app_name="scale-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        build_scaled(spark, n, out_dir)
+        curation_neardup_dial(spark, out_dir)
+        return
     n = int(args[0]) if args else 10
     names = args[1:] or (ANN_LADDER if ann_only else PROBE_QUERIES)
     out_dir = f"/tmp/spark_graft_scale_{n}x"
