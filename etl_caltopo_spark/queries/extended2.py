@@ -355,11 +355,23 @@ def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     eps = 0.005
 
     def rank_ok(v: str, p: float):
+        # ROW-space certificate (onerow probe r13): the returned
+        # value's rank interval [lo, hi] must intersect
+        # [ceil(p*n) - eps*n, ceil(p*n) + eps*n].  The previous
+        # FRACTION-space form (lo/n - eps <= p <= hi/n + eps) is
+        # unsatisfiable at n = 1: the single element has rank
+        # fraction 1.0 against p = 0.5 even though the median of one
+        # element IS that element.  ceil(p*n) is the standard
+        # quantile target rank; at bench n (~20k/group) the two forms
+        # differ by under one row of slack, and every sweep mode and
+        # scale re-reads identically under the row form.
         lo = F.sum((F.col("l_extendedprice") < F.col(v)).cast("long")) + 1
         hi = F.sum((F.col("l_extendedprice") <= F.col(v)).cast("long"))
         n = F.count("*")
-        return ((lo / n - F.lit(eps)) <= F.lit(p)) & (
-            F.lit(p) <= (hi / n + F.lit(eps))
+        target = F.ceil(F.lit(p) * n).cast("double")
+        slack = F.lit(eps) * n
+        return (lo.cast("double") <= target + slack) & (
+            hi.cast("double") >= target - slack
         )
 
     return j.groupBy("l_returnflag").agg(

@@ -77,10 +77,16 @@ normal-data sweep.
   ZERO rows, schema preserved — the empty-partition/day scenario.
   The r12 probe read 268/7/17; the 17 fixes are catalogued on
   build_empty's docstring and pinned in tests/test_empty_tables.py.
+- ``onerow`` (round 13, the tenth axis): every table truncated to
+  exactly ONE row — the seam between empty and normal (n-1 = 0
+  denominators, single-element windows, degenerate phase splits).
+  First run caught q_percentile_approx's fraction-space rank
+  certificate being unsatisfiable at n = 1 (fixed to the row-space
+  Greenwald-Khanna form; pins in tests/test_onerow.py).
 
 Usage: python tools/degenerate_sweep.py
        [--mode degenerate|nulls|shuffled|unitext|extremes|temporal|
-        json|nullkeys|empty]
+        json|nullkeys|empty|onerow]
        [--base /root/testdata/sf0.001] [q_name ...]
 """
 
@@ -479,6 +485,23 @@ def build_empty(spark, base: str, out: str) -> None:
         _write_single(load_table(spark, base, t).limit(0), out, t)
 
 
+def build_onerow(spark, base: str, out: str) -> None:
+    """onerow mode (round 13 probe, candidate tenth axis): every table
+    truncated to exactly ONE row (deterministic: min over a total
+    column order, then limit 1).  Probes the seams between empty and
+    normal: n-1 = 0 variance/correlation denominators, single-element
+    windows/percentiles/medians, one-node graphs, single-event
+    streaming protocols (phase split degenerates to lo == hi), and
+    joins whose single rows no longer key-match across tables."""
+    from pyspark.sql import functions as F
+
+    from etl_caltopo_spark.io import TABLES, load_table
+
+    for t in TABLES:
+        df = load_table(spark, base, t)
+        _write_single(df.orderBy(*df.columns).limit(1), out, t)
+
+
 BUILDERS = {
     "degenerate": build_degenerate,
     "nulls": build_nulls,
@@ -489,6 +512,7 @@ BUILDERS = {
     "json": build_json,
     "nullkeys": build_nullkeys,
     "empty": build_empty,
+    "onerow": build_onerow,
 }
 
 
