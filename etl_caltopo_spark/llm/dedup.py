@@ -613,7 +613,15 @@ def clusters_within_blocks(
     # while the oracle's recursive closure keeps them as singletons).
     # Non-finite vectors are excluded with the NULL ones (extremes
     # r11): a NaN/inf component has no portable cosine in any engine.
-    non_null_vec = emb.where(vector_finite(F.col(vec_col)))
+    # ENTITY semantics (clones sweep r13): clustering is defined over
+    # ids, not rows — duplicate rows of one id are the same vertex,
+    # and the oracle's closure emits each id once.  One representative
+    # per id (payload is a function of the id — the same key-
+    # determinism contract as the streaming dedup); map-side partial
+    # agg, no-op on unique-id data.
+    non_null_vec = emb.where(vector_finite(F.col(vec_col))).dropDuplicates(
+        [id_col]
+    )
     clustered = (
         non_null_vec.where(F.col(block_col).isNotNull())
         .select(id_col, block_col, vec_col)

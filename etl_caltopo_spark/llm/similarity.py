@@ -338,7 +338,14 @@ def near_pairs_within_blocks(
             G = (V[s:e] @ V.T) / np.outer(norms[s:e], norms)
             rr, cc = np.nonzero(G >= threshold - 1e-6)
             rr_g = rr + s
-            keep = rr_g < cc  # id order == index order: emit a < b
+            # strict ID order, not index order (clones sweep r13):
+            # duplicate ids occupy distinct sorted positions, and the
+            # SQL mirror's a.id < b.id never pairs equal ids — index
+            # order alone emitted (x, x) pairs under duplicate-id
+            # input.  Multiplicity still matches the SQL row join
+            # exactly: k copies of id a times m copies of id b emit
+            # k*m pairs on both sides.
+            keep = ids[rr_g] < ids[cc]
             for r_loc, c in zip(rr[keep], cc[keep]):
                 g = G[r_loc, c]
                 g6 = g * 1e6

@@ -444,10 +444,21 @@ def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     Runs on the distributed two-pass rank (operators/rank.py — VERDICT
     r6 #1): the raw orders frame is never pulled into one window task;
     ntile/percent_rank/cume_dist derive from the exact global row
-    number + frame count by the same row arithmetic both engines use
-    (the (o_totalprice, o_orderkey) order is tie-free, so rank == row
-    number and the derivations are exact)."""
+    number + frame count by the same row arithmetic both engines use.
+
+    TIE SEMANTICS (clones probe r13): percent_rank and cume_dist are
+    defined over RANK and PEER GROUPS, not row position — rows equal
+    on the whole ORDER BY key share (min rn - 1)/(n - 1) and
+    (max rn)/n.  On the seeded data (o_orderkey unique) every peer
+    group is a singleton and the bounds collapse to rn, but duplicate
+    full rows (a stuck-producer feed) made the old row-position form
+    diverge from SQL.  The peer bounds come from ONE window hash-
+    partitioned by the full order key (tiny groups, no global sort);
+    ntile stays on the row number — SQL's ntile is position-based and
+    splits ties across tiles in both engines."""
     apply_runtime_conf(spark)
+    from pyspark.sql.window import Window
+
     from etl_caltopo_spark.operators.rank import (
         cume_dist_from_rank,
         global_row_number,
@@ -464,11 +475,15 @@ def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         total_col="_n",
         tiebreak="o_orderkey",
     )
+    w_peer = Window.partitionBy("o_totalprice", "o_orderkey")
+    r = r.withColumn("_rank", F.min("_grn").over(w_peer)).withColumn(
+        "_peer_hi", F.max("_grn").over(w_peer)
+    )
     return r.select(
         "o_orderkey",
         ntile_from_rank(F.col("_grn"), F.col("_n"), 4).alias("quartile"),
-        percent_rank_from_rank(F.col("_grn"), F.col("_n")).alias("pct_rank"),
-        cume_dist_from_rank(F.col("_grn"), F.col("_n")).alias("cume"),
+        percent_rank_from_rank(F.col("_rank"), F.col("_n")).alias("pct_rank"),
+        cume_dist_from_rank(F.col("_peer_hi"), F.col("_n")).alias("cume"),
     )
 
 

@@ -2095,12 +2095,16 @@ def q_audio_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw, "asset_id", F.col("payload"), "audio"
     )
     decoded = multimodal.decode_audio(assets)
-    return decoded.join(
-        raw.select(F.col("asset_id").alias("aid"), "law"),
-        F.col("asset_id") == F.col("aid"),
-    ).select(
+    # law is a pure function of the asset id (the generator's d % 2
+    # dispatch) — computed directly instead of a join-back to `raw`,
+    # which exploded k^2-fold under duplicate asset ids (clones sweep
+    # r13: a join-back by a non-unique id multiplies rows) and cost a
+    # shuffle the map-only plan never needed.
+    return decoded.select(
         "asset_id",
-        "law",
+        F.when(F.col("asset_id") % 2 == 0, F.lit("ulaw"))
+        .otherwise(F.lit("alaw"))
+        .alias("law"),
         "sample_rate",
         "n_samples",
         F.col("duration_ms").cast("double").alias("duration_ms"),

@@ -440,7 +440,8 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_udaf_geomean",
     oracle="""
     SELECT l_returnflag,
-           floor(exp(avg(ln(l_extendedprice))) * 100) / 100 AS geo_price
+           floor(exp(avg(ln(l_extendedprice))) * (1 + 1e-9) * 100) / 100
+               AS geo_price
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -448,13 +449,22 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDAF surface: Arrow GROUPED_AGG pandas UDF (geometric mean),
     oracle-checked against the exp(avg(ln)) identity.  2-dp floor
-    absorbs the sub-1e-10 summation-order difference."""
+    absorbs the sub-1e-10 summation-order difference.
+
+    GRID-ATTRACTOR NUDGE (clones sweep r13): a CONSTANT group's true
+    geomean sits EXACTLY on the cent grid (exp(ln v) = v, v a money
+    value), so flooring the ±ulp exp/ln round-trip was a per-engine
+    coin flip — one engine landed 1e-9 below the boundary, the other
+    above.  Both sides scale by (1 + 1e-9) before the floor: on-grid
+    true values floor to themselves on both engines, and interior
+    values (every non-degenerate group — an irrational mean never
+    sits within rel-1e-9 of the grid) are untouched."""
     from etl_caltopo_spark.functions.udfs import geomean
 
     apply_runtime_conf(spark)
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        fround(geomean("l_extendedprice"), 2).alias("geo_price")
+        fround(geomean("l_extendedprice") * (1 + 1e-9), 2).alias("geo_price")
     )
 
 

@@ -496,27 +496,33 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline).  No transcendentals, so the score is hash-gradable
     where a log-prob would be libm-dependent.
 
-    Scale shape: one explode + lead window partitioned by doc_id, a
-    partial-aggregated bigram frequency table (bounded by vocabulary²
-    observed, not corpus size), and an equi-join of occurrences to
-    frequencies shuffled on the bigram key.  At 100 TB the frequency
-    table is the broadcast side once pruned to rare entries — an
-    anti-join form of the same plan."""
+    Scale shape: ROW-LOCAL bigram extraction (an index transform over
+    each row's own token array — no window, no per-doc shuffle;
+    clones sweep r13: the previous lead() window partitioned by
+    doc_id fused duplicate doc_ids into ONE tied sequence and paired
+    tokens ACROSS copies, where the oracle indexes each row's own
+    list), a partial-aggregated bigram frequency table (bounded by
+    vocabulary² observed, not corpus size), and an equi-join of
+    occurrences to frequencies shuffled on the bigram key.  At
+    100 TB the frequency table is the broadcast side once pruned to
+    rare entries — an anti-join form of the same plan."""
     apply_runtime_conf(spark)
     from etl_caltopo_spark.llm.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = (
-        docs.select(
-            "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
-        )
-        .filter(F.col("tok") != "")
+    d = docs.select(
+        "doc_id",
+        F.filter(tokens(F.col("text")), lambda t: t != "").alias("ts"),
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    big = (
-        toks.select("doc_id", F.col("tok").alias("a"), F.lead("tok").over(w).alias("b"))
-        .filter(F.col("b").isNotNull())
-    )
+    big = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(ts, 1, greatest(size(ts) - 1, 0)), "
+                "(x, i) -> struct(x AS a, element_at(ts, i + 2) AS b))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.a", "p.b")
     freq = big.groupBy("a", "b").agg(F.count("*").cast("bigint").alias("c"))
     rare = F.when(F.col("c") <= 2, 1).otherwise(0)
     return (

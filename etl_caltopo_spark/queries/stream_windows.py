@@ -398,7 +398,13 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_stream_dedup",
     oracle="""
-    SELECT event_id, user_id, event_type,
+    -- DISTINCT (clones sweep r13): the operator dedups by the
+    -- event_id KEY, so a source that re-delivers byte-identical
+    -- rows under one id still emits that id once.  Rows sharing an
+    -- id with DIFFERENT payloads resolve by arrival order (not
+    -- SQL-expressible) — the id's domain contract is that payload
+    -- is a function of the key, which every replica satisfies.
+    SELECT DISTINCT event_id, user_id, event_type,
            CAST(epoch_us(ts) AS BIGINT) AS ts_us
     FROM events
     WHERE epoch_us(ts) >= 0

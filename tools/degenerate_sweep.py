@@ -83,10 +83,19 @@ normal-data sweep.
   First run caught q_percentile_approx's fraction-space rank
   certificate being unsatisfiable at n = 1 (fixed to the row-space
   Greenwald-Khanna form; pins in tests/test_onerow.py).
+- ``clones`` (round 13, the eleventh axis): every table becomes its
+  first row repeated |table| times — maximal duplication, the
+  stuck-producer/default-flood feed shape.  First run caught NINE
+  divergences in one class (ids assumed unique): equal-id pairs from
+  the GEMM index mask, row-vs-entity clustering counts, a lead()
+  window fusing duplicate doc_ids, a k² join-back explosion, the
+  percent_rank/cume_dist row-position derivation diverging from SQL
+  tie semantics, and a constant-group geomean sitting exactly on the
+  cent-grid floor boundary.  Pins in tests/test_clones.py.
 
 Usage: python tools/degenerate_sweep.py
        [--mode degenerate|nulls|shuffled|unitext|extremes|temporal|
-        json|nullkeys|empty|onerow]
+        json|nullkeys|empty|onerow|clones]
        [--base /root/testdata/sf0.001] [q_name ...]
 """
 
@@ -502,6 +511,32 @@ def build_onerow(spark, base: str, out: str) -> None:
         _write_single(df.orderBy(*df.columns).limit(1), out, t)
 
 
+def build_clones(spark, base: str, out: str) -> None:
+    """clones mode (round 13, the ELEVENTH axis): every table becomes
+    its FIRST row (min over a total column order) repeated |table|
+    times — maximal duplication, the stuck-producer
+    /default-value-flood feed shape.  Probes ties EVERYWHERE (every
+    window order is a full tie — outputs must still agree because
+    identical rows are interchangeable), duplicate join keys
+    (self-joins go quadratic in the clone count), and total dedup
+    collapse (one survivor from n inputs).  First run read 273/10/9;
+    the nine fixes (all one class — "this id column is unique" baked
+    into an operator) are catalogued in HANDOFF round-13 deltas and
+    pinned in tests/test_clones.py."""
+    from pyspark.sql import functions as F
+
+    from etl_caltopo_spark.io import TABLES, load_table
+
+    for t in TABLES:
+        df = load_table(spark, base, t)
+        n = df.count()
+        one = df.orderBy(*df.columns).limit(1)
+        clones = one.crossJoin(
+            spark.range(max(n, 1)).select(F.lit(1).alias("_k"))
+        ).drop("_k")
+        _write_single(clones.select(*df.columns), out, t)
+
+
 BUILDERS = {
     "degenerate": build_degenerate,
     "nulls": build_nulls,
@@ -513,6 +548,7 @@ BUILDERS = {
     "nullkeys": build_nullkeys,
     "empty": build_empty,
     "onerow": build_onerow,
+    "clones": build_clones,
 }
 
 
