@@ -93,9 +93,17 @@ normal-data sweep.
   tie semantics, and a constant-group geomean sitting exactly on the
   cent-grid floor boundary.  Pins in tests/test_clones.py.
 
+- ``bigids`` (round 13 PROBE — NOT yet a claimed mode): every id
+  column shifted by 2^62 (snowflake-scale identifiers).  The r13
+  probe read 266/10/16 — sixteen int64-overflow crashes in id-hash
+  arithmetic (``id * 1000003`` / ``id * 2654435761`` forms) plus a
+  DuckDB left-shift overflow and one value mismatch.  Fix recipes
+  sized in HANDOFF backlog 1d; the mode must not be claimed before
+  they land (the ``empty``-mode discipline, r12).
+
 Usage: python tools/degenerate_sweep.py
        [--mode degenerate|nulls|shuffled|unitext|extremes|temporal|
-        json|nullkeys|empty|onerow|clones]
+        json|nullkeys|empty|onerow|clones|bigids]
        [--base /root/testdata/sf0.001] [q_name ...]
 """
 
@@ -537,6 +545,49 @@ def build_clones(spark, base: str, out: str) -> None:
         _write_single(clones.select(*df.columns), out, t)
 
 
+#: bigids mode: every id/key column shifted into the high int64 range
+#: by ONE consistent affine map (id + 2^62), preserving uniqueness,
+#: ordering, and every cross-table join.  l_linenumber (a small
+#: per-order ordinal, not an entity id) stays.
+BIGID_COLS = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey", "n_regionkey"],
+    "customer": ["c_custkey", "c_nationkey"],
+    "supplier": ["s_suppkey", "s_nationkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+BIGID_SHIFT = 1 << 62
+
+
+def build_bigids(spark, base: str, out: str) -> None:
+    """bigids mode (round 13 probe, candidate twelfth axis):
+    snowflake-scale identifiers — every id column shifted by 2^62 so
+    ids sit where real 100 TB systems put them (time-sortable
+    64-bit ids), instead of the generator's small sequential range.
+    Probes int64-overflow seams in id arithmetic: a Knuth-style
+    ``id * 1000003`` multiplicative hash overflows int64 (ANSI Spark
+    raises ARITHMETIC_OVERFLOW; DuckDB raises Out of Range) the
+    moment ids are realistic, and modulo/shift identities that held
+    for small positive ids may not survive the magnitude."""
+    from pyspark.sql import functions as F
+
+    from etl_caltopo_spark.io import TABLES, load_table
+
+    for t in TABLES:
+        df = load_table(spark, base, t)
+        for c in BIGID_COLS.get(t, []):
+            df = df.withColumn(
+                c, (F.col(c).cast("long") + F.lit(BIGID_SHIFT)).alias(c)
+            )
+        _write_single(df, out, t)
+
+
 BUILDERS = {
     "degenerate": build_degenerate,
     "nulls": build_nulls,
@@ -549,6 +600,7 @@ BUILDERS = {
     "empty": build_empty,
     "onerow": build_onerow,
     "clones": build_clones,
+    "bigids": build_bigids,
 }
 
 
