@@ -517,7 +517,8 @@ def q_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH h AS (
         SELECT l_orderkey, l_linenumber,
-               (((CAST(l_orderkey AS BIGINT) * 8 + l_linenumber) % 2147483648)
+               ((((CAST(l_orderkey AS BIGINT) % 2147483648) * 8 + l_linenumber)
+                 % 2147483648)
                 * 1113114113) % 2147483648 AS h1
         FROM lineitem
     )
@@ -536,10 +537,17 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant, mod 2^31 so the product stays under 2^62 for ANSI
     arithmetic at any SF); the sample decision reads the HIGH bits
     (bits 16-30) because a multiplicative hash mixes upward — the low
-    bits of key*odd retain the key's parity."""
+    bits of key*odd retain the key's parity.
+
+    The orderkey is pre-reduced mod 2^31 BEFORE the *8 fold (bigids
+    sweep r14): ((k % 2^31) * 8 + ln) % 2^31 == (k * 8 + ln) % 2^31
+    for nonnegative k — identical draw, but the raw product overflows
+    int64 at snowflake-scale ids (HANDOFF knowledge #35)."""
     apply_runtime_conf(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    combined = F.col("l_orderkey").cast("long") * F.lit(8) + F.col("l_linenumber")
+    combined = (
+        F.col("l_orderkey").cast("long") % F.lit(2147483648)
+    ) * F.lit(8) + F.col("l_linenumber")
     h1 = (combined % F.lit(2147483648)) * F.lit(1113114113) % F.lit(2147483648)
     return li.filter(
         F.pmod(F.floor(h1 / F.lit(65536)), F.lit(10)) == 0

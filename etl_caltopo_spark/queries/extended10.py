@@ -716,8 +716,8 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH h AS (
         SELECT doc_id,
-               (((doc_id * 1000003) % 2147483648) * 2654435761) % 4294967296
-                   AS hv
+               ((((doc_id % 2147483648) * 1000003) % 2147483648)
+                * 2654435761) % 4294967296 AS hv
         FROM documents
     )
     SELECT doc_id,
@@ -745,7 +745,12 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    hv = ((F.col("doc_id") * 1000003) % 2147483648) * 2654435761 % 4294967296
+    # id pre-reduced mod 2^31 before the Knuth multiply — identical hv
+    # for any nonnegative id, no int64 overflow at snowflake-scale ids
+    # (bigids sweep r14; HANDOFF knowledge #35)
+    hv = (
+        ((F.col("doc_id") % 2147483648) * 1000003) % 2147483648
+    ) * 2654435761 % 4294967296
     h = docs.select("doc_id", hv.alias("hv"), (hv % 16).alias("shard"))
     w = Window.partitionBy("shard").orderBy("hv", "doc_id")
     return h.select(
@@ -1706,8 +1711,8 @@ def q_embed_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH h AS (
         SELECT DISTINCT
-               (((user_id * 1000003) % 2147483648) * 2654435761) % 4294967296
-                   AS hv
+               ((((user_id % 2147483648) * 1000003) % 2147483648)
+                * 2654435761) % 4294967296 AS hv
         FROM events
     ), r AS (
         SELECT hv >> 28 AS bucket, hv & 268435455 AS w FROM h
@@ -1749,8 +1754,12 @@ def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     absorbed by max())."""
     apply_runtime_conf(spark)
     ev = load_table(spark, sf_dir, "events")
+    # id pre-reduced mod 2^31 before the Knuth multiply — identical hv,
+    # no int64 overflow at snowflake-scale ids (bigids r14, #35)
     hv = (
-        ((F.col("user_id") * 1000003) % 2147483648) * 2654435761 % 4294967296
+        (((F.col("user_id") % 2147483648) * 1000003) % 2147483648)
+        * 2654435761
+        % 4294967296
     )
     h = ev.select(hv.alias("hv")).distinct()
     r = h.select(
@@ -2202,8 +2211,8 @@ def _morton_sql(x: str, y: str) -> str:
     oracle=f"""
     WITH pts AS (
         SELECT c_custkey AS id,
-               ((c_custkey * 37) % 18000 - 9000) AS lat,
-               ((c_custkey * 91) % 36000 - 18000) AS lon
+               (((c_custkey % 18000) * 37) % 18000 - 9000) AS lat,
+               (((c_custkey % 36000) * 91) % 36000 - 18000) AS lon
         FROM customer
     ), cells AS (
         SELECT id, lat, lon,
@@ -2250,8 +2259,11 @@ def q_spatial_cell_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     pts = cust.select(
         F.col("c_custkey").alias("id"),
-        ((F.col("c_custkey") * 37) % 18000 - 9000).alias("lat"),
-        ((F.col("c_custkey") * 91) % 36000 - 18000).alias("lon"),
+        # key pre-reduced mod the grid before the multiply — identical
+        # values, but the raw product overflows int64 at snowflake-
+        # scale ids (bigids sweep r14; HANDOFF knowledge #35)
+        (((F.col("c_custkey") % 18000) * 37) % 18000 - 9000).alias("lat"),
+        (((F.col("c_custkey") % 36000) * 91) % 36000 - 18000).alias("lon"),
     )
     cells = pts.select(
         "id",

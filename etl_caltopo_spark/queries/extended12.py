@@ -951,8 +951,8 @@ def q_graph_2hop(
             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
     ), h AS (
         SELECT src,
-               (((dst * 1000003) % 2147483648) * 2654435761) % 4294967296
-                   AS hv
+               ((((dst % 2147483648) * 1000003) % 2147483648)
+                * 2654435761) % 4294967296 AS hv
         FROM e
     ), r AS (
         SELECT src, hv >> 26 AS bucket, hv & 67108863 AS w FROM h
@@ -1035,7 +1035,13 @@ def q_graph_2hop_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumers) a localCheckpoint here is a measured LOSS — 18.1 s vs
     # 15.5 s at the 10x probe — because serializing the edge list costs
     # more than one extra broadcast-join + partial-distinct pass.
-    hv = ((F.col("dst") * 1000003) % 2147483648) * 2654435761 % 4294967296
+    # id pre-reduced mod 2^31 before the Knuth multiply — identical hv,
+    # no int64 overflow at snowflake-scale ids (bigids r14, #35)
+    hv = (
+        (((F.col("dst") % 2147483648) * 1000003) % 2147483648)
+        * 2654435761
+        % 4294967296
+    )
     r = e.select(
         "src",
         F.shiftright(hv, 26).alias("bucket"),
@@ -1218,8 +1224,8 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH h AS (
         SELECT event_type,
-               (((user_id * 1000003) % 2147483648) * 2654435761) % 4294967296
-                   AS hv
+               ((((user_id % 2147483648) * 1000003) % 2147483648)
+                * 2654435761) % 4294967296 AS hv
         FROM events
     ), r AS (
         SELECT event_type, hv >> 28 AS bucket, hv & 268435455 AS w FROM h
@@ -1263,8 +1269,12 @@ def q_hll_merge_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer ratios; 4-dp floor."""
     apply_runtime_conf(spark)
     ev = load_table(spark, sf_dir, "events")
+    # id pre-reduced mod 2^31 before the Knuth multiply — identical hv,
+    # no int64 overflow at snowflake-scale ids (bigids r14, #35)
     hv = (
-        ((F.col("user_id") * 1000003) % 2147483648) * 2654435761 % 4294967296
+        (((F.col("user_id") % 2147483648) * 1000003) % 2147483648)
+        * 2654435761
+        % 4294967296
     )
     r = ev.select(
         "event_type",
@@ -1460,8 +1470,15 @@ def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def pos(col, i):
+        # key pre-reduced mod the Mersenne prime before the multiply:
+        # (A*k + B) % p == (A*(k % p) + B) % p — identical bit
+        # positions, no int64 overflow at snowflake-scale ids (bigids
+        # r14, #35; intermediate ≤ 65537 * 2^31 ≈ 1.4e14)
         return (
-            (F.lit(_BLOOM_A[i]) * col.cast("long") + F.lit(_BLOOM_B[i]))
+            (
+                F.lit(_BLOOM_A[i]) * (col.cast("long") % 2147483647)
+                + F.lit(_BLOOM_B[i])
+            )
             % 2147483647
         ) % _BLOOM_M
 
@@ -1942,8 +1959,10 @@ def _gh_interleave_sql(lon_q: str, lat_q: str) -> str:
     oracle=f"""
     WITH pts AS (
         SELECT c_custkey,
-               CAST((c_custkey * 37) % 18000 - 9000 AS BIGINT) AS lat_c,
-               CAST((c_custkey * 91) % 36000 - 18000 AS BIGINT) AS lon_c
+               CAST(((c_custkey % 18000) * 37) % 18000 - 9000 AS BIGINT)
+                   AS lat_c,
+               CAST(((c_custkey % 36000) * 91) % 36000 - 18000 AS BIGINT)
+                   AS lon_c
         FROM customer
     ), q AS (
         SELECT c_custkey, lat_c, lon_c,
@@ -1983,10 +2002,13 @@ def q_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     pts = cust.select(
         "c_custkey",
-        ((F.col("c_custkey") * 37) % 18000 - 9000)
+        # key pre-reduced mod the grid before the multiply — identical
+        # values, no int64 overflow at snowflake-scale ids (bigids
+        # sweep r14; HANDOFF knowledge #35)
+        (((F.col("c_custkey") % 18000) * 37) % 18000 - 9000)
         .cast("bigint")
         .alias("lat_c"),
-        ((F.col("c_custkey") * 91) % 36000 - 18000)
+        (((F.col("c_custkey") % 36000) * 91) % 36000 - 18000)
         .cast("bigint")
         .alias("lon_c"),
     )

@@ -173,13 +173,19 @@ def q_string_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
            user_id & 255 AS low_byte,
            user_id | 4096 AS with_flag,
            xor(user_id, event_id) AS mixed,
-           user_id << 2 AS shifted_l,
+           (user_id % 1099511627776) << 2 AS shifted_l,
            user_id >> 1 AS shifted_r
     FROM events
     """,
 )
 def q_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bitwise AND/OR/XOR/shifts."""
+    """Bitwise AND/OR/XOR/shifts.
+
+    The left-shift operand is bounded mod 2^40 on BOTH sides (bigids
+    r14): at snowflake-scale ids `id << 2` is an ENGINE DIVERGENCE —
+    Spark's shiftleft wraps bits out silently (Java << semantics)
+    where DuckDB raises Out of Range — so the portable form shifts a
+    bounded operand; a no-op below 2^40 (HANDOFF knowledge #35)."""
     apply_runtime_conf(spark)
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
@@ -187,7 +193,9 @@ def q_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").bitwiseAND(F.lit(255)).alias("low_byte"),
         F.col("user_id").bitwiseOR(F.lit(4096)).alias("with_flag"),
         F.col("user_id").bitwiseXOR(F.col("event_id")).alias("mixed"),
-        F.shiftleft("user_id", 2).alias("shifted_l"),
+        F.shiftleft(F.col("user_id") % F.lit(1099511627776), 2).alias(
+            "shifted_l"
+        ),
         F.shiftright("user_id", 1).alias("shifted_r"),
     )
 

@@ -519,16 +519,23 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines — the geo MATH is what's under test, mirroring the
 # reference's geometry handling in caltopo/geometry.py and
 # task.ts:102-140 where features carry Point coordinates).
+#
+# The key is pre-reduced mod the grid BEFORE the multiply (bigids
+# sweep r14): (k * 37) % 18000 == ((k % 18000) * 37) % 18000 for any
+# nonnegative k — same value bit-for-bit — but the left form's
+# intermediate overflows int64 the moment keys are realistic
+# snowflake-scale (2^62) identifiers, ANSI-raising in Spark and
+# Out-of-Range-raising in DuckDB.  HANDOFF knowledge #35.
 def _lat_c(key: str) -> F.Column:
-    return (F.col(key) * 37) % 18000 - 9000
+    return ((F.col(key) % 18000) * 37) % 18000 - 9000
 
 
 def _lon_c(key: str) -> F.Column:
-    return (F.col(key) * 91) % 36000 - 18000
+    return ((F.col(key) % 36000) * 91) % 36000 - 18000
 
 
-_SQL_LAT = "((({k}) * 37) % 18000 - 9000)"
-_SQL_LON = "((({k}) * 91) % 36000 - 18000)"
+_SQL_LAT = "(((({k}) % 18000) * 37) % 18000 - 9000)"
+_SQL_LON = "(((({k}) % 36000) * 91) % 36000 - 18000)"
 
 
 @query(

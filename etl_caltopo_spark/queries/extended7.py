@@ -441,7 +441,7 @@ def q_feature_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_train_test_split",
     oracle="""
     WITH s AS (
-        SELECT CASE WHEN (doc_id * 2654435761) % 100 < 90
+        SELECT CASE WHEN ((doc_id % 100) * 2654435761) % 100 < 90
                     THEN 'train' ELSE 'test' END AS split,
                n_chars
         FROM documents
@@ -457,11 +457,17 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     unlike rand()-based sampling, and stable under re-partitioning
     because it depends only on the key.  A pure map stage + one tiny
     aggregate; at 100 TB the same predicate partitions the write
-    (train/test as partition columns) with zero extra shuffles."""
+    (train/test as partition columns) with zero extra shuffles.
+
+    The key is pre-reduced mod 100 BEFORE the Knuth multiply (bigids
+    sweep r14): ((k % 100) * K) % 100 == (k * K) % 100 — the identical
+    split decision, but the raw product overflows int64 at snowflake-
+    scale ids (HANDOFF knowledge #35)."""
     apply_runtime_conf(spark)
     docs = load_table(spark, sf_dir, "documents")
     split = F.when(
-        (F.col("doc_id") * F.lit(2654435761).cast("long")) % 100 < 90, "train"
+        ((F.col("doc_id") % 100) * F.lit(2654435761).cast("long")) % 100 < 90,
+        "train",
     ).otherwise("test")
     return (
         docs.select(split.alias("split"), "n_chars")

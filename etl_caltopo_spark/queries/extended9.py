@@ -548,8 +548,8 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                CAST(i AS BIGINT) AS block_id,
                CAST(least(3, len(ts) - i * 3) AS BIGINT) AS block_len,
-               (((doc_id * 1000003 + i) % 2147483648) * 2654435761)
-                   % 4294967296 AS draw
+               ((((doc_id % 2147483648) * 1000003 + i) % 2147483648)
+                * 2654435761) % 4294967296 AS draw
         FROM d, UNNEST(range(0, (len(ts) + 2) // 3)) AS t(i)
         WHERE len(ts) > 0 AND ts[1] <> ''
     )
@@ -592,8 +592,15 @@ def q_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("ts").alias("n_ts"),
         F.explode(F.sequence(F.lit(0), n_blocks - 1)).alias("block_id"),
     )
+    # doc_id pre-reduced mod 2^31 before the Knuth multiply — the
+    # identical draw for any nonnegative id, but the raw product
+    # overflows int64 at snowflake-scale ids (bigids sweep r14;
+    # HANDOFF knowledge #35)
     draw = (
-        ((F.col("doc_id") * 1000003 + F.col("block_id")) % F.lit(2147483648))
+        (
+            ((F.col("doc_id") % F.lit(2147483648)) * 1000003 + F.col("block_id"))
+            % F.lit(2147483648)
+        )
         * F.lit(2654435761)
     ) % F.lit(4294967296)
     blocks = blocks.select(

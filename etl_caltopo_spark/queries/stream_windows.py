@@ -1015,8 +1015,8 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_hll",
     oracle="""
     WITH h AS (
-        SELECT (((user_id * 1000003) % 2147483648) * 2654435761)
-                   % 4294967296 AS hv
+        SELECT ((((user_id % 2147483648) * 1000003) % 2147483648)
+                * 2654435761) % 4294967296 AS hv
         FROM events
     ), r AS (
         SELECT hv >> 28 AS bucket, hv & 268435455 AS w FROM h
@@ -1065,8 +1065,10 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         mid_lit = F.lit(mid.isoformat(sep=" ")).cast("timestamp_ntz")
 
     def regs_of(df: DataFrame) -> DataFrame:
+        # id pre-reduced mod 2^31 before the Knuth multiply — identical
+        # hv, no int64 overflow at snowflake-scale ids (bigids r14, #35)
         hv = (
-            ((F.col("user_id") * 1000003) % 2147483648)
+            (((F.col("user_id") % 2147483648) * 1000003) % 2147483648)
             * 2654435761
             % 4294967296
         )
@@ -1137,7 +1139,8 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+           CAST(sum(CAST(event_id AS DECIMAL(38, 0))) AS DECIMAL(38, 0))
+               AS sum_event_id
     FROM events
     GROUP BY event_type
     """,
@@ -1173,7 +1176,11 @@ def q_stream_foreachbatch_exactly_once(spark: SparkSession, sf_dir: str) -> Data
         prefix="q_fb_once_",
         replay_last_epoch=True,
     )
+    # sum in DECIMAL(38,0) on both sides (bigids r14, knowledge #30's
+    # aggregate rule): a sum of snowflake-scale int64 ids overflows
+    # long where DuckDB widens to HUGEINT — the decimal sum is exact
+    # on both engines and the correct 100 TB aggregate type anyway
     return out.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.sum("event_id").alias("sum_event_id"),
+        F.sum(F.col("event_id").cast("decimal(38,0)")).alias("sum_event_id"),
     )
