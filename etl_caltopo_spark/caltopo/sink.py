@@ -15,6 +15,7 @@ from __future__ import annotations
 import hashlib
 import json
 import time
+import urllib.error
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -157,12 +158,15 @@ def post_idempotent(
             # them NOW instead of after the full backoff schedule
             # inside an executor; 408 (timeout) and 429 (throttle)
             # are the transient exceptions and stay retryable
-            # (ADVICE r12)
-            code = getattr(exc, "code", None)
+            # (ADVICE r12).  The check is TYPE-narrowed to HTTPError
+            # (ADVICE r13): a custom poster's library exception that
+            # happens to carry an int `.code` in [400,500) must not be
+            # misread as a deterministic client error and skip retries.
             if (
-                isinstance(code, int)
-                and 400 <= code < 500
-                and code not in (408, 429)
+                isinstance(exc, urllib.error.HTTPError)
+                and isinstance(exc.code, int)
+                and 400 <= exc.code < 500
+                and exc.code not in (408, 429)
             ):
                 raise
             if attempt >= max_retries:

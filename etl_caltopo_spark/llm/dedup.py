@@ -618,9 +618,21 @@ def clusters_within_blocks(
     # and the oracle's closure emits each id once.  One representative
     # per id (payload is a function of the id — the same key-
     # determinism contract as the streaming dedup); map-side partial
-    # agg, no-op on unique-id data.
-    non_null_vec = emb.where(vector_finite(F.col(vec_col))).dropDuplicates(
-        [id_col]
+    # agg, no-op on unique-id data.  The representative is picked
+    # DETERMINISTICALLY as the min over a total (block, vector) order
+    # rather than dropDuplicates' arbitrary survivor (ADVICE r13): if
+    # an upstream ever violates the contract with differing payloads
+    # under one id, the output is a stable diff across runs instead of
+    # run-to-run flicker.
+    non_null_vec = (
+        emb.where(vector_finite(F.col(vec_col)))
+        .groupBy(id_col)
+        .agg(F.min(F.struct(block_col, vec_col)).alias("_rep"))
+        .select(
+            id_col,
+            F.col(f"_rep.{block_col}").alias(block_col),
+            F.col(f"_rep.{vec_col}").alias(vec_col),
+        )
     )
     clustered = (
         non_null_vec.where(F.col(block_col).isNotNull())

@@ -93,13 +93,17 @@ normal-data sweep.
   tie semantics, and a constant-group geomean sitting exactly on the
   cent-grid floor boundary.  Pins in tests/test_clones.py.
 
-- ``bigids`` (round 13 PROBE — NOT yet a claimed mode): every id
+- ``bigids`` (round 14, the twelfth axis; probed r13): every id
   column shifted by 2^62 (snowflake-scale identifiers).  The r13
-  probe read 266/10/16 — sixteen int64-overflow crashes in id-hash
-  arithmetic (``id * 1000003`` / ``id * 2654435761`` forms) plus a
-  DuckDB left-shift overflow and one value mismatch.  Fix recipes
-  sized in HANDOFF backlog 1d; the mode must not be claimed before
-  they land (the ``empty``-mode discipline, r12).
+  probe read 266/10/16 — int64-overflow crashes in id-hash
+  arithmetic (``id * 1000003`` / ``id * 2654435761`` forms), a
+  long-sum overflow, and a left-shift ENGINE DIVERGENCE (Spark wraps,
+  DuckDB raises).  All sixteen fixed: q_csv_roundtrip in r13's late
+  wave; the other fifteen in r14 via the modular pre-reduction
+  identity ``((id % M) * K) % M == (id * K) % M``, a DECIMAL(38,0)
+  sum, and a mod-2^40 shift-operand bound — every one a paired
+  query+oracle edit leaving current-data values bit-identical.
+  Pins in tests/test_bigids.py; HANDOFF knowledge #35.
 
 Usage: python tools/degenerate_sweep.py
        [--mode degenerate|nulls|shuffled|unitext|extremes|temporal|
@@ -502,21 +506,43 @@ def build_empty(spark, base: str, out: str) -> None:
         _write_single(load_table(spark, base, t).limit(0), out, t)
 
 
+def _order_cols(df) -> list:
+    """The deterministic first-row pick's sort key: only ORDERABLE
+    columns (ADVICE r13 — a map column is unorderable in Spark and
+    would break the builder at sweep time; maps nested in arrays or
+    structs are equally unorderable)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def has_map(dt) -> bool:
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return has_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(has_map(f.dataType) for f in dt.fields)
+        return False
+
+    return [f.name for f in df.schema.fields if not has_map(f.dataType)]
+
+
 def build_onerow(spark, base: str, out: str) -> None:
     """onerow mode (round 13 probe, candidate tenth axis): every table
     truncated to exactly ONE row (deterministic: min over a total
-    column order, then limit 1).  Probes the seams between empty and
-    normal: n-1 = 0 variance/correlation denominators, single-element
-    windows/percentiles/medians, one-node graphs, single-event
-    streaming protocols (phase split degenerates to lo == hi), and
-    joins whose single rows no longer key-match across tables."""
+    order of the orderable columns, then limit 1).  Probes the seams
+    between empty and normal: n-1 = 0 variance/correlation
+    denominators, single-element windows/percentiles/medians, one-node
+    graphs, single-event streaming protocols (phase split degenerates
+    to lo == hi), and joins whose single rows no longer key-match
+    across tables."""
     from pyspark.sql import functions as F
 
     from etl_caltopo_spark.io import TABLES, load_table
 
     for t in TABLES:
         df = load_table(spark, base, t)
-        _write_single(df.orderBy(*df.columns).limit(1), out, t)
+        key = _order_cols(df)
+        one = df.orderBy(*key) if key else df
+        _write_single(one.limit(1), out, t)
 
 
 def build_clones(spark, base: str, out: str) -> None:
@@ -538,10 +564,13 @@ def build_clones(spark, base: str, out: str) -> None:
     for t in TABLES:
         df = load_table(spark, base, t)
         n = df.count()
-        one = df.orderBy(*df.columns).limit(1)
+        key = _order_cols(df)
+        one = (df.orderBy(*key) if key else df).limit(1)
+        # collision-proof fan-out column name (ADVICE r13): a source
+        # table could legitimately carry a `_k` column
         clones = one.crossJoin(
-            spark.range(max(n, 1)).select(F.lit(1).alias("_k"))
-        ).drop("_k")
+            spark.range(max(n, 1)).select(F.lit(1).alias("__clone_k"))
+        ).drop("__clone_k")
         _write_single(clones.select(*df.columns), out, t)
 
 
@@ -566,7 +595,7 @@ BIGID_SHIFT = 1 << 62
 
 
 def build_bigids(spark, base: str, out: str) -> None:
-    """bigids mode (round 13 probe, candidate twelfth axis):
+    """bigids mode (round 14, the twelfth axis; probed r13):
     snowflake-scale identifiers — every id column shifted by 2^62 so
     ids sit where real 100 TB systems put them (time-sortable
     64-bit ids), instead of the generator's small sequential range.
