@@ -104,10 +104,19 @@ normal-data sweep.
   sum, and a mod-2^40 shift-operand bound — every one a paired
   query+oracle edit leaving current-data values bit-identical.
   Pins in tests/test_bigids.py; HANDOFF knowledge #35.
+- ``orphans`` (round 14, the thirteenth axis): every ODD foreign-key
+  value shifted by +10^9 so it dangles; primary keys stay — the
+  late-dim-load / hard-delete / partial-restore feed shape.  A
+  divergence would mean an operator baked in referential integrity
+  (a join rewrite that only equals the plain join when every fact
+  row has a parent).  First full probe read 282/10/0 — the registry
+  holds the no-RI-assumption guarantee — and the replica
+  demonstrably bites (q_join_inner −50% rows, q_join_anti 0 → 75).
+  Pins in tests/test_orphans.py.
 
 Usage: python tools/degenerate_sweep.py
        [--mode degenerate|nulls|shuffled|unitext|extremes|temporal|
-        json|nullkeys|empty|onerow|clones|bigids]
+        json|nullkeys|empty|onerow|clones|bigids|orphans]
        [--base /root/testdata/sf0.001] [q_name ...]
 """
 
@@ -574,6 +583,52 @@ def build_clones(spark, base: str, out: str) -> None:
         _write_single(clones.select(*df.columns), out, t)
 
 
+#: orphans mode (round 14, the thirteenth axis): foreign-key columns
+#: only; primary keys stay.  Every odd-valued FK is shifted by +10^9
+#: so it references NOTHING — the dangling-pointer feed an
+#: at-least-once upstream produces when dim loads lag fact loads (or a
+#: parent is hard-deleted).  Both engines see the same broken data, so
+#: a divergence means an operator BAKED IN referential integrity — a
+#: rewrite (semi-join, bloom, broadcast dedup) that only equals the
+#: plain join when every fact row has a parent.  First full run:
+#: 282/10/0 (claimed same-round per the r13 onerow/clones precedent —
+#: a zero-failure probe needs no fix wave before claiming).
+ORPHAN_FK_COLS = {
+    "nation": ["n_regionkey"],
+    "customer": ["c_nationkey"],
+    "supplier": ["s_nationkey"],
+    "orders": ["o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+}
+
+ORPHAN_SHIFT = 1_000_000_000
+
+
+def build_orphans(spark, base: str, out: str) -> None:
+    """orphans mode: shift ODD foreign-key values by +10^9 (collides
+    with no real key at any test SF), leaving primary keys and even
+    FKs intact — half of every FK edge dangles.  Referential
+    integrity is an ASSUMPTION, not a guarantee, at 100 TB: late dim
+    loads, hard deletes, and partial restores all orphan fact rows,
+    and an operator that only matches the plain-join semantics when
+    every child has a parent is silently wrong on real feeds."""
+    from pyspark.sql import functions as F
+
+    from etl_caltopo_spark.io import TABLES, load_table
+
+    for t in TABLES:
+        df = load_table(spark, base, t)
+        for c in ORPHAN_FK_COLS.get(t, []):
+            df = df.withColumn(
+                c,
+                F.when(
+                    F.col(c) % 2 == 1,
+                    F.col(c).cast("long") + F.lit(ORPHAN_SHIFT),
+                ).otherwise(F.col(c).cast("long")),
+            )
+        _write_single(df, out, t)
+
+
 #: bigids mode: every id/key column shifted into the high int64 range
 #: by ONE consistent affine map (id + 2^62), preserving uniqueness,
 #: ordering, and every cross-table join.  l_linenumber (a small
@@ -630,6 +685,7 @@ BUILDERS = {
     "onerow": build_onerow,
     "clones": build_clones,
     "bigids": build_bigids,
+    "orphans": build_orphans,
 }
 
 
