@@ -158,13 +158,16 @@ def q_incr_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_conf(spark)
     from etl_caltopo_spark.operators.rollup import merge_rollups, partial_rollup
 
+    # day in TIMESTAMP_NTZ (hostile-session probe r14): date_trunc's
+    # LTZ output renders in the driver's local timezone at collect
     ev = load_table(spark, sf_dir, "events").withColumn(
-        "day", F.date_trunc("day", F.col("ts"))
+        "day", F.date_trunc("day", F.col("ts")).cast("timestamp_ntz")
     )
     # mid-day cutoff: the Jan-26 groups exist in BOTH stored and delta,
     # so the merge genuinely combines partials instead of concatenating
-    # disjoint groups
-    cutoff = F.lit("2024-01-26 12:00:00").cast("timestamp")
+    # disjoint groups.  NTZ literal: the boundary is wall-clock,
+    # session-timezone-independent (the stream_windows convention)
+    cutoff = F.lit("2024-01-26 12:00:00").cast("timestamp_ntz")
     stored = partial_rollup(ev.filter(F.col("ts") < cutoff), ["day", "event_type"], "value")
     delta = partial_rollup(ev.filter(F.col("ts") >= cutoff), ["day", "event_type"], "value")
     merged = merge_rollups(stored, delta)

@@ -377,7 +377,9 @@ def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
             "days_since_95"
         ),
-        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        # NTZ, not LTZ (hostile-session probe r14): an LTZ output
+        # renders in the driver's local timezone at collect
+        F.last_day("o_orderdate").cast("timestamp_ntz").alias("month_end"),
     )
 
 

@@ -408,8 +408,12 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     window — same convention in both engines."""
     apply_runtime_conf(spark)
     ev = load_table(spark, sf_dir, "events")
+    # day in TIMESTAMP_NTZ (hostile-session probe r14): LTZ output
+    # renders in the driver's local timezone at collect; the 7-day
+    # cover sequence below walks NTZ + day intervals identically
     pairs = ev.select(
-        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+        F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day"),
+        "user_id",
     ).distinct()
     dau = pairs.groupBy("day").agg(F.count("*").alias("dau"))
     covers = pairs.select(

@@ -364,7 +364,14 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/time family (the reference carries epoch-millis ints,
-    task.ts:23,73,84; converted at the edge per SURVEY §1.3)."""
+    task.ts:23,73,84; converted at the edge per SURVEY §1.3).
+
+    month_start is emitted as TIMESTAMP_NTZ (hostile-session probe
+    r14): Spark's date_trunc returns the LTZ timestamp type, whose
+    COLLECTED value renders in the driver Python process's local
+    timezone — a non-UTC driver would read 1996-12-31 17:00 for the
+    UTC wall-clock 1997-01-01.  NTZ is the engine-wide canonical
+    temporal type (io.py) and collects timezone-free."""
     apply_runtime_conf(spark)
     orders = load_table(spark, sf_dir, "orders")
     return orders.select(
@@ -372,7 +379,9 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").alias("y"),
         F.month("o_orderdate").alias("m"),
         F.dayofmonth("o_orderdate").alias("d"),
-        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast("timestamp_ntz")
+        .alias("month_start"),
         date_epoch_seconds("o_orderdate").alias("epoch_s"),
     )
 

@@ -123,8 +123,13 @@ def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").isNotNull()
     )
     key = _tick_key()
+    # bar_start in TIMESTAMP_NTZ (hostile-session probe r14): LTZ
+    # output renders in the driver's local timezone at collect
     return ev.groupBy(
-        "user_id", F.date_trunc("hour", F.col("ts")).alias("bar_start")
+        "user_id",
+        F.date_trunc("hour", F.col("ts"))
+        .cast("timestamp_ntz")
+        .alias("bar_start"),
     ).agg(
         F.min_by("value", key).alias("open"),
         F.max("value").alias("high"),
@@ -162,8 +167,11 @@ def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     apply_runtime_conf(spark)
     orders = load_table(spark, sf_dir, "orders")
+    # month_start in TIMESTAMP_NTZ (hostile-session probe r14)
     monthly = orders.groupBy(
-        F.date_trunc("month", F.col("o_orderdate")).alias("month_start")
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast("timestamp_ntz")
+        .alias("month_start")
     ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
     w = Window.orderBy("month_start")
     prev = F.lag("revenue").over(w)

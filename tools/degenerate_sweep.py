@@ -113,10 +113,17 @@ normal-data sweep.
   holds the no-RI-assumption guarantee — and the replica
   demonstrably bites (q_join_inner −50% rows, q_join_anti 0 → 75).
   Pins in tests/test_orphans.py.
+- ``hotkey`` (round 14, the fourteenth axis): every ODD foreign-key /
+  grouping-key value collapses to its column MINIMUM — one hot key
+  owns ~half the rows, the even tail stays unique.  The MIXED-skew
+  regime between normal data and the clones extreme: salted joins,
+  one-giant-partition windows, hot/cold aggregation, mirrored caps.
+  First full probe: 282/10/0 — claimed same-round (zero-failure
+  probe).  Pins in tests/test_hotkey.py.
 
 Usage: python tools/degenerate_sweep.py
        [--mode degenerate|nulls|shuffled|unitext|extremes|temporal|
-        json|nullkeys|empty|onerow|clones|bigids|orphans]
+        json|nullkeys|empty|onerow|clones|bigids|orphans|hotkey]
        [--base /root/testdata/sf0.001] [q_name ...]
 """
 
@@ -629,6 +636,50 @@ def build_orphans(spark, base: str, out: str) -> None:
         _write_single(df, out, t)
 
 
+#: hotkey mode (round 14, the fourteenth axis): every ODD
+#: foreign-key / grouping-key value collapses to that column's MINIMUM
+#: value — one hot key owns ~half the rows while the even tail stays
+#: unique.  The MIXED-skew regime between normal data and the clones
+#: extreme (where EVERY row is the same): probes hot/cold interaction
+#: — salted-join parity, AQE skew handling, windows whose one
+#: partition dwarfs the rest, caps (hot-hub, stop-shingle) that must
+#: be mirrored between query and oracle to stay hash-equal.
+HOTKEY_COLS = {
+    "nation": ["n_regionkey"],
+    "customer": ["c_nationkey"],
+    "supplier": ["s_nationkey"],
+    "orders": ["o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["user_id"],
+}
+
+
+def build_hotkey(spark, base: str, out: str) -> None:
+    """hotkey mode: odd key values collapse to the column min — a
+    50%-hot-key feed (one celebrity user, one boilerplate order, one
+    dominant part), the skew shape every real 100 TB corpus has
+    somewhere.  Both engines see identical data; a divergence means a
+    query-side cap/rewrite is not mirrored in its oracle, or an
+    operator's tie/skew handling departs from SQL semantics."""
+    from pyspark.sql import functions as F
+
+    from etl_caltopo_spark.io import TABLES, load_table
+
+    for t in TABLES:
+        df = load_table(spark, base, t)
+        for c in HOTKEY_COLS.get(t, []):
+            mn = df.agg(F.min(c)).collect()[0][0]
+            if mn is None:
+                continue
+            df = df.withColumn(
+                c,
+                F.when(F.col(c) % 2 == 1, F.lit(mn).cast("long")).otherwise(
+                    F.col(c).cast("long")
+                ),
+            )
+        _write_single(df, out, t)
+
+
 #: bigids mode: every id/key column shifted into the high int64 range
 #: by ONE consistent affine map (id + 2^62), preserving uniqueness,
 #: ordering, and every cross-table join.  l_linenumber (a small
@@ -686,6 +737,7 @@ BUILDERS = {
     "clones": build_clones,
     "bigids": build_bigids,
     "orphans": build_orphans,
+    "hotkey": build_hotkey,
 }
 
 
