@@ -74,10 +74,29 @@ def main() -> int:
     ap.add_argument("names", nargs="*", help="query ids (default: all)")
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--json", default=None, help="write per-query records to this path")
+    ap.add_argument(
+        "--hostile",
+        action="store_true",
+        help="run every query on a HOSTILE sibling session (non-UTC "
+        "session timezone, ANSI off, case-sensitive, 3 shuffle "
+        "partitions, AQE off) — the driver contract's worst-case "
+        "session (r14 session axis; set TZ=America/Denver in the "
+        "environment to also shift the collect-side Python timezone)",
+    )
     args = ap.parse_args()
     records: dict[str, dict] = {}
 
     spark = build_spark(app_name="check-oracle")
+    if args.hostile:
+        spark = spark.newSession()
+        for k, v in {
+            "spark.sql.session.timeZone": "America/New_York",
+            "spark.sql.ansi.enabled": "false",
+            "spark.sql.caseSensitive": "true",
+            "spark.sql.shuffle.partitions": "3",
+            "spark.sql.adaptive.enabled": "false",
+        }.items():
+            spark.conf.set(k, v)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
