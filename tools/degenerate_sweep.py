@@ -745,6 +745,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="degenerate", choices=sorted(BUILDERS))
     ap.add_argument("--base", default="/root/testdata/sf0.001")
+    ap.add_argument(
+        "--hostile",
+        action="store_true",
+        help="compose with the SESSION axis: run the perturbed replica "
+        "through check_oracle --hostile (r14; set TZ in the env too)",
+    )
     ap.add_argument("names", nargs="*", help="query ids (default: all)")
     args = ap.parse_args()
     d = tempfile.mkdtemp(prefix=f"spark_graft_{args.mode}_sweep_")
@@ -759,6 +765,7 @@ def main() -> int:
             os.path.join(os.path.dirname(__file__), "check_oracle.py"),
             "--sf",
             d,
+            *(["--hostile"] if args.hostile else []),
             *args.names,
         ]
         return subprocess.call(cmd)
