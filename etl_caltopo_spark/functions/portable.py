@@ -30,12 +30,24 @@ MH_B = (7, 911, 5021, 30011, 70001, 110017, 2029, 65111)
 def portable_string_hash_col(col: Column) -> Column:
     """Column-expression form of :func:`portable_string_hash` — usable
     inside higher-order-function lambdas (transform/aggregate) where
-    only a Column, not a name, is in scope."""
+    only a Column, not a name, is in scope.
+
+    LINEAR per-char walk (wide-values probe r14): the original form
+    indexed the string positionally (``col.substr(jj, 1)`` /
+    ``var[j]``), and positional character access is O(position) on
+    UTF-8 in BOTH engines — O(n²) per token, which turns one 200KB
+    unbroken token (a base64 blob, a DNA read, minified JS) into a
+    multi-minute hang.  ``split('')`` materializes the code points
+    once (O(n)) and the two-arg transform lambda supplies the 1-based
+    position, so the weighted sum is value-identical for EVERY string
+    (same code points, same weights — verified char-semantics parity:
+    astral chars stay whole code points, no trailing empties on
+    either engine) at O(n).  HANDOFF knowledge #37."""
     code_weighted = F.aggregate(
         F.transform(
-            F.sequence(F.lit(1), F.length(col)),
-            lambda jj: F.ascii(col.substr(jj, F.lit(1))).cast("long")
-            * ((jj.cast("long") * 2654435761 + 40503) % 65536),
+            F.split(col, ""),
+            lambda ch, i0: F.ascii(ch).cast("long")
+            * (((i0.cast("long") + 1) * 2654435761 + 40503) % 65536),
         ),
         F.lit(0).cast("long"),
         lambda a, x: a + x,
@@ -61,10 +73,18 @@ def portable_string_hash(col_name: str) -> Column:
 def portable_string_hash_sql(var: str) -> str:
     """The DuckDB expression computing :func:`portable_string_hash` of
     the string-valued SQL expression ``var`` (a column name inside the
-    caller's CTE)."""
+    caller's CTE).
+
+    Mirrors the LINEAR split-based walk (r14): ``var[j]`` positional
+    indexing is O(j) on UTF-8 in DuckDB too, so the old range-indexed
+    form was equally quadratic; ``string_split(var, '')`` + the
+    two-parameter lambda (element, 1-based index) computes the same
+    weighted sum in O(n).  string_split('', '') is [''] and
+    ascii('') is 0, so the empty case still sums to 0 before the
+    explicit pin."""
     return (
-        f"CAST(coalesce(list_sum(list_transform(range(1, length({var}) + 1), "
-        f"j -> ascii({var}[CAST(j AS INT)]) "
+        f"CAST(coalesce(list_sum(list_transform(string_split({var}, ''), "
+        f"(c, j) -> ascii(c) "
         f"* (((j * 2654435761) + 40503) % 65536))), 0) % {MH_P} AS BIGINT)"
     )
 

