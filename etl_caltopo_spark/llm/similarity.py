@@ -112,6 +112,34 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(den > 0, dot(a, b) / den)
 
 
+def bound_once(exprs: dict[str, Column], build) -> Column:
+    """Evaluate each expression in ``exprs`` exactly ONCE per row and
+    hand their values to ``build`` as struct-field references.
+
+    Why (optimization r14, guide §4.4's duplication problem at the
+    expression level): higher-order-function folds (``dot``/``norm``)
+    are CodegenFallback expressions, which whole-stage codegen's
+    subexpression elimination skips — so an expression tree that
+    references a fold k times (``fround`` references its argument 3×;
+    ``cosine`` referenced its denominator twice) pays k interpreted
+    64-element folds PER ROW.  Binding the folds as a struct lambda
+    variable (the ``dedup.bind_once`` trick, knowledge #37) makes every
+    downstream reference an O(1) field access.  Arithmetic is
+    unchanged — same ops, same order, bit-identical results."""
+    s = F.struct(*[c.alias(k) for k, c in exprs.items()])
+    return F.element_at(F.transform(F.array(s), lambda x: build(x)), 1)
+
+
+def cosine_rounded(a: Column, b: Column, dp: int = 6) -> Column:
+    """``fround(cosine(a, b), dp)`` with the three folds (dot + both
+    norms) evaluated once per row instead of ~9 times — bit-identical
+    to the composed form (see :func:`bound_once`)."""
+    return bound_once(
+        {"d": dot(a, b), "den": norm(a) * norm(b)},
+        lambda x: fround(F.when(x["den"] > 0, x["d"] / x["den"]), dp),
+    )
+
+
 def brute_force_topk(
     emb: DataFrame,
     query: DataFrame,
@@ -126,7 +154,7 @@ def brute_force_topk(
     ordering is reproducible across engines; ties broken by id)."""
     scored = emb.crossJoin(F.broadcast(query)).select(
         F.col(id_col),
-        fround(cosine(F.col(vec_col), F.col(query_vec_col)), round_dp).alias("cos_sim"),
+        cosine_rounded(F.col(vec_col), F.col(query_vec_col), round_dp).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
@@ -242,7 +270,7 @@ def embedding_near_pairs(
         F.col("_id").alias("id_b"), F.col("_blk").alias("_blk2"), F.col("_v").alias("v_b")
     )
     pairs = a.join(b, (F.col("_blk") == F.col("_blk2")) & (F.col("id_a") < F.col("id_b")))
-    cos = fround(cosine(F.col("v_a"), F.col("v_b")), 6)
+    cos = cosine_rounded(F.col("v_a"), F.col("v_b"), 6)
     return (
         pairs.withColumn("cos_sim", cos)
         .filter(F.col("cos_sim") >= threshold)
@@ -455,7 +483,7 @@ def ivf_topk(
         # reachable 100 TB case: an empty partition/day of a feed)
         return emb.limit(0).select(
             F.col(id_col),
-            fround(cosine(F.col(vec_col), F.col(vec_col)), 6).alias("cos_sim"),
+            cosine_rounded(F.col(vec_col), F.col(vec_col), 6).alias("cos_sim"),
         )
     with_features = emb.withColumn("_features", array_to_vector(_as_double(F.col(vec_col))))
     model = KMeans(k=n_cells, seed=seed, featuresCol="_features").fit(with_features)
@@ -469,7 +497,7 @@ def ivf_topk(
     candidates = assigned.filter(F.col("_cell").isin(probe_cells))
     scored = candidates.crossJoin(F.broadcast(query)).select(
         F.col(id_col),
-        fround(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("cos_sim"),
+        cosine_rounded(F.col(vec_col), F.col(query_vec_col), 6).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
@@ -781,6 +809,6 @@ def lsh_bucket_topk(
     )
     scored = candidates.select(
         F.col(id_col),
-        fround(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("cos_sim"),
+        cosine_rounded(F.col(vec_col), F.col(query_vec_col), 6).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)

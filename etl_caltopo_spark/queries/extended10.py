@@ -294,7 +294,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = pts.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "centroid_id",
-        fround(similarity.cosine(F.col("embedding"), F.col("cv")), 6).alias(
+        similarity.cosine_rounded(F.col("embedding"), F.col("cv"), 6).alias(
             "cos_sim"
         ),
     )
@@ -1254,7 +1254,7 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell_scored = pts.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "centroid_id",
-        fround(similarity.cosine(F.col("embedding"), F.col("cv")), 6).alias(
+        similarity.cosine_rounded(F.col("embedding"), F.col("cv"), 6).alias(
             "cos_sim"
         ),
     )
@@ -1265,7 +1265,7 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_scored = queries.crossJoin(F.broadcast(cents)).select(
         "query_id",
         "centroid_id",
-        fround(similarity.cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        similarity.cosine_rounded(F.col("qv"), F.col("cv"), 6).alias("cos_sim"),
     )
     qcells = argtop(
         q_scored, "query_id", "cos_sim", "centroid_id", 2,
@@ -1278,8 +1278,8 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             "centroid_id",
-            fround(
-                similarity.cosine(F.col("qv"), F.col("embedding")), 6
+            similarity.cosine_rounded(
+                F.col("qv"), F.col("embedding"), 6
             ).alias("cos_sim"),
         )
     )

@@ -488,7 +488,7 @@ def q_silhouette_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "v",
         "centroid_id",
-        fround(similarity.cosine(F.col("v"), F.col("cv0")), 6).alias("cos_sim"),
+        similarity.cosine_rounded(F.col("v"), F.col("cv0"), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cos_sim").desc(), F.col("centroid_id")

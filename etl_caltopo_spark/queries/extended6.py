@@ -494,7 +494,7 @@ def q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         "centroid_id",
-        fround(similarity.cosine(F.col("embedding"), F.col("cv")), 6).alias(
+        similarity.cosine_rounded(F.col("embedding"), F.col("cv"), 6).alias(
             "cos_sim"
         ),
     )

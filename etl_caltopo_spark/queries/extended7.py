@@ -64,7 +64,7 @@ def _assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         "centroid_id",
-        fround(similarity.cosine(F.col("embedding"), F.col("cv")), 6).alias(
+        similarity.cosine_rounded(F.col("embedding"), F.col("cv"), 6).alias(
             "cos_sim"
         ),
     )
@@ -246,7 +246,7 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qlabel",
         "nlabel",
         "nid",
-        fround(similarity.cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+        similarity.cosine_rounded(F.col("qv"), F.col("nv"), 6).alias("cos_sim"),
     )
     return _knn_vote_accuracy(s, k=5)
 
@@ -270,7 +270,7 @@ def _knn_bruteforce_pairs(pts: DataFrame) -> DataFrame:
         "qlabel",
         "nlabel",
         "nid",
-        fround(similarity.cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+        similarity.cosine_rounded(F.col("qv"), F.col("nv"), 6).alias("cos_sim"),
     )
 
 
@@ -312,7 +312,7 @@ def q_knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q_label").alias("qlabel"),
         F.col("n_label").alias("nlabel"),
         "nid",
-        fround(similarity.cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+        similarity.cosine_rounded(F.col("qv"), F.col("nv"), 6).alias("cos_sim"),
     )
     return _knn_vote_accuracy(s, k=5)
 

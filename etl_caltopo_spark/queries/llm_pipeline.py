@@ -1337,8 +1337,8 @@ def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = pts.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "centroid_id",
-        fround(
-            similarity.cosine(F.col("embedding"), F.col("cv")), 6
+        similarity.cosine_rounded(
+            F.col("embedding"), F.col("cv"), 6
         ).alias("cos_sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(
