@@ -714,6 +714,36 @@ def ivf_candidate_pairs(
         F.col(vec_col).alias("nv"),
         "_cell",
     )
+    # Salted cell join (optimization r14, guide §2.5): the join key has
+    # only n_cells distinct values, and the exchanges feeding it carry
+    # a few MB — AQE's byte-based coalescing folded them into ONE
+    # post-shuffle partition, then the join EXPLODED to ~n²·probe/cells
+    # scored pairs downstream of the exchange, invisible to AQE
+    # (measured sf0.1: a single task burning 20.4 s CPU on the cosine
+    # scoring).  Salt the query side by id hash, replicate each stored
+    # row across the salt range, and repartition BOTH sides with an
+    # explicit width (user-specified N is exempt from AQE coalescing)
+    # so the join — and the scoring projection fused after it — runs
+    # salt·cells-wide.  Self-adapting: production sizes n_cells ~ √N,
+    # so past n_cells ≥ 2·cores the salt range collapses to 1 and the
+    # replication disappears; pairs are identical (each stored-row
+    # copy meets exactly the queries of its own salt).
+    spark = emb.sparkSession
+    width = spark.sparkContext.defaultParallelism * 2
+    n_salt = max(1, width // max(1, n_cells))
+    if n_salt > 1:
+        q = q.withColumn(
+            "_qsalt", F.pmod(F.xxhash64(F.col("qid")), F.lit(n_salt))
+        ).repartition(width, "_probe", "_qsalt")
+        n = n.withColumn(
+            "_nsalt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+        ).repartition(width, "_cell", "_nsalt")
+        return q.join(
+            n,
+            (F.col("_probe") == F.col("_cell"))
+            & (F.col("_qsalt") == F.col("_nsalt"))
+            & (F.col("qid") != F.col("nid")),
+        ).drop("_probe", "_cell", "_qsalt", "_nsalt")
     return q.join(
         n, (F.col("_probe") == F.col("_cell")) & (F.col("qid") != F.col("nid"))
     ).drop("_probe", "_cell")

@@ -919,25 +919,79 @@ def q_graph_2hop(
     e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("m"))
     e2 = e.select(F.col("src").alias("m"), F.col("dst").alias("c"))
     # the co-purchase graph is symmetric, so the 2-hop pair set is too:
-    # keep only a < c through the distinct + anti-join (halving their
-    # shuffle volume) and mirror at the end
+    # keep only a < c through the dedup (halving its shuffle volume)
+    # and mirror at the end
     paths = (
         e1.join(mid_ok.withColumnRenamed("src", "m"), "m")
         .join(e2, "m")
         .filter(F.col("a") < F.col("c"))
         .select("a", "c")
-        .distinct()
     )
-    indirect = paths.join(
-        e.select(F.col("src").alias("a"), F.col("dst").alias("c")),
-        ["a", "c"],
-        "left_anti",
+    # Dedup + direct-edge exclusion fused into ONE complete-mode
+    # aggregate (optimization r14, guide §2.3/§2.4).  The old
+    # `.distinct()` + left-anti pipeline paid a map-side partial
+    # aggregate over the path rows (measured sf0.1: 73.7M rows in,
+    # 60M out — only 1.23x duplication, so the partial pass built
+    # multi-million-entry hash maps, spilled 383 MB, and burned 573 s
+    # of stage CPU to drop 19% of rows) and then a second shuffle +
+    # sort of the 60M survivors for the anti-join.  Instead: union
+    # the path rows with the direct edges carrying a flag, repartition
+    # on the pair key (keyed, no fixed N — AQE sizes the exchange at
+    # any scale), and run ONE complete-mode hash aggregate whose
+    # max(flag) both dedups and marks direct pairs; the filter drops
+    # them.  Same rows out, one exchange + one aggregate instead of
+    # two exchanges + two aggregates + a sort-merge anti-join
+    # (measured: 36.5 s -> 18.2 s warm on the tail at sf0.1; the
+    # partial-agg variant of the same fusion read 58 s, so skipping
+    # the near-no-op partial pass is the win, not the fusion alone).
+    direct = e.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("c")
     )
-    sym = indirect.unionByName(
-        indirect.select(F.col("c").alias("a"), F.col("a").alias("c"))
+    u = paths.withColumn("_direct", F.lit(0)).unionByName(
+        direct.withColumn("_direct", F.lit(1))
     )
-    return sym.groupBy(F.col("a").alias("part")).agg(
-        F.count("*").cast("bigint").alias("n_2hop")
+    # Scale-adaptive width for the pair exchange: AQE only coalesces
+    # DOWN from spark.sql.shuffle.partitions, but the complete-mode
+    # aggregate below needs per-task hash maps bounded in KEYS (a
+    # 32-way split of 60M pairs spilled 532 MB into the sort-based
+    # fallback).  The exact path-row count is one cheap scalar over
+    # the degree table: sum over capped middles of d² (halved by the
+    # a < c filter), so derive the width from it — ~1M keys/task keeps
+    # every map under ~64 MB at any scale (SPARK_GRAFT_AGG_ROWS_PER_TASK
+    # overrides for clusters with different task memory).
+    if os.environ.get("SPARK_GRAFT_LAZY_PLANS") == "1":
+        n_parts = spark.sparkContext.defaultParallelism
+    else:
+        path_est = (
+            deg.filter(F.col("d") <= _HOP_CAP)
+            .agg(F.sum(F.col("d") * F.col("d")).alias("p2"))
+            .first()["p2"]
+            or 0
+        ) // 2
+        rows_per_task = int(
+            os.environ.get("SPARK_GRAFT_AGG_ROWS_PER_TASK", "1000000")
+        )
+        n_parts = max(
+            spark.sparkContext.defaultParallelism,
+            min(32768, -(-int(path_est) // rows_per_task)),
+        )
+    indirect = (
+        u.repartition(n_parts, "a", "c")
+        .groupBy("a", "c")
+        .agg(F.max("_direct").alias("_mf"))
+        .filter(F.col("_mf") == 0)
+        .select("a", "c")
+    )
+    # the mirror is an explode, NOT a self-union: a union would make
+    # `indirect` a two-consumer subtree and run the 60M-key aggregate
+    # TWICE (measured: 1350 MB shuffle read against the exchange's
+    # 675 MB write, 457 s stage CPU for two passes); explode(array(a,c))
+    # emits both endpoints in the aggregate's single pass, and the
+    # per-part count collapses map-side before its (tiny) exchange.
+    return (
+        indirect.select(F.explode(F.array("a", "c")).alias("part"))
+        .groupBy("part")
+        .agg(F.count("*").cast("bigint").alias("n_2hop"))
     )
 
 
