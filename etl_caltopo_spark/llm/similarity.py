@@ -140,6 +140,17 @@ def cosine_rounded(a: Column, b: Column, dp: int = 6) -> Column:
     )
 
 
+def sqdist_rounded(a: Column, b: Column, dp: int = 6) -> Column:
+    """``fround(dot(a,a) - 2·dot(a,b) + dot(b,b), dp)`` with the three
+    folds evaluated once per row instead of 3x each through fround's
+    triple argument reference — bit-identical to the composed form
+    (see :func:`bound_once`; optimization r14)."""
+    return bound_once(
+        {"aa": dot(a, a), "ab": dot(a, b), "bb": dot(b, b)},
+        lambda x: fround(x["aa"] - 2 * x["ab"] + x["bb"], dp),
+    )
+
+
 def brute_force_topk(
     emb: DataFrame,
     query: DataFrame,

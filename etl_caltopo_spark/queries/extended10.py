@@ -694,9 +694,7 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(F.broadcast(cb))
     a = F.slice("v", F.col("subspace") * 8 + 1, 8)
     b = F.slice("cv", F.col("subspace") * 8 + 1, 8)
-    d2 = fround(
-        similarity.dot(a, a) - 2 * similarity.dot(a, b) + similarity.dot(b, b), 6
-    )
+    d2 = similarity.sqdist_rounded(a, b, 6)
     scored = sub.select(
         "vec_id",
         F.col("subspace").cast("bigint").alias("subspace"),
@@ -995,12 +993,7 @@ def q_kmeans_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cent_tab = None
     for _ in range(3):
-        d2 = fround(
-            similarity.dot(F.col("v"), F.col("v"))
-            - 2 * similarity.dot(F.col("v"), F.col("cv"))
-            + similarity.dot(F.col("cv"), F.col("cv")),
-            6,
-        )
+        d2 = similarity.sqdist_rounded(F.col("v"), F.col("cv"), 6)
         scored = pts.crossJoin(F.broadcast(cents)).select(
             "vec_id", "centroid_id", d2.alias("d2")
         )

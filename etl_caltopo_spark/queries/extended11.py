@@ -327,12 +327,7 @@ def _simplified_silhouette(member: DataFrame, out_cluster: str) -> DataFrame:
     # clamped at 0: the 6-dp floor can turn a cancellation residue
     # into -1e-6, which DuckDB's sqrt() rejects (code-review r6)
     d2 = F.greatest(
-        fround(
-            similarity.dot(F.col("v"), F.col("v"))
-            - 2 * similarity.dot(F.col("v"), F.col("cv"))
-            + similarity.dot(F.col("cv"), F.col("cv")),
-            6,
-        ),
+        similarity.sqdist_rounded(F.col("v"), F.col("cv"), 6),
         F.lit(0.0),
     )
     d = member.crossJoin(F.broadcast(cent)).select(

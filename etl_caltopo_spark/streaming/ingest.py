@@ -223,6 +223,26 @@ def run_two_phase(
             f"run_two_phase: sources disagree on phase count: {counts}"
         )
     tmp = tempfile.mkdtemp(prefix=prefix)
+    # State-partition width for the protocol's streaming runs
+    # (optimization r14, guide §7.3 diagnosis): every stateful
+    # micro-batch stage was a uniform ~4.6 s of WALL time with ~0.1 s
+    # of CPU — a driver thread dump showed all 32 tasks parked on a
+    # Promise while one thread at a time initialized the stage's state
+    # store providers under the global loadedProviders lock (SparkConf
+    # reads + store directory setup, serialized).  Provider count =
+    # state partitions x stores-per-operator (4 for a stream-stream
+    # join), so the fix is sizing state partitions to the STATE VOLUME
+    # of the feed — these availableNow protocol runs deliver one file
+    # per phase — rather than inheriting the relational shuffle width
+    # (measured sf0.1 interval join: 28 s at 32 partitions -> ~7 s at
+    # 8).  The width is pinned for the checkpoint's lifetime by Spark,
+    # applied around the phase loop only, and restored after; clusters
+    # running real volumes set SPARK_GRAFT_STREAM_STATE_PARTITIONS to
+    # their stateful throughput width.
+    state_parts = int(
+        os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "0")
+    ) or min(spark.sparkContext.defaultParallelism, 8)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         live, schemas = {}, {}
         for sname, dfs in sources.items():
@@ -255,6 +275,7 @@ def run_two_phase(
         else:  # pragma: no cover - caller bug
             raise ValueError(f"unknown sink kind: {sink}")
 
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_parts))
         for p in range(n_phases):
             streams = {}
             for sname in sources:
@@ -307,6 +328,7 @@ def run_two_phase(
             result = result.drop("epoch")
         return result.localCheckpoint(eager=True)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(tmp, ignore_errors=True)
 
 
