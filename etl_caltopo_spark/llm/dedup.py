@@ -274,7 +274,13 @@ def minhash_banded_jaccard_pairs(
     # tools/dump_plans.py skip persist/localCheckpoint so the banded
     # candidate plan stays reviewable
     lazy = os.environ.get("SPARK_GRAFT_LAZY_PLANS") == "1"
-    base = df.select(
+    from etl_caltopo_spark.io import fan_out
+
+    # fan_out first (r14): the per-char portable hash below is the
+    # dominant compute and a one-row-group source would run it — and
+    # the eager checkpoint job that materializes it — on one task
+    src = fan_out(df.select(F.col(id_col), F.col(text_col)))
+    base = src.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(
             F.transform(
@@ -447,30 +453,55 @@ def connected_components(
 @F.pandas_udf(LongType())
 def _simhash_from_hashes(hash_arrays: pd.Series) -> pd.Series:
     """64-bit SimHash from per-token xxhash64 longs via numpy bit
-    voting (Arrow-batched; the only Python in the dedup family)."""
+    voting (Arrow-batched; the only Python in the dedup family).
+
+    Vectorized across the WHOLE batch (r14): the per-row loop built a
+    (n_hashes, 64) matrix and ran a 64-step Python loop per document;
+    here all rows' hashes concatenate into one flat array whose row
+    segments are contiguous, so each bit's vote is one
+    ``np.add.reduceat`` segment sum — 64 array passes per batch, zero
+    per-row Python.  Same vote arithmetic (bit j set iff
+    2·ones_j − n ≥ 0), same empty-row convention (simhash 0), same
+    wrapping uint64→int64 cast; memory stays O(total hashes), never
+    O(total hashes × 64)."""
     import numpy as np
 
-    out = np.zeros(len(hash_arrays), dtype=np.int64)
-    for row_idx, hashes in enumerate(hash_arrays):
-        if hashes is None or len(hashes) == 0:
-            continue
-        h = np.asarray(hashes, dtype=np.uint64)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-        votes = (2 * bits - 1).sum(axis=0)
-        sim = np.uint64(0)
-        for j in range(64):
-            if votes[j] >= 0:
-                sim |= np.uint64(1) << np.uint64(j)
-        out[row_idx] = np.int64(sim.astype(np.int64))
+    n = len(hash_arrays)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return pd.Series(out)
+    lens = np.fromiter(
+        (0 if h is None else len(h) for h in hash_arrays), dtype=np.int64, count=n
+    )
+    nz = lens > 0
+    if not nz.any():
+        return pd.Series(out)
+    flat = np.concatenate(
+        [np.asarray(h, dtype=np.uint64) for h, keep in zip(hash_arrays, nz) if keep]
+    )
+    nz_lens = lens[nz]
+    seg = np.zeros(len(nz_lens), dtype=np.int64)
+    np.cumsum(nz_lens[:-1], out=seg[1:])
+    sim = np.zeros(len(nz_lens), dtype=np.uint64)
+    for j in range(64):
+        ones = np.add.reduceat((flat >> np.uint64(j)) & np.uint64(1), seg)
+        votes = 2 * ones.astype(np.int64) - nz_lens
+        sim |= (votes >= 0).astype(np.uint64) << np.uint64(j)
+    out[nz] = sim.astype(np.int64)
     return pd.Series(out)
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-document 64-bit SimHash.  Token hashing stays JVM-side
     (xxhash64 inside transform); only the bit vote crosses to Python,
-    as an array<long> → long pandas_udf."""
+    as an array<long> → long pandas_udf.  fan_out first: tokenizing +
+    voting is compute-bound per document and a one-row-group source
+    would otherwise run it on a single task (no-op at scale — r14)."""
+    from etl_caltopo_spark.io import fan_out
+
+    src = fan_out(df.select(F.col(id_col), F.col(text_col)))
     token_hashes = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
-    return df.select(
+    return src.select(
         F.col(id_col),
         _simhash_from_hashes(token_hashes).alias("simhash"),
     )

@@ -44,7 +44,7 @@ from etl_caltopo_spark.functions.portable import (
     portable_string_hash,
     portable_string_hash_sql,
 )
-from etl_caltopo_spark.io import load_table
+from etl_caltopo_spark.io import fan_out, load_table
 from etl_caltopo_spark.llm import dedup, similarity, text
 from etl_caltopo_spark.llm.similarity import sql_vector_finite as _sql_vector_finite
 from etl_caltopo_spark.queries.registry import query
@@ -589,11 +589,15 @@ def q_cdc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     running boundary count is a per-doc window; partial aggregation
     collapses the chunk rollup on the same key), then a doc-keyed
     final aggregate.  Per-token hashing is pure codegen Column
-    expressions — no Python."""
+    expressions — no Python.  fan_out first (r14): the per-char
+    interpreted fold is the dominant compute and a one-row-group
+    source would run it on a single task."""
     apply_runtime_conf(spark)
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     toks = docs.select("doc_id", text.tokens(F.col("text")).alias("ts")).filter(
         (F.size("ts") > 0) & (F.element_at("ts", 1) != "")
     )
@@ -1079,12 +1083,19 @@ def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: explode → ONE partial-agg shuffle keyed by
     (doc, bucket) → per-doc windowless rollup via a second doc-keyed
     aggregation; the dense 16-bucket frame is a generated tiny
-    dimension (broadcast).  No Python anywhere."""
+    dimension (broadcast).  No Python anywhere.  The interpreted
+    per-char fold hashes DISTINCT (doc, token) pairs (r14): token
+    multiplicities aggregate first in a cheap partial-agg shuffle,
+    and fan_out spreads the tokenize explode that a one-row-group
+    source would run on a single task."""
     apply_runtime_conf(spark)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     toks = docs.select(
         "doc_id", F.explode(text.tokens(F.col("text"))).alias("tok")
     ).filter(F.col("tok") != "")
+    tc = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("m"))
     code_sum = F.aggregate(
         F.transform(F.split(F.col("tok"), ""), lambda c: F.ascii(c).cast("long")),
         F.lit(0).cast("long"),
@@ -1101,9 +1112,9 @@ def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 4294967296
     ) % 16
     counts = (
-        toks.select("doc_id", bucket.alias("bucket"))
+        tc.select("doc_id", bucket.alias("bucket"), "m")
         .groupBy("doc_id", "bucket")
-        .agg(F.count("*").alias("c"))
+        .agg(F.sum("m").alias("c"))
     )
     grid = spark.range(16).select(F.col("id").cast("long").alias("bucket"))
     dense = (
@@ -1370,9 +1381,13 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode map-side, signatures collapse via partial-agg min (8
     integer columns, never the shingle strings), and candidate
     generation is an equi-join keyed on (band_idx, band_value); cost
-    rides the collision tail, never |docs|²."""
+    rides the collision tail, never |docs|².  fan_out first (r14):
+    the interpreted portable-hash fold is the dominant compute and a
+    one-row-group source would run it on a single task."""
     apply_runtime_conf(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     sh = docs.select(
         "doc_id", F.explode(dedup.shingles(F.col("text"), n=3)).alias("shingle")
     )
@@ -1566,7 +1581,9 @@ def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     (block_idx, block_val), verification is one xor/popcount per
     candidate."""
     apply_runtime_conf(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     toks = docs.select(
         "doc_id", F.explode(text.tokens(F.col("text"))).alias("tok")
     ).filter(F.col("tok") != "")
@@ -1832,15 +1849,21 @@ def q_cms_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg shuffle (the mergeable-sketch pattern: per-partition
     sketches sum cell-wise); point queries join the tiny cell table
     by computed cell id.  At 100 TB the counter table is still 256
-    longs."""
+    longs.  The interpreted portable hash runs over DISTINCT tokens
+    (r14): token frequencies aggregate FIRST (a cheap string shuffle
+    with partial agg), then each vocabulary entry is hashed once and
+    cell counts sum the pre-counted frequencies — hash cost |vocab|,
+    not |occurrences|, and fan_out spreads the tokenize explode that
+    a one-row-group source would run on a single task."""
     apply_runtime_conf(spark)
     A = (131, 1031, 8101, 65537)
     B = (7, 911, 5021, 30011)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("text"))
     toks = docs.select(
         F.explode(text.tokens(F.col("text"))).alias("tok")
     ).filter(F.col("tok") != "")
-    fx = toks.select("tok", _portable_string_hash("tok").alias("x"))
+    tf = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    fx = tf.select("tok", "n", _portable_string_hash("tok").alias("x"))
     rows = F.array(
         *[
             F.struct(
@@ -1853,17 +1876,12 @@ def q_cms_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     cells = (
-        fx.select(F.explode(rows).alias("r"))
-        .select("r.row_idx", "r.col_idx")
+        fx.select("n", F.explode(rows).alias("r"))
+        .select("n", "r.row_idx", "r.col_idx")
         .groupBy("row_idx", "col_idx")
-        .agg(F.count("*").alias("c"))
+        .agg(F.sum("n").alias("c"))
     )
-    truth = (
-        fx.groupBy("tok", "x")
-        .agg(F.count("*").alias("n"))
-        .orderBy(F.col("n").desc(), "tok")
-        .limit(10)
-    )
+    truth = fx.orderBy(F.col("n").desc(), "tok").limit(10)
     probes = truth.select(
         "tok", "n", F.explode(rows).alias("r")
     ).select("tok", "n", "r.row_idx", "r.col_idx")
@@ -1955,9 +1973,14 @@ def q_bloom_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     B = (7, 911, 5021, 30011)
     # NULL documents have no shingles: dropped on both sides (r8
     # NULL-injection policy; the engines disagree on how list
-    # functions degrade over NULL)
-    docs = load_table(spark, sf_dir, "documents").where(
-        F.col("text").isNotNull()
+    # functions degrade over NULL).  fan_out before the shingle
+    # explode: the interpreted portable-hash fold downstream is
+    # compute-bound and a one-row-group source would run it on a
+    # single task (r14).
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "source", "text")
     )
     sh = docs.select(
         "doc_id",
@@ -2387,11 +2410,14 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: candidate generation is the q_dedup_minhash_portable
     plan; the exact verify joins per-doc shingle sets ONLY for
     candidates (shuffle keyed by shingle then by the pair), and
-    |A ∪ B| comes from two broadcast-sized per-doc count joins.
-    Exact integer division floored at 6 dp."""
+    |A ∪ B| rides on the signature rows (one aggregate computes the
+    8 mins AND the shingle count — r14: the separate count pass
+    re-ran the whole explode, and fan_out spreads the interpreted
+    portable-hash fold, which a one-row-group source otherwise runs
+    on a single task).  Exact integer division floored at 6 dp."""
     apply_runtime_conf(spark)
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
+    sh = fan_out(docs.select("doc_id", "text")).select(
         "doc_id", F.explode(dedup.shingles(F.col("text"), n=3)).alias("shingle")
     )
     fp = sh.select(
@@ -2401,9 +2427,9 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.min((F.lit(a) * F.col("x") + F.lit(b)) % _MH_P).alias(f"h{i}")
             for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
-        ]
+        ],
+        F.count("*").alias("n"),
     )
-    nsh = fp.groupBy("doc_id").agg(F.count("*").alias("n"))
     bands = F.array(
         *[
             F.struct(
@@ -2450,21 +2476,19 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sig.select(
         F.col("doc_id").alias("id_a"),
         *[F.col(f"h{i}").alias(f"a{i}") for i in range(8)],
+        F.col("n").alias("na"),
     )
     sb = sig.select(
         F.col("doc_id").alias("id_b"),
         *[F.col(f"h{i}").alias(f"b{i}") for i in range(8)],
+        F.col("n").alias("nb"),
     )
     n_eq = sum(
         (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(8)
     )
-    na = nsh.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
-    nb = nsh.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
-        .join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
         .select(
             "id_a",
             "id_b",

@@ -18,7 +18,7 @@ from etl_caltopo_spark.functions.portable import (
     portable_string_hash,
     portable_string_hash_sql,
 )
-from etl_caltopo_spark.io import load_table
+from etl_caltopo_spark.io import fan_out, load_table
 from etl_caltopo_spark.llm import similarity
 from etl_caltopo_spark.llm.similarity import (
     sql_vector_on_grid as _sql_vector_on_grid,
@@ -52,8 +52,10 @@ def _winnow_fingerprints(docs: DataFrame) -> DataFrame:
     Scale shape: posexplode → per-doc window (ONE shuffle keyed by
     doc_id) → distinct on (doc_id, pos).  All integer codegen; the
     fingerprint density is ~2/(w+1) of grams, so output is a small
-    fraction of the token stream."""
-    toks = docs.select(
+    fraction of the token stream.  fan_out first (r14): the gram
+    hashing is an interpreted per-char fold and a one-row-group
+    source would run it on a single task (no-op at scale)."""
+    toks = fan_out(docs).select(
         # explicit RE2 \s set — Java's \s also matches \x0B, RE2's
         # does not (the text.tokens() parity rule)
         "doc_id",
@@ -947,10 +949,17 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0))
         ).cast("bigint").alias("q"),
     )
-    n_row = base.agg(F.count("*").cast("bigint").alias("n"))
+    # n / tie corrections derive from the 550-cell joint histogram,
+    # not from three more full passes over the fact table (r14: each
+    # re-pass was a fresh scan).  coalesce pins n = 0 on an empty
+    # input, matching count(*); the tie rollups aggregate over an
+    # empty grid to NULL exactly as the per-row groupBys did.
+    n_row = joint.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n")
+    )
     tx = (
-        base.groupBy("x")
-        .agg(F.count("*").alias("cx"))
+        joint.groupBy("x")
+        .agg(F.sum("c").alias("cx"))
         .agg(
             F.sum(F.col("cx") * (F.col("cx") - 1) / 2)
             .cast("bigint")
@@ -958,8 +967,8 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ty = (
-        base.groupBy("y")
-        .agg(F.count("*").alias("cy"))
+        joint.groupBy("y")
+        .agg(F.sum("c").alias("cy"))
         .agg(
             F.sum(F.col("cy") * (F.col("cy") - 1) / 2)
             .cast("bigint")

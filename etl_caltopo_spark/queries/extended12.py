@@ -1070,11 +1070,24 @@ def q_graph_2hop_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     every stage key-partitioned, nothing collected, no distinct-path
     materialization."""
     apply_runtime_conf(spark)
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
+    # dedup to (order, part) BEFORE the self-join (r14, same bound as
+    # q_market_basket): repeat lines never change the DISTINCT pair set
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates(["l_orderkey", "l_partkey"])
     )
     a = li.alias("a")
     b = li.alias("b")
+    # NO distinct on the pair stream (r14): every downstream consumer
+    # is an idempotent register MAX (duplicate (src, dst) rows update
+    # the same register to the same value) and nz counts present
+    # buckets, so deduplicating the pairs costs two full shuffled
+    # aggregates over |pairs| rows per consumer and changes NOTHING —
+    # the oracle's DISTINCT e is replayed exactly by idempotence.
+    # Pair-gen itself stays a broadcast probe (the deduped (order,
+    # part) side broadcasts), so each of e's two consumers (register
+    # derivation + frontier join) re-runs only a map-side join.
     e = (
         a.join(b, "l_orderkey")
         .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
@@ -1082,13 +1095,7 @@ def q_graph_2hop_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("src"),
             F.col("b.l_partkey").alias("dst"),
         )
-        .distinct()
     )
-    # e has two consumers (register derivation + the frontier join) and
-    # Catalyst re-runs the pair-gen for each; unlike q_graph_2hop (four
-    # consumers) a localCheckpoint here is a measured LOSS — 18.1 s vs
-    # 15.5 s at the 10x probe — because serializing the edge list costs
-    # more than one extra broadcast-join + partial-distinct pass.
     # id pre-reduced mod 2^31 before the Knuth multiply — identical hv,
     # no int64 overflow at snowflake-scale ids (bigids r14, #35)
     hv = (
@@ -1096,29 +1103,61 @@ def q_graph_2hop_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 2654435761
         % 4294967296
     )
+    rank = F.when(F.col("w") == 0, F.lit(27)).otherwise(
+        26 - F.floor(F.log2("w")).cast("int")
+    )
+    # mx is materialized ONCE per pair row in the projection (r14):
+    # referenced inside each of the 64 conditional maxes it would be
+    # re-evaluated (floor+log2) 64x per row — measured as the round's
+    # hottest stage (126 s CPU for the pivot partial agg).
     r = e.select(
         "src",
         F.shiftright(hv, 26).alias("bucket"),
         hv.bitwiseAND(F.lit(67108863)).alias("w"),
+    ).select("src", "bucket", rank.alias("mx"))
+    # Registers PACKED as 64 columns via conditional max (r14): the
+    # row-per-register shape emitted 64·|E| (a, bucket, mx) rows into
+    # the merge aggregate (~150M rows at sf0.1, the round's single
+    # most expensive stage); one row per node/edge with 64 narrow int
+    # columns carries identical register values (max over an absent
+    # bucket is NULL = empty register), the merge becomes |E| rows
+    # through vectorized per-column maxes, and the estimator's Σ2^−mx
+    # is a fixed-order sum of ≤64 dyadic rationals — exact in double
+    # in ANY order, so bits cannot move.
+    packed = r.groupBy("src").agg(
+        *[
+            F.max(F.when(F.col("bucket") == k, F.col("mx"))).alias(f"m{k}")
+            for k in range(64)
+        ]
     )
-    rank = F.when(F.col("w") == 0, F.lit(27)).otherwise(
-        26 - F.floor(F.log2("w")).cast("int")
-    )
-    regs1 = r.groupBy("src", "bucket").agg(F.max(rank).alias("mx"))
+    reg_cols = [f"m{k}" for k in range(64)]
     # HyperANF merge step: each node folds in its neighbors' 1-hop
-    # registers (≤64 rows per edge — the whole reason this scales).
+    # registers (one packed row per edge — the whole reason this
+    # scales).  shuffle_hash on the register side (guide §3.1, the
+    # q_triangle_count recipe): the planner's sort-merge choice SORTED
+    # the whole pair stream; the build side is one shuffle-partition
+    # slice of the |nodes|-row register table (shrinks with shuffle
+    # width at scale — safe where a forced broadcast of the register
+    # table would OOM at real node counts), the probe is the pair
+    # stream, no sort.
     neighbor_regs = e.join(
-        regs1.withColumnRenamed("src", "dst"), "dst"
-    ).select(F.col("src").alias("a"), "bucket", "mx")
-    own_regs = regs1.select(F.col("src").alias("a"), "bucket", "mx")
+        packed.withColumnRenamed("src", "dst").hint("shuffle_hash"), "dst"
+    ).select(F.col("src").alias("a"), *reg_cols)
+    own_regs = packed.select(F.col("src").alias("a"), *reg_cols)
     merged = (
         neighbor_regs.unionByName(own_regs)
-        .groupBy("a", "bucket")
-        .agg(F.max("mx").alias("mx"))
+        .groupBy("a")
+        .agg(*[F.max(c).alias(c) for c in reg_cols])
     )
-    agg = merged.groupBy("a").agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("s"),
-        F.count("*").alias("nz"),
+    agg = merged.select(
+        "a",
+        sum(
+            F.coalesce(F.pow(F.lit(2.0), -F.col(c)), F.lit(0.0))
+            for c in reg_cols
+        ).alias("s"),
+        sum(
+            F.col(c).isNotNull().cast("long") for c in reg_cols
+        ).alias("nz"),
     )
     # the harmonic denominator MUST count empty registers at 2^0 = 1
     # each (s is aggregated only over present buckets): without the

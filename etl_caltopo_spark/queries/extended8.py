@@ -322,7 +322,14 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ranks once) plus a partial-aggregated sum; the teleport term
     is a literal.  Driver holds only the node count (one scalar)."""
     apply_runtime_conf(spark)
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # dedup to (order, part) BEFORE the self-join (r14, same bound as
+    # q_market_basket): repeat lines of one part in one order multiply
+    # the k² pair explosion but never change the DISTINCT edge set
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates(["l_orderkey", "l_partkey"])
+    )
     a, b = li.alias("a"), li.alias("b")
     edges0 = (
         a.join(
