@@ -120,9 +120,13 @@ def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error-safe expressions: try_divide / try_cast return null
     instead of failing under ANSI mode — dirty input survives the
-    batch."""
+    batch.  fan_out first (r14): the double→string→double roundtrip
+    is ~10 µs/row and a one-row-group source ran all 600k rows on a
+    single scan task (measured 6 s; no-op at scale)."""
     apply_runtime_conf(spark)
-    li = load_table(spark, sf_dir, "lineitem")
+    from etl_caltopo_spark.io import fan_out
+
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
     return li.select(
         "l_orderkey",
         "l_linenumber",

@@ -806,9 +806,13 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-shingle join fan-out is bounded by 50², and the one wide
     exchange is keyed by the shingle.  Pair aggregation and the size
     join ride doc-id keys with partial aggregation.  Exact integer
-    division, 6-dp floor on both engines before the threshold."""
+    division, 6-dp floor on both engines before the threshold.
+    fan_out first (r14): the shingle explode ran 3.4 s on a single
+    scan task (one-row-group source; no-op at scale)."""
     apply_runtime_conf(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     sh = docs.select(
         "doc_id", F.explode(dedup.shingles(F.col("text"), n=4)).alias("shingle")
     )

@@ -322,7 +322,14 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders with k lines emit k(k-1)/2 pairs — filter or sample
     k > ~100 before the join, as operators/skew.py does)."""
     apply_runtime_conf(spark)
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # dedup to (order, part) BEFORE the self-join (r14, the
+    # q_market_basket bound): repeat lines never change the DISTINCT
+    # edge set
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates(["l_orderkey", "l_partkey"])
+    )
     a = li.alias("a")
     b = li.alias("b")
     edges = (
@@ -334,9 +341,10 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
         .distinct()
     )
-    nodes = edges.select(F.col("pa").alias("node")).unionAll(
-        edges.select(F.col("pb").alias("node"))
-    )
+    # explode, NOT a self-union (r14, the q_graph_2hop lesson): a
+    # union makes `edges` a two-consumer subtree and runs the pair
+    # distinct TWICE; explode emits both endpoints in one pass
+    nodes = edges.select(F.explode(F.array("pa", "pb")).alias("node"))
     deg = nodes.groupBy("node").agg(F.count("*").alias("degree"))
     return deg.groupBy("degree").agg(F.count("*").cast("bigint").alias("n_parts"))
 
