@@ -151,6 +151,22 @@ def sqdist_rounded(a: Column, b: Column, dp: int = 6) -> Column:
     )
 
 
+def sqdist_rounded_prenormed(
+    aa: Column, a: Column, b: Column, bb: Column, dp: int = 6
+) -> Column:
+    """:func:`sqdist_rounded` for point-x-centroid joins where the
+    self-dots were hoisted upstream: ``aa`` / ``bb`` carry ``dot(a,a)``
+    / ``dot(b,b)`` computed ONCE per point / per centroid row BEFORE
+    the join, so each pair row pays one interpreted 64-element fold
+    instead of three (optimization r14; guide §2.3 — the pair stage is
+    the wide one).  Bit-identical: same doubles enter the same
+    ``fround(aa - 2*ab + bb)`` expression."""
+    return bound_once(
+        {"ab": dot(a, b)},
+        lambda x: fround(aa - 2 * x["ab"] + bb, dp),
+    )
+
+
 def brute_force_topk(
     emb: DataFrame,
     query: DataFrame,

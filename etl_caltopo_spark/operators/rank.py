@@ -186,6 +186,27 @@ def _common_prefix_len(a: str | None, b: str | None) -> int:
     return n
 
 
+def cuts_probe_agg(
+    primary: str,
+    *,
+    ascending: bool = True,
+    buckets: int = 32,
+    accuracy: int = 10000,
+    alias: str = "_rank_cuts",
+) -> Column:
+    """The pinned-cuts probe aggregate for one sort key — exposed so a
+    caller ranking SEVERAL independent keys over one frame (q_rfm's
+    R/F/M quartiles) can run ALL its probes in ONE eager job
+    (``df.agg(cuts_probe_agg(k1), cuts_probe_agg(k2), ...)``) and hand
+    each result to ``global_row_number(..., pinned_cuts=...)`` —
+    optimization r14: the per-pass ``.first()`` probes were the
+    job-count floor of chained rank passes."""
+    ps = F.array(*[F.lit(i / buckets) for i in range(1, buckets)])
+    return F.sort_array(
+        F.approx_percentile(primary, ps, F.lit(accuracy)), asc=ascending
+    ).alias(alias)
+
+
 def with_value_buckets(
     df: DataFrame,
     primary: str,
@@ -195,6 +216,7 @@ def with_value_buckets(
     accuracy: int = 10000,
     tiebreak: str | None = None,
     tiebreak_ascending: bool = True,
+    pinned_cuts: list | None = None,
 ) -> DataFrame:
     """Attach ``_rank_bucket``: the equal-frequency range bucket of
     ``primary`` in sort direction (bucket ids increase along the sort
@@ -230,10 +252,9 @@ def with_value_buckets(
     ascending → sub 0; last for descending → last sub)."""
     import os
 
-    ps = F.array(*[F.lit(i / buckets) for i in range(1, buckets)])
-    agg = F.sort_array(
-        F.approx_percentile(primary, ps, F.lit(accuracy)), asc=ascending
-    ).alias("_rank_cuts")
+    agg = cuts_probe_agg(
+        primary, ascending=ascending, buckets=buckets, accuracy=accuracy
+    )
     col = F.col(primary)
     if ascending:
         past_cut = lambda c, v=col: v > c  # noqa: E731
@@ -262,10 +283,26 @@ def with_value_buckets(
             .drop("_rank_cuts")
         )
 
-    pinned = df.agg(agg).first()["_rank_cuts"] or []
+    if pinned_cuts is not None:
+        pinned = list(pinned_cuts)
+    else:
+        pinned = df.agg(agg).first()["_rank_cuts"] or []
     ptype = df.schema[primary].dataType
-    cuts_col = F.array(*[F.lit(v).cast(ptype) for v in pinned])
-    base = bucket_of(cuts_col)
+    # UNROLLED cut comparison (optimization r14): with the cuts pinned
+    # as Python literals, the fold over an array literal — an
+    # interpreted CodegenFallback expression measured at ~2 s CPU per
+    # 600k-row scan stage — becomes a flat sum of `buckets-1` codegen
+    # comparisons.  Identical arithmetic: same past-cut predicate per
+    # cut, same sum, NULL primary still routed by the same when().
+    base = F.when(col.isNull(), null_bucket)
+    if pinned:
+        unrolled = sum(
+            F.when(past_cut(F.lit(v).cast(ptype)), 1).otherwise(0)
+            for v in pinned
+        )
+        base = base.otherwise(unrolled)
+    else:
+        base = base.otherwise(F.lit(0))
 
     hot = _hot_sub_cuts(
         df, primary, pinned, tiebreak, tiebreak_ascending, accuracy
@@ -279,20 +316,20 @@ def with_value_buckets(
     for v, (off_b, pfx_b, sub_cuts) in hot.items():
         proxy = _tiebreak_proxy(tiebreak, tb_dtype, offset=off_b, prefix=pfx_b)
         n_sub = len(sub_cuts)
+        # unrolled like the base cuts above (r14): literal sub-cuts
+        # need no interpreted fold
         if tiebreak_ascending:
-            past_sub = F.aggregate(
-                F.array(*[F.lit(s).cast("double") for s in sub_cuts]),
-                F.lit(0),
-                lambda acc, c: acc
-                + F.when(proxy.cast("double") > c, 1).otherwise(0),
+            past_sub = F.lit(0) + sum(
+                F.when(proxy.cast("double") > F.lit(s).cast("double"), 1)
+                .otherwise(0)
+                for s in sub_cuts
             )
             null_sub = F.lit(0)  # asc → NULLS FIRST
         else:
-            past_sub = F.aggregate(
-                F.array(*[F.lit(s).cast("double") for s in sub_cuts]),
-                F.lit(0),
-                lambda acc, c: acc
-                + F.when(proxy.cast("double") < c, 1).otherwise(0),
+            past_sub = F.lit(0) + sum(
+                F.when(proxy.cast("double") < F.lit(s).cast("double"), 1)
+                .otherwise(0)
+                for s in sub_cuts
             )
             null_sub = F.lit(n_sub)  # desc → NULLS LAST
         sub = F.when(
@@ -458,6 +495,7 @@ def global_row_number(
     total_col: str | None = None,
     tiebreak: str | None = None,
     tiebreak_ascending: bool = True,
+    pinned_cuts: list | None = None,
 ) -> DataFrame:
     """Exact global ``row_number()`` over ``order_by`` without a
     single-partition sort of the data.
@@ -478,6 +516,7 @@ def global_row_number(
         buckets=buckets,
         tiebreak=tiebreak,
         tiebreak_ascending=tiebreak_ascending,
+        pinned_cuts=pinned_cuts,
     )
     off = _bucket_offsets(d)
     w = Window.partitionBy(BUCKET_COL).orderBy(*order_by)

@@ -173,16 +173,34 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "monetary",
     )
 
-    # the three rank passes CHAIN, and each pass's eager cut probe
-    # (operators/rank.py pinned-cuts determinism) re-evaluates its
-    # whole upstream — unmaterialized, pass 3's probe recomputes
-    # passes 1-2 and the orders aggregate (measured 3.2x at the 10x
-    # probe vs 1.9x).  Materializing the customer-cardinality frame
-    # between passes caps every probe at one scan of ~|customers|
-    # rows (SCALING.md round-7 re-probe: 1.4x).
+    # ONE pin + ONE combined probe + three UN-CHAINED rank branches
+    # (optimization r14; previously each pass pinned its predecessor
+    # and ran its own eager probe — measured: ~30 sub-0.15 s stages,
+    # wall dominated by driver job latency, not compute).  The three
+    # quartile cuts are independent functions of the pinned base, so
+    # all three approx_percentile probes run in one eager aggregate
+    # (rank.cuts_probe_agg) and the branches re-join on the customer
+    # key — at scale this also materializes the customer frame once
+    # instead of three times.
+    import os
+
+    from etl_caltopo_spark.operators.rank import cuts_probe_agg
     from etl_caltopo_spark.operators.rank import pin_frame as _pin
 
     base = _pin(base)
+    if os.environ.get("SPARK_GRAFT_LAZY_PLANS") == "1":
+        # plan dumps must run zero jobs: fall back to the in-DAG
+        # probe form inside each pass
+        cut_r = cut_f = cut_m = None
+    else:
+        probes = base.agg(
+            cuts_probe_agg("recency_days", alias="_c_r"),
+            cuts_probe_agg("frequency", ascending=False, alias="_c_f"),
+            cuts_probe_agg("monetary", ascending=False, alias="_c_m"),
+        ).first()
+        cut_r = probes["_c_r"] or []
+        cut_f = probes["_c_f"] or []
+        cut_m = probes["_c_m"] or []
     r = global_row_number(
         base,
         "recency_days",
@@ -190,23 +208,27 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         rn_col="_rn_r",
         total_col="_n",
         tiebreak="o_custkey",
+        pinned_cuts=cut_r,
     )
-    r = global_row_number(
-        _pin(r),
+    f = global_row_number(
+        base,
         "frequency",
         [F.col("frequency").desc(), F.col("o_custkey")],
         ascending=False,
         rn_col="_rn_f",
         tiebreak="o_custkey",
-    )
-    r = global_row_number(
-        _pin(r),
+        pinned_cuts=cut_f,
+    ).select("o_custkey", "_rn_f")
+    m = global_row_number(
+        base,
         "monetary",
         [F.col("monetary").desc(), F.col("o_custkey")],
         ascending=False,
         rn_col="_rn_m",
         tiebreak="o_custkey",
-    )
+        pinned_cuts=cut_m,
+    ).select("o_custkey", "_rn_m")
+    r = r.join(f, "o_custkey").join(m, "o_custkey")
     return r.select(
         "o_custkey",
         "recency_days",

@@ -690,16 +690,41 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("code"),
         F.col("embedding").cast("array<double>").alias("cv"),
     )
-    pts = emb.filter(F.col("vec_id") >= 4).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    # fan_out (r14): one-row-group source — the subvector folds
+    # otherwise all run on a single scan task
+    pts = fan_out(
+        emb.filter(F.col("vec_id") >= 4).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
     )
+    # slice + ‖subvector‖² hoisted to one fold per (point, subspace) /
+    # per (code, subspace) BEFORE the code join (r14,
+    # sqdist_rounded_prenormed): the pair projection previously sliced
+    # both vectors and ran all three folds per (point, subspace, code)
+    # row.  The equi-join on subspace pairs exactly the rows the
+    # crossJoin-then-slice did.
     sub = pts.select(
-        "vec_id", "v", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("subspace")
-    ).crossJoin(F.broadcast(cb))
-    a = F.slice("v", F.col("subspace") * 8 + 1, 8)
-    b = F.slice("cv", F.col("subspace") * 8 + 1, 8)
-    d2 = similarity.sqdist_rounded(a, b, 6)
-    scored = sub.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("subspace"),
+        "v",
+    ).select(
+        "vec_id",
+        "subspace",
+        F.slice("v", F.col("subspace") * 8 + 1, 8).alias("sv"),
+    ).withColumn("aa", similarity.dot(F.col("sv"), F.col("sv")))
+    cbsub = cb.select(
+        "code",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("subspace"),
+        "cv",
+    ).select(
+        "code",
+        "subspace",
+        F.slice("cv", F.col("subspace") * 8 + 1, 8).alias("bv"),
+    ).withColumn("bb", similarity.dot(F.col("bv"), F.col("bv")))
+    d2 = similarity.sqdist_rounded_prenormed(
+        F.col("aa"), F.col("sv"), F.col("bv"), F.col("bb"), 6
+    )
+    scored = sub.join(F.broadcast(cbsub), "subspace").select(
         "vec_id",
         F.col("subspace").cast("bigint").alias("subspace"),
         "code",
@@ -989,9 +1014,19 @@ def q_kmeans_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").where(
         similarity.vector_on_grid(F.col("embedding"))
     )
-    pts = emb.filter(F.col("vec_id") >= 8).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    # fan_out (r14): the one-row-group source runs the grid filter +
+    # per-iteration distance folds on a single scan task, and the
+    # unrolled loop re-derives `pts` six times (scored + re-center
+    # join, x3 iterations) — spread once, before the fold work
+    pts = fan_out(
+        emb.filter(F.col("vec_id") >= 8).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
     )
+    # ‖v‖² hoisted to one fold per POINT (r14): inside the pair
+    # projection the self-dot re-ran per (point, centroid) — 8x per
+    # point per iteration (sqdist_rounded_prenormed's contract)
+    pts = pts.withColumn("aa", similarity.dot(F.col("v"), F.col("v")))
     cents = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"),
         F.transform(
@@ -1001,10 +1036,17 @@ def q_kmeans_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cent_tab = None
     for _ in range(3):
-        d2 = similarity.sqdist_rounded(F.col("v"), F.col("cv"), 6)
-        scored = pts.crossJoin(F.broadcast(cents)).select(
-            "vec_id", "centroid_id", d2.alias("d2")
+        d2 = similarity.sqdist_rounded_prenormed(
+            F.col("aa"), F.col("v"), F.col("cv"), F.col("bb"), 6
         )
+        scored = pts.crossJoin(
+            # ‖c‖² likewise once per CENTROID row inside the broadcast
+            F.broadcast(
+                cents.withColumn(
+                    "bb", similarity.dot(F.col("cv"), F.col("cv"))
+                )
+            )
+        ).select("vec_id", "centroid_id", d2.alias("d2"))
         best = scored.groupBy("vec_id").agg(
             F.min(F.struct("d2", "centroid_id")).alias("m")
         )
@@ -1636,8 +1678,20 @@ def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "block_idx", "block_val",
     )
     hamming = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+    # explicit-width repartition of both block-join sides (r14, the
+    # q_knn_classify_ivf lesson, guide §2.5): the exchanges feeding the
+    # join carry ~2 MB, so AQE's byte-based coalescing folded them to
+    # ONE post-shuffle partition — and the dense candidate explosion
+    # (invisible to AQE, which only sees exchange input bytes) plus the
+    # xor/popcount verify ran single-threaded (measured: 1.4 s one-task
+    # final stage).  User-specified N is exempt from AQE coalescing.
+    width = spark.sparkContext.defaultParallelism
     return (
-        a.join(c, ["block_idx", "block_val"])
+        a.repartition(width, "block_idx", "block_val")
+        .join(
+            c.repartition(width, "block_idx", "block_val"),
+            ["block_idx", "block_val"],
+        )
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(hamming <= 3)
         .select("id_a", "id_b", hamming.cast("bigint").alias("hamming"))

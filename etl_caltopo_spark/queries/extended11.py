@@ -327,13 +327,26 @@ def _simplified_silhouette(member: DataFrame, out_cluster: str) -> DataFrame:
         ).alias("cv")
     )
     # clamped at 0: the 6-dp floor can turn a cancellation residue
-    # into -1e-6, which DuckDB's sqrt() rejects (code-review r6)
+    # into -1e-6, which DuckDB's sqrt() rejects (code-review r6).
+    # Self-dots hoisted to one fold per point / per centroid (r14,
+    # sqdist_rounded_prenormed) — the pair projection previously ran
+    # all three folds per (point, centroid) row.
     d2 = F.greatest(
-        similarity.sqdist_rounded(F.col("v"), F.col("cv"), 6),
+        similarity.sqdist_rounded_prenormed(
+            F.col("_aa"), F.col("v"), F.col("cv"), F.col("_bb"), 6
+        ),
         F.lit(0.0),
     )
-    d = member.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "grp", "cgrp", d2.alias("d2")
+    d = (
+        member.withColumn("_aa", similarity.dot(F.col("v"), F.col("v")))
+        .crossJoin(
+            F.broadcast(
+                cent.withColumn(
+                    "_bb", similarity.dot(F.col("cv"), F.col("cv"))
+                )
+            )
+        )
+        .select("vec_id", "grp", "cgrp", d2.alias("d2"))
     )
     ab = d.groupBy("vec_id", "grp").agg(
         F.sqrt(

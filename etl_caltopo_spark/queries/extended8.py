@@ -343,6 +343,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         edges0.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .unionAll(edges0.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        # partitioned on src ONCE before the checkpoint (r14, guide
+        # §2.4): the iteration joins' exchange then reads an
+        # already-clustered edge list (one cheap map side, reused by
+        # all three rounds) — measured 4.1 s vs 4.7 s without; with
+        # the per-round SMJ sorts also gone (shuffle_hash below) the
+        # query fell 8.1 → 4.1 s
+        .repartition(F.col("src"))
         .localCheckpoint()  # edge list reused every iteration
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("d")).withColumnRenamed(
@@ -361,9 +368,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (15 * p_init) // 100
     p = deg.withColumn("p", F.lit(p_init).cast("long"))
     for _ in range(3):
-        contrib = edges.join(p, edges["src"] == p["node"]).select(
-            F.col("dst"), F.expr("(85 * p div 100) div d").alias("c")
-        )
+        # shuffle_hash build on the node-count-sized rank side (the
+        # q_triangle_count recipe, guide §3.1): no sort of the edge
+        # stream, and the edge side's checkpointed partitioning on src
+        # satisfies the join's distribution outright
+        contrib = edges.join(
+            p.hint("shuffle_hash"), edges["src"] == p["node"]
+        ).select(F.col("dst"), F.expr("(85 * p div 100) div d").alias("c"))
         sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
         p = (
             deg.join(sums, deg["node"] == sums["dst"], "left")
