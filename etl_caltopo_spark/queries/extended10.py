@@ -102,7 +102,12 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation-order drift with the 4-dp floor (q_word_entropy
     policy)."""
     apply_runtime_conf(spark)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # fan_out (r14): the one-row-group source ran both tokenize passes
+    # as ~0.9 s single-task map stages; the identical repartition
+    # subtree is exchange-reused (no-op at scale)
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     toks = docs.select("doc_id", text.tokens(F.col("text")).alias("t")).filter(
         F.size("t") >= 2
     )
@@ -115,7 +120,16 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
-    m = big.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("m"))
+    # m pinned (r14, knowledge #16's multi-consumer rule): c12, c1 and
+    # the per-doc join all consume it, and the optimizer re-ran the
+    # full tokenize + bigram explode + count for each consumer
+    # (measured: three identical 32-task stages writing the same 5 MB
+    # exchange)
+    from etl_caltopo_spark.operators.rank import pin_frame as _pin_m
+
+    m = _pin_m(
+        big.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("m"))
+    )
     c12 = m.groupBy("w1", "w2").agg(F.sum("m").alias("c12"))
     c1 = m.groupBy("w1").agg(F.sum("m").alias("c1"))
     vocab = (
@@ -183,7 +197,11 @@ def q_span_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors — here the text is carried so the oracle replays it
     exactly.  The rate is one exact integer division, 6-dp floor."""
     apply_runtime_conf(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (r14): single-task 8-token shingle explode on the
+    # one-row-group source (measured 0.8 s scan stage; no-op at scale)
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     sh = docs.select(
         "doc_id", F.explode(dedup.shingles(F.col("text"), n=8)).alias("span")
     )
@@ -2045,8 +2063,19 @@ def q_bloom_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(dedup.shingles(F.col("text"), n=4)).alias("shingle"),
     )
-    fx = sh.select(
-        "doc_id", "source", "shingle", _portable_string_hash("shingle").alias("x")
+    # fx pinned (r14, knowledge #16): the Bloom build, the probe side
+    # and the exact-hit index all consume the shingle explode + the
+    # interpreted portable-hash fold — unpinned, the fold ran once per
+    # consumer (measured: two extra 32-task stages, 6.0 + 3.3 s CPU)
+    from etl_caltopo_spark.operators.rank import pin_frame as _pin_fx
+
+    fx = _pin_fx(
+        sh.select(
+            "doc_id",
+            "source",
+            "shingle",
+            _portable_string_hash("shingle").alias("x"),
+        )
     )
     poss = F.array(
         *[
@@ -2076,7 +2105,7 @@ def q_bloom_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.count("hit") == 4).cast("int").alias("bloom_hit"))
     )
     exact = (
-        sh.filter(F.col("source") == "src0")
+        fx.filter(F.col("source") == "src0")
         .select("shingle")
         .distinct()
         .withColumn("true_hit", F.lit(1))
@@ -2613,7 +2642,12 @@ def q_lm_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     by bigram/unigram, equi-joins back to per-doc counts, one log per
     surviving type, 4-dp floors on order-dependent sums."""
     apply_runtime_conf(spark)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # fan_out (r14): the one-row-group source ran both tokenize passes
+    # as ~0.9 s single-task map stages; the identical repartition
+    # subtree is exchange-reused (no-op at scale)
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     toks = docs.select("doc_id", text.tokens(F.col("text")).alias("t")).filter(
         F.size("t") >= 2
     )
@@ -2626,7 +2660,16 @@ def q_lm_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
-    m = big.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("m"))
+    # m pinned (r14, knowledge #16's multi-consumer rule): c12, c1 and
+    # the per-doc join all consume it, and the optimizer re-ran the
+    # full tokenize + bigram explode + count for each consumer
+    # (measured: three identical 32-task stages writing the same 5 MB
+    # exchange)
+    from etl_caltopo_spark.operators.rank import pin_frame as _pin_m
+
+    m = _pin_m(
+        big.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("m"))
+    )
     c12 = m.groupBy("w1", "w2").agg(F.sum("m").alias("c12"))
     c1 = m.groupBy("w1").agg(F.sum("m").alias("c1"))
     uni = (

@@ -159,9 +159,18 @@ def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_map_higher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map higher-order functions: transform_keys / transform_values /
-    map_zip_with, consumed back to scalars so the oracle can hash."""
+    map_zip_with, consumed back to scalars so the oracle can hash.
+    fan_out first (r14): the map HOFs are interpreted CodegenFallback
+    expressions and a one-row-group source ran all 600k rows on ~3
+    scan tasks (measured 2.3 s CPU; no-op at scale)."""
     apply_runtime_conf(spark)
-    li = load_table(spark, sf_dir, "lineitem")
+    from etl_caltopo_spark.io import fan_out
+
+    li = fan_out(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+        )
+    )
     m = F.create_map(
         F.lit("qty"), F.col("l_quantity"), F.lit("price"), F.col("l_extendedprice")
     )

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_caltopo_spark.functions.numeric import cents, fround, sql_cents
-from etl_caltopo_spark.io import load_table
+from etl_caltopo_spark.io import fan_out, load_table
 from etl_caltopo_spark.llm import text
 from etl_caltopo_spark.queries.registry import query
 from etl_caltopo_spark.session import apply_runtime_conf
@@ -128,7 +128,13 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers over a shared double avgdl, so Spark and DuckDB agree
     bit-for-bit before the 4-dp floor."""
     apply_runtime_conf(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (r14): the per-term HOF filters + token_count are
+    # interpreted folds, and the one-row-group source evaluated the
+    # whole projection twice (stats aggregate + scoring side) on
+    # single tasks (measured 0.7 + 0.4 s; no-op at scale)
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     toks = text.tokens(F.col("text"))
 
     def term_freq(term: str):
@@ -631,9 +637,15 @@ def q_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells).  Fan-out is bounded by span multiplicity across sources,
     never |docs|² — same inverted-index shape as q_decontaminate."""
     apply_runtime_conf(spark)
+    from etl_caltopo_spark.io import fan_out
     from etl_caltopo_spark.llm import dedup as _dedup
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (r14): one-row-group source ran the 8-token shingle
+    # explode on a single scan task (measured 1.0 s stage; no-op at
+    # scale)
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("source", "text")
+    )
     sh = docs.select(
         "source", F.explode(_dedup.shingles(F.col("text"), n=8)).alias("span")
     ).distinct()

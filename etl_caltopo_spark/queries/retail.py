@@ -66,7 +66,18 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-level IEEE-identical across engines.
     """
     apply_runtime_conf(spark)
-    li = (
+    from etl_caltopo_spark.operators.rank import pin_frame
+
+    # li pinned (r14, knowledge #16): both self-join sides, the item
+    # counts and the order count all consume the distinct (order,
+    # part) frame — unpinned, the scan + dedup ran once per consumer
+    # (measured: two duplicate map stages + three 1.8 s reducer-side
+    # dedups of the same exchange).  A basket-array rewrite (one
+    # orderkey shuffle, in-row a<b pair generation) was ALSO tried
+    # and reverted: 3.35 s vs 2.56 s — transform/slice/flatten are
+    # interpreted CodegenFallback expressions and cost more than the
+    # co-located self-join they replaced.
+    li = pin_frame(
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
