@@ -644,8 +644,14 @@ def exact_knn_candidates(
     # the pandas stage emits only (id, label) pairs — vectors re-attach
     # JVM-side via two equi-joins (broadcast-able: the table fit on the
     # driver to build the GEMM operand), avoiding per-pair Python
-    # array-object churn that dominates at large candidate counts
-    pairs = base.mapInPandas(gen, out_schema)
+    # array-object churn that dominates at large candidate counts.
+    # fan_out first (optimization r14): "work distributes over the
+    # query partitions" only if there ARE query partitions — a
+    # one-row-group source ran the whole GEMM sweep on a single task
+    # (measured sf0.1: one 2.5 s CPU task; no-op at scale).
+    from etl_caltopo_spark.io import fan_out
+
+    pairs = fan_out(base).mapInPandas(gen, out_schema)
     qv = emb.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
     nv = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
     return pairs.join(F.broadcast(qv), "qid").join(F.broadcast(nv), "nid")

@@ -302,10 +302,25 @@ def q_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("wid", "pos")
             .localCheckpoint()
         )
-        merged_count = (
-            keep.join(vocab, "wid").agg(F.sum("wcount").cast("bigint")).collect()[0][0]
+        # merged_count DEFERRED (r14): it steers nothing in the loop —
+        # collect()ing it per round was one extra sequential job each;
+        # the lazy 1-row aggregate over the checkpointed keep rides
+        # the single final job instead
+        out_rows.append(
+            keep.join(vocab, "wid").agg(
+                F.lit(r + 1).cast("bigint").alias("merge_round"),
+                F.lit(a).cast("string").alias("pair_a"),
+                F.lit(b).cast("string").alias("pair_b"),
+                F.coalesce(F.sum("wcount").cast("bigint"), F.lit(0))
+                .cast("bigint")
+                .alias("merge_count"),
+            )
         )
-        out_rows.append((r + 1, a, b, int(merged_count or 0)))
+        if r == _BPE_ROUNDS - 1:
+            # the symbol rebuild only feeds the NEXT round — skipping
+            # the final one saves a window + two joins + an eager
+            # checkpoint job (r14)
+            break
         k = keep.select(
             F.col("wid").alias("kwid"), F.col("pos").alias("kpos")
         )
@@ -340,9 +355,16 @@ def q_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-    return spark.createDataFrame(
-        out_rows, "merge_round bigint, pair_a string, pair_b string, merge_count bigint"
-    )
+    if not out_rows:
+        return spark.createDataFrame(
+            [],
+            "merge_round bigint, pair_a string, pair_b string,"
+            " merge_count bigint",
+        )
+    out = out_rows[0]
+    for extra in out_rows[1:]:
+        out = out.unionByName(extra)
+    return out
 
 
 @query(
