@@ -56,33 +56,61 @@ NOTES: dict[str, str] = {
         "tools/bench_ab.py old-rev new-rev (built r10; identical-code "
         "smoke: field 1.001, adjusted ratios 0.87-1.08, none flagged)."
     ),
+    "r15_headline_additions": (
+        "headline set widened by 4 ADDITIONS (q_graph_2hop_sketch, "
+        "q_knn_classify, q_dedup_minhash_portable, q_pagerank) so the "
+        "driver bench sees the heavy tail the r14 optimization targeted; "
+        "no id removed or renamed.  r14-code reference timings for the "
+        "additions are stamped in OPTIMIZATION_r15.md."
+    ),
+    "scaling": (
+        "the trailing 'env' key carries the EFFECTIVE master / "
+        "defaultParallelism / shuffle partitions so a low-core run is "
+        "verifiable from the archived tail.  At sf0.1 most headliners "
+        "are sub-second and fixed driver overhead dominates the "
+        "core-count ratio; the 4 r15 additions are the multi-second "
+        "ids where parallelism is measurable.  For a wider spread, "
+        "point SPARK_GRAFT_SF_DIR at a 10x replica "
+        "(tools/scale_probe.py builds one)."
+    ),
 }
 
 #: Number of interleaved measurement passes (1 sample/query/pass).
 PASSES = 3
 
 
-def emit_line(times: dict[str, float], spread: dict[str, list[float]], sf: float) -> str:
+def emit_line(
+    times: dict[str, float],
+    spread: dict[str, list[float]],
+    sf: float,
+    env: dict[str, object] | None = None,
+) -> str:
     """Serialize the one-line JSON result.  KEY ORDER IS A CONTRACT
     (VERDICT r8 #1): the driver archives only the LAST 2000 characters
     of stdout, so the measurements — queries and spread — must come
     AFTER the prose notes or a long note evicts them from the committed
     artifact (BENCH_r08.json carried zero per-query numbers for exactly
-    this reason).  notes first, queries/spread last;
-    tests/test_bench_contract.py pins both the order and that a
-    full-size queries dict survives a 2000-char tail."""
+    this reason).  notes first, queries/spread last, then the compact
+    ``env`` block (VERDICT r14 #1: the driver re-runs this bench at a
+    lower core count and previously had no way to verify the env was
+    honored — the trailing position keeps the effective master /
+    parallelism inside the archived tail).
+    tests/test_bench_contract.py pins the order, that a full-size
+    queries dict STILL survives a 2000-char tail, and that env is
+    bounded small."""
     total = round(sum(times.values()), 3)
-    return json.dumps(
-        {
-            "metric": "headline query wall time, warm session, AQE on",
-            "value": total,
-            "unit": "sec",
-            "sf": sf,
-            "notes": NOTES,
-            "queries": times,
-            "spread": spread,
-        }
-    )
+    payload: dict[str, object] = {
+        "metric": "headline query wall time, warm session, AQE on",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "notes": NOTES,
+        "queries": times,
+        "spread": spread,
+    }
+    if env is not None:
+        payload["env"] = env
+    return json.dumps(payload)
 
 
 def main() -> None:
@@ -119,7 +147,18 @@ def main() -> None:
         s = sorted(samples[name])
         times[name] = round(s[len(s) // 2], 3)
         spread[name] = [round(s[0], 3), round(s[len(s) // 2], 3), round(s[-1], 3)]
-    print(emit_line(times, spread, sf))
+    # The EFFECTIVE runtime shape, so the driver's low-core scaling run
+    # is verifiable from the archived tail (VERDICT r14 #1: every
+    # 8-vs-32 ratio read ~1 and the driver could not distinguish "env
+    # ignored" from "overhead-dominated"; session.py honors
+    # SPARK_GRAFT_CPUS — now the artifact proves it).
+    sc = spark.sparkContext
+    env = {
+        "master": sc.master,
+        "cores": sc.defaultParallelism,
+        "shuffle_partitions": int(spark.conf.get("spark.sql.shuffle.partitions")),
+    }
+    print(emit_line(times, spread, sf, env))
 
 
 if __name__ == "__main__":

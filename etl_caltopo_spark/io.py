@@ -77,6 +77,69 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _size_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf value ('128MB', '134217728b', '4m')."""
+    s = str(v).strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("kb", 1024),
+        ("mb", 1024**2),
+        ("gb", 1024**3),
+        ("tb", 1024**4),
+        ("k", 1024),
+        ("m", 1024**2),
+        ("g", 1024**3),
+        ("t", 1024**4),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], m
+            break
+    return int(s) * mult
+
+
+def _estimated_scan_splits(spark: SparkSession, sizes: list[int]) -> int:
+    """Spark's FilePartition packing math (maxSplitBytes + greedy
+    bin-pack over size-desc pieces) over known leaf file sizes — the
+    number of scan tasks a parquet source produces, computed WITHOUT
+    planning the query.  Mirrors
+    org.apache.spark.sql.execution.datasources.FilePartition:
+    maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    totalBytes / minPartitionNum)); files split into maxSplitBytes
+    pieces; pieces packed greedily, each charged openCostInBytes.
+    Equivalence with df.rdd.getNumPartitions() on every test table x
+    scale is pinned in tests/test_r15_optimizations.py."""
+    conf = spark.conf
+    max_part = _size_bytes(conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    open_cost = _size_bytes(conf.get("spark.sql.files.openCostInBytes", "4MB"))
+    min_parts = int(
+        conf.get(
+            "spark.sql.files.minPartitionNum",
+            str(spark.sparkContext.defaultParallelism),
+        )
+    )
+    total = sum(sizes) + open_cost * len(sizes)
+    bytes_per_core = total // max(1, min_parts)
+    max_split = min(max_part, max(open_cost, bytes_per_core))
+    pieces: list[int] = []
+    for size in sorted(sizes, reverse=True):
+        while size > max_split:
+            pieces.append(max_split)
+            size -= max_split
+        if size > 0:
+            pieces.append(size)
+    pieces.sort(reverse=True)
+    n, current = 0, 0
+    for p in pieces:
+        if current + p + open_cost > max_split and current > 0:
+            n += 1
+            current = 0
+        current += p + open_cost
+    if current > 0:
+        n += 1
+    return n
+
+
 def fan_out(df: DataFrame) -> DataFrame:
     """Repartition a source to core count when it arrives in fewer
     splits than cores — used immediately before compute-bound per-row
@@ -84,9 +147,46 @@ def fan_out(df: DataFrame) -> DataFrame:
     where one unsplittable parquet row group would otherwise serialize
     the whole stage onto one task.  At scale, sources have >= cores
     splits and this is a no-op; the repartition only ever pays for
-    shuffling the narrow projected input, not the computed output."""
+    shuffling the narrow projected input, not the computed output.
+
+    The split count comes from the LEAF FILE FOOTPRINT, not from
+    ``df.rdd.getNumPartitions()`` (optimization r15, VERDICT r14 #3):
+    the rdd conversion runs the full physical planning per call — a
+    driver tax paid on every invocation, including at scale where the
+    answer is always "no-op".  Instead: >= cores leaf files
+    short-circuits immediately (each file is at least one split);
+    otherwise the handful of files is stat'ed and run through Spark's
+    own FilePartition packing math.  Frames without file leaves
+    (in-memory test frames, checkpoints) keep the rdd fallback."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:  # pragma: no cover - e.g. Spark Connect quirks
+        files = []
+    if files:
+        if len(files) >= target:
+            return df
+        sizes = []
+        for f in files:
+            if f.startswith("file:"):
+                import os as _os
+                from urllib.parse import unquote, urlparse
+
+                try:
+                    sizes.append(_os.path.getsize(unquote(urlparse(f).path)))
+                except OSError:
+                    sizes = []
+                    break
+            else:
+                # non-local filesystem: stat through Spark would cost
+                # more than it saves — fall through to the rdd path
+                sizes = []
+                break
+        if sizes:
+            if _estimated_scan_splits(spark, sizes) < target:
+                return df.repartition(target)
+            return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

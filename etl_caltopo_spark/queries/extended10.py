@@ -1424,7 +1424,9 @@ def _minhash_oracle() -> str:
     """
 
 
-@query("q_dedup_minhash_portable", oracle=_minhash_oracle())
+# headline ADDITION (optimization r15): the portable-hash dedup hot
+# path (fan_out + banded LSH) — heavy-tail coverage for the bench.
+@query("q_dedup_minhash_portable", headline=True, oracle=_minhash_oracle())
 def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH near-duplicate candidates, HASH-GRADED: the
     graded answer to the rows-only q_dedup_near family.  The usual

@@ -997,6 +997,12 @@ def q_graph_2hop(
 
 @query(
     "q_graph_2hop_sketch",
+    # headline ADDITION (optimization r15): after two rounds of
+    # off-headline optimization the 20 original headliners no longer
+    # cover the engine's hot paths — this id is the registry's graph
+    # scale path (multi-second, genuinely parallel hot stage), so the
+    # driver's bench and its low-core scaling probe can finally see it.
+    headline=True,
     oracle="""
     WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
     e AS (

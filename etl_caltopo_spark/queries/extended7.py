@@ -176,6 +176,9 @@ def _knn_vote_accuracy(scored: DataFrame, k: int = 5) -> DataFrame:
 
 @query(
     "q_knn_classify",
+    # headline ADDITION (optimization r15): the kNN/GEMM hot path —
+    # invisible to the driver bench until now.
+    headline=True,
     oracle=f"""
     WITH p AS (
         -- non-finite vectors can't be indexed or queried: the

@@ -270,6 +270,9 @@ def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_pagerank",
+    # headline ADDITION (optimization r15): the iterative-join graph
+    # path (co-partitioned checkpoint + SHJ) — heavy-tail coverage.
+    headline=True,
     oracle="""
     WITH edges0 AS (
         SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
