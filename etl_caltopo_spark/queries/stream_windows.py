@@ -23,10 +23,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_caltopo_spark.functions.temporal import epoch_us
-from etl_caltopo_spark.io import load_table
+from etl_caltopo_spark.io import load_table, parquet_ts_bounds
 from etl_caltopo_spark.queries.registry import query
 from etl_caltopo_spark.session import apply_runtime_conf
 from etl_caltopo_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
+
+
+def _ts_bounds(sf_dir: str, ev: DataFrame) -> dict:
+    """The streaming-protocol queries' phase-split probe: exact
+    min/max of events.ts.  Footer statistics when they prove the
+    bounds (zero Spark jobs; at 100 TB the old eager aggregate is a
+    full-column scan — optimization r15, VERDICT r14 #7), the Spark
+    aggregate otherwise (replica/session shapes the footer can't
+    prove: rewritten ts dtypes, missing stats).  Value-identity with
+    the aggregate is pinned in tests/test_r15_optimizations.py."""
+    b = parquet_ts_bounds(sf_dir, "events", "ts")
+    if b is not None:
+        return {"lo": b[0], "hi": b[1]}
+    row = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    return {"lo": row["lo"], "hi": row["hi"]}
 
 
 def event_type_rank_dim(ev: DataFrame) -> DataFrame:
@@ -335,7 +350,7 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_caltopo_spark.streaming.ingest import run_two_phase, with_watermark
 
     ev = load_table(spark, sf_dir, "events").select("ts", "value")
-    max_ts = ev.agg(F.max("ts").alias("m")).first()["m"]
+    max_ts = _ts_bounds(sf_dir, ev)["hi"]
     if max_ts is None:
         # EMPTY-INPUT GUARD (empty-tables sweep r13; template:
         # q_stream_dedup's r11 guard): a stream over zero rows emits
@@ -453,9 +468,19 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("timestamp_ntz")
         >= F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
     )
-    bounds = in_domain.agg(
-        F.min("ts").alias("lo"), F.max("ts").alias("hi")
-    ).first()
+    # footer fast path (optimization r15, see _ts_bounds): valid for
+    # the FILTERED bounds only when the footer proves the whole table
+    # is post-epoch (then the filter is a no-op); a pre-epoch or
+    # unprovable footer falls back to the filtered aggregate.
+    from datetime import datetime as _dt
+
+    _b = parquet_ts_bounds(sf_dir, "events", "ts")
+    if _b is not None and _b[0] is not None and _b[0] >= _dt(1970, 1, 1):
+        bounds = {"lo": _b[0], "hi": _b[1]}
+    else:
+        bounds = in_domain.agg(
+            F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        ).first()
     if bounds["lo"] is None:
         # no in-domain rows (empty table or all pre-epoch): the
         # stream would emit nothing — return the empty frame with the
@@ -534,7 +559,7 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_caltopo_spark.streaming.stateful import running_user_totals
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "value", "ts")
-    bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    bounds = _ts_bounds(sf_dir, ev)
     if bounds["lo"] is None:
         # empty-input guard (empty sweep r13; see q_stream_watermark_
         # late): emit the protocol-output-shaped empty frame instead
@@ -602,7 +627,7 @@ def q_stream_incr_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_caltopo_spark.streaming.ingest import run_two_phase
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
-    bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    bounds = _ts_bounds(sf_dir, ev)
     if bounds["lo"] is None:
         # empty-input guard (empty sweep r13; see q_stream_watermark_
         # late): the store-shaped empty frame via the SAME partial
@@ -694,7 +719,7 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts", "value"
     )
-    bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    bounds = _ts_bounds(sf_dir, ev)
     if bounds["lo"] is None:
         # empty-input guard (empty sweep r13; see q_stream_watermark_
         # late): the store-shaped empty frame via the upsert's own
@@ -906,7 +931,7 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "ts", "value"
     )
-    bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    bounds = _ts_bounds(sf_dir, ev)
     if bounds["lo"] is None:
         # empty-input guard (empty sweep r13; see q_stream_watermark_
         # late): topk of nothing is nothing — same projection as the
@@ -986,7 +1011,7 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "ts"
     )
     dim = event_type_rank_dim(ev)
-    bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    bounds = _ts_bounds(sf_dir, ev)
     if bounds["lo"] is None:
         # empty-input guard (empty sweep r13; see q_stream_watermark_
         # late): the enrich join over zero rows, batch-shaped
@@ -1059,7 +1084,7 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_caltopo_spark.streaming.ingest import run_two_phase
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
-    bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    bounds = _ts_bounds(sf_dir, ev)
     if bounds["lo"] is not None:
         mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) / 2
         mid_lit = F.lit(mid.isoformat(sep=" ")).cast("timestamp_ntz")

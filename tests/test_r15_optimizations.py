@@ -124,3 +124,73 @@ def test_fan_out_no_file_leaves_falls_back(spark):
     out = fan_out(df)
     assert out.rdd.getNumPartitions() == (target if orig < target else orig)
     assert out.count() == 10
+
+
+# ---------------------------------------------------------------------------
+# 4. parquet footer ts-bounds (VERDICT r14 #7): the streaming-protocol
+#    phase-split probe now reads exact min/max from footer statistics
+#    instead of running an eager Spark aggregate — value-identity with
+#    the aggregate is the whole contract.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_parquet_ts_bounds_equals_spark_agg(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_caltopo_spark.io import parquet_ts_bounds
+
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"{sf_dir} absent")
+    got = parquet_ts_bounds(sf_dir, "events", "ts")
+    assert got is not None, "test data must take the footer fast path"
+    ev = load_table(spark, sf_dir, "events")
+    row = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    assert got == (row["lo"], row["hi"])
+
+
+def test_parquet_ts_bounds_spark_written_dir_and_all_null(spark, tmp_path):
+    """Spark-written DIRECTORY layout (the replica generators' shape)
+    and the all-NULL column: footer bounds must equal the aggregate,
+    including the (None, None) empty contract."""
+    from pyspark.sql import functions as F
+
+    from etl_caltopo_spark.io import parquet_ts_bounds
+
+    base = str(tmp_path)
+    ev = load_table(spark, os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01"), "events")
+    ev.limit(500).repartition(3).write.parquet(f"{base}/events.parquet")
+    got = parquet_ts_bounds(base, "events", "ts")
+    row = (
+        spark.read.parquet(f"{base}/events.parquet")
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .first()
+    )
+    assert got == (row["lo"], row["hi"])
+
+    nulls = str(tmp_path / "nulls")
+    os.makedirs(nulls)
+    ev.limit(10).withColumn(
+        "ts", F.lit(None).cast("timestamp_ntz")
+    ).write.parquet(f"{nulls}/events.parquet")
+    assert parquet_ts_bounds(nulls, "events", "ts") == (None, None)
+
+
+def test_parquet_ts_bounds_refuses_unprovable():
+    from etl_caltopo_spark.io import parquet_ts_bounds
+
+    # missing path / missing column -> fallback signal, never a guess
+    assert parquet_ts_bounds("/nonexistent", "events", "ts") is None
+    assert parquet_ts_bounds(
+        os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01"),
+        "events",
+        "no_such_col",
+    ) is None
+    # non-timestamp column -> refused (only µs NTZ is footer-equal to
+    # what load_table's ts adaptation yields)
+    assert parquet_ts_bounds(
+        os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01"),
+        "events",
+        "event_id",
+    ) is None
