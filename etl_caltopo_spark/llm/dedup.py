@@ -605,19 +605,26 @@ def clusters_within_blocks(
         # before it can union.
         import math
 
-        rows_l = V.tolist()
-        seq_norm = [0.0] * n
-        for i in range(n):
-            v = rows_l[i]
-            t = 0.0
-            for x in v:
-                t += x * x
-            seq_norm[i] = math.sqrt(t)
+        # column-wise sequential fold (optimization r15, guide §4.2):
+        # per row this performs exactly t = ((0.0 + x0·x0) + x1·x1)…
+        # — elementwise IEEE doubles in the SAME order as the per-row
+        # Python loop it replaces, so bit-identical (pinned in
+        # tests/test_r15_optimizations.py) at ~d× fewer interpreter
+        # steps; np.sqrt and math.sqrt are both correctly rounded.
+        acc = np.zeros(n)
+        for k in range(V.shape[1]):
+            acc = acc + V[:, k] * V[:, k]
+        seq_norm = np.sqrt(acc)
+        rows_l: list | None = None  # built lazily: only ambiguity-band
+        # edges ever need the per-element fold
 
         def exact_edge(r: int, c: int) -> bool:
+            nonlocal rows_l
             na, nb = seq_norm[r], seq_norm[c]
             if na == 0.0 or nb == 0.0:
                 return False  # engines yield NULL cosine — no edge
+            if rows_l is None:
+                rows_l = V.tolist()
             a, b = rows_l[r], rows_l[c]
             t = 0.0
             for k in range(len(a)):
@@ -750,18 +757,23 @@ def semdedup_drop_within_blocks(
         norms = np.sqrt((V * V).sum(axis=1))
         norms[norms == 0.0] = np.inf  # zero vectors join nothing
 
-        rows_l = V.tolist()
-        seq_norm = [0.0] * n
-        for i in range(n):
-            t = 0.0
-            for x in rows_l[i]:
-                t += x * x
-            seq_norm[i] = math.sqrt(t)
+        # column-wise sequential fold — bit-identical to the per-row
+        # Python loop (see clusters_within_blocks above; pinned in
+        # tests/test_r15_optimizations.py); rows built lazily for the
+        # ambiguity band only (optimization r15, guide §4.2).
+        acc = np.zeros(n)
+        for k in range(V.shape[1]):
+            acc = acc + V[:, k] * V[:, k]
+        seq_norm = np.sqrt(acc)
+        rows_l: list | None = None
 
         def exact_edge(r: int, c: int) -> bool:
+            nonlocal rows_l
             na, nb = seq_norm[r], seq_norm[c]
             if na == 0.0 or nb == 0.0:
                 return False
+            if rows_l is None:
+                rows_l = V.tolist()
             a, b = rows_l[r], rows_l[c]
             t = 0.0
             for k in range(len(a)):

@@ -368,18 +368,23 @@ def near_pairs_within_blocks(
         norms = np.sqrt((V * V).sum(axis=1))
         norms[norms == 0.0] = np.inf  # zero vectors join nothing
 
-        rows_l = V.tolist()
-        seq_norm = [0.0] * n
-        for i in range(n):
-            t = 0.0
-            for x in rows_l[i]:
-                t += x * x
-            seq_norm[i] = math.sqrt(t)
+        # column-wise sequential fold — bit-identical to the per-row
+        # Python loop (see dedup.clusters_within_blocks; pinned in
+        # tests/test_r15_optimizations.py); rows built lazily for the
+        # ambiguity band only (optimization r15, guide §4.2).
+        acc = np.zeros(n)
+        for k in range(V.shape[1]):
+            acc = acc + V[:, k] * V[:, k]
+        seq_norm = np.sqrt(acc)
+        rows_l: list | None = None
 
         def seq_cos(r: int, c: int) -> float | None:
+            nonlocal rows_l
             na, nb = seq_norm[r], seq_norm[c]
             if na == 0.0 or nb == 0.0:
                 return None
+            if rows_l is None:
+                rows_l = V.tolist()
             a, b = rows_l[r], rows_l[c]
             t = 0.0
             for k in range(len(a)):

@@ -194,3 +194,47 @@ def test_parquet_ts_bounds_refuses_unprovable():
         "events",
         "event_id",
     ) is None
+
+
+# ---------------------------------------------------------------------------
+# 5. column-wise sequential norm fold (guide §4.2): the per-block
+#    pandas helpers replaced their O(n·d) per-row Python norm loop
+#    with a column-wise fold — same IEEE operation order per row, so
+#    the result must be BIT-identical on any input.
+# ---------------------------------------------------------------------------
+
+
+def test_columnwise_seq_norm_bit_identical():
+    import math
+
+    import numpy as np
+
+    rng = np.random.default_rng(0xC0FFEE)
+    cases = [
+        rng.normal(size=(257, 64)),
+        rng.normal(size=(3, 7)) * 1e150,   # magnitude stress
+        rng.normal(size=(5, 16)) * 1e-300,  # denormal territory
+        np.zeros((4, 8)),
+    ]
+    for V in cases:
+        n = len(V)
+        # reference: the exact per-row loop the r15 change replaced
+        ref = [0.0] * n
+        for i in range(n):
+            t = 0.0
+            for x in V[i].tolist():
+                t += x * x
+            ref[i] = math.sqrt(t)
+        acc = np.zeros(n)
+        for k in range(V.shape[1]):
+            acc = acc + V[:, k] * V[:, k]
+        got = np.sqrt(acc)
+        assert all(
+            math.isclose(a, b, rel_tol=0.0, abs_tol=0.0) or (a == b)
+            for a, b in zip(ref, got.tolist())
+        ), "column-wise fold diverged from the per-row sequential loop"
+        # strict bitwise check
+        assert np.array_equal(
+            np.asarray(ref, dtype=np.float64).view(np.int64),
+            got.astype(np.float64).view(np.int64),
+        )
