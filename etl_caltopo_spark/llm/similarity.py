@@ -562,12 +562,15 @@ def exact_knn_candidates(
     query partitions.  Each query emits its top ``n_candidates``
     (default ``k + 64``) candidates ranked by (6-dp-floored cosine
     desc, nid asc); the slack absorbs any ulp-level difference between
-    GEMM summation order and the engines' sequential fold, so the
-    caller re-scores the surviving pairs with the codegen
-    :func:`cosine` expression and the FINAL ranking is bit-identical
-    to the brute-force all-pairs plan (oracle-gradable).
+    GEMM summation order and the engines' sequential fold.  The GEMM
+    value is only the SCREEN: each emitted pair carries ``cos_sim``
+    re-scored with the sequential-fold cosine (column-wise fold —
+    bit-identical to the codegen :func:`cosine_rounded` expression,
+    optimization r15), so the FINAL ranking is bit-identical to the
+    brute-force all-pairs plan (oracle-gradable) with no per-pair JVM
+    fold and no vector re-attach joins downstream.
 
-    Output columns: qid, qlabel, nid, nlabel, qv, nv.  Reference sets
+    Output columns: qid, qlabel, nid, nlabel, cos_sim.  Reference sets
     beyond executor memory go to :func:`ivf_candidate_pairs` instead —
     the collect below is HARD-BOUNDED by ``max_ref_rows`` (a
     ``limit``-capped pull, never the full table; ValueError past the
@@ -590,32 +593,66 @@ def exact_knn_candidates(
         )
     if not ref_rows:
         # empty-reference guard (empty-tables sweep r13): nothing to
-        # index and nothing to query — emit the
-        # (qid, qlabel, nid, nlabel, qv, nv)-shaped empty frame via
-        # the same join tail the GEMM path uses
+        # index and nothing to query — emit the output-shaped empty
+        # frame directly
         label_t = dict(base.dtypes)[label_col]
-        pairs = spark.createDataFrame(
+        return spark.createDataFrame(
             [],
-            f"qid bigint, qlabel {label_t}, nid bigint, nlabel {label_t}",
+            f"qid bigint, qlabel {label_t}, nid bigint, nlabel {label_t}, "
+            "cos_sim double",
         )
-        qv0 = emb.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
-        nv0 = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
-        return pairs.join(F.broadcast(qv0), "qid").join(F.broadcast(nv0), "nid")
     ref_ids = np.array([r[0] for r in ref_rows], dtype=np.int64)
     ref_labels = [r[1] for r in ref_rows]
     R = np.array([list(r[2]) for r in ref_rows], dtype=np.float64)
     rnorm = np.sqrt(np.einsum("ij,ij->i", R, R))
     bc = spark.sparkContext.broadcast((ref_ids, ref_labels, R, rnorm))
     n_cand = min(len(ref_rows) - 1, n_candidates or (k + 64))
+    # Bound the per-block TRANSIENT BYTES, not the row count
+    # (optimization r15): each screening pass materializes several
+    # (block × n_ref) float64/int64 temporaries; at 512 rows × 20k
+    # refs those are 80-160 MB each, and 32 concurrent Python workers
+    # allocating/freeing them mmap-churn the kernel into TLB-shootdown
+    # storms — measured at the 10× probe: 74.5 s of "compute" per
+    # worker for 0.2 s of steady-state numpy work, wall 57 → 7 s once
+    # the temporaries fit the allocator's reuse path.  4 MiB per
+    # temporary keeps the sf0.1 shape unchanged (2k refs → the full
+    # 512-row cap) and self-tunes down as the reference grows.  Block
+    # size cannot change any output value: every screen/score below is
+    # per-query-row (axis=1) arithmetic.
+    block_rows = max(16, min(block_rows, (4 << 20) // (8 * max(1, len(R)))))
 
     label_t = dict(base.dtypes)[label_col]
-    out_schema = f"qid bigint, qlabel {label_t}, nid bigint, nlabel {label_t}"
+    out_schema = (
+        f"qid bigint, qlabel {label_t}, nid bigint, nlabel {label_t}, "
+        "cos_sim double"
+    )
+
+    def _fround6(x):
+        """numpy mirror of functions.numeric.fround(col, 6) on a double
+        array: |x·1e6| ≥ 2^63 passes through the (x·1e6)/1e6 round-trip;
+        otherwise Spark's LONG floor — NaN → 0, -0.0 → +0.0 (the ``+
+        0.0``), then /1e6.  Bit-equal to the expression on every input
+        class (pinned in tests/test_r15_optimizations.py)."""
+        scaled = x * 1e6
+        big = np.abs(scaled) >= 9.223372036854776e18  # False on NaN
+        # np.floor: NaN -> NaN (matches the expression, verified in
+        # tests); `+ 0.0` maps floor's -0.0 to the +0.0 Spark emits
+        fl = np.floor(scaled) + 0.0
+        return np.where(big, scaled, fl) / 1e6
 
     def gen(batches):
         import pandas as pd
 
         ids, labels, Rm, rn = bc.value
         labels_arr = np.array(labels, dtype=object)
+        # sequential-fold self-norms of the reference rows, once per
+        # task: the column-wise fold performs the SAME IEEE operation
+        # order per row as the codegen norm() fold it stands in for
+        # (bit-identical; the r15 §3 argument).
+        racc = np.zeros(len(Rm))
+        for kk in range(Rm.shape[1]):
+            racc = racc + Rm[:, kk] * Rm[:, kk]
+        rseq = np.sqrt(racc)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -637,29 +674,51 @@ def exact_knn_candidates(
                 top = np.argpartition(-composite, n_cand - 1, axis=1)[:, :n_cand]
                 order = np.argsort(-np.take_along_axis(composite, top, axis=1), axis=1)
                 top = np.take_along_axis(top, order, axis=1)
+                # EXACT sequential-fold cosine for the emitted pairs
+                # (optimization r15): the candidate SET above is the
+                # GEMM screen; the VALUE below is the engines' fold,
+                # computed here column-wise — bit-identical to the
+                # `cosine_rounded` expression the caller used to pay
+                # per pair (1.38M interpreted 64-element folds at the
+                # 10x probe, the registry's worst knowledge-#38 deopt
+                # surface) — and it removes the two vector re-attach
+                # joins.
+                qacc = np.zeros(len(Qb))
+                for kk in range(Qb.shape[1]):
+                    qacc = qacc + Qb[:, kk] * Qb[:, kk]
+                qseq = np.sqrt(qacc)
+                dacc = np.zeros(top.shape)
+                for kk in range(Qb.shape[1]):
+                    dacc = dacc + Qb[:, kk][:, None] * Rm[top, kk]
+                den = qseq[:, None] * rseq[top]
+                ok = den > 0  # False on 0 and NaN, like Spark's when()
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    vals = _fround6(np.where(ok, dacc / den, 0.0))
+                cos_col = pd.arrays.FloatingArray(
+                    vals.ravel(), ~ok.ravel()
+                )
                 yield pd.DataFrame(
                     {
                         "qid": np.repeat(qids[s:e], n_cand),
                         "qlabel": np.repeat(qlabels[s:e], n_cand),
                         "nid": ids[top].ravel(),
                         "nlabel": labels_arr[top].ravel(),
+                        "cos_sim": cos_col,
                     }
                 )
 
-    # the pandas stage emits only (id, label) pairs — vectors re-attach
-    # JVM-side via two equi-joins (broadcast-able: the table fit on the
-    # driver to build the GEMM operand), avoiding per-pair Python
-    # array-object churn that dominates at large candidate counts.
+    # the pandas stage emits (id, label, exact cos_sim) — no vector
+    # re-attach joins and no per-pair JVM fold remain downstream
+    # (optimization r15; the r14 shape re-attached qv/nv via two
+    # broadcast joins and re-scored every pair with the interpreted
+    # cosine_rounded fold).
     # fan_out first (optimization r14): "work distributes over the
     # query partitions" only if there ARE query partitions — a
     # one-row-group source ran the whole GEMM sweep on a single task
     # (measured sf0.1: one 2.5 s CPU task; no-op at scale).
     from etl_caltopo_spark.io import fan_out
 
-    pairs = fan_out(base).mapInPandas(gen, out_schema)
-    qv = emb.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
-    nv = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
-    return pairs.join(F.broadcast(qv), "qid").join(F.broadcast(nv), "nid")
+    return fan_out(base).mapInPandas(gen, out_schema)
 
 
 def ivf_candidate_pairs(
@@ -812,9 +871,13 @@ def knn_candidate_pairs(
 
     The row count is one cheap job (columnar count — at scale a
     parquet metadata read).  Output columns are identical on both
-    paths: qid, qlabel, nid, nlabel, qv, nv.  The chosen path is
-    recorded on the returned DataFrame as ``knn_dispatch_path``
-    (``"gemm"`` / ``"ivf"``) for tests and plan audits.
+    paths: qid, qlabel, nid, nlabel, cos_sim (optimization r15 — the
+    exact path scores pairs inside the GEMM pass with the bit-
+    identical column-wise sequential fold; the IVF path scores its
+    equi-join pairs with the same :func:`cosine_rounded` expression
+    as before).  The chosen path is recorded on the returned
+    DataFrame as ``knn_dispatch_path`` (``"gemm"`` / ``"ivf"``) for
+    tests and plan audits.
 
     Non-finite vectors are excluded up front (ADVICE r11): the IVF
     path's array_to_vector raises on a NaN/inf component, and the
@@ -849,8 +912,7 @@ def knn_candidate_pairs(
         F.col(f"q_{label_col}").alias("qlabel"),
         "nid",
         F.col(f"n_{label_col}").alias("nlabel"),
-        "qv",
-        "nv",
+        cosine_rounded(F.col("qv"), F.col("nv"), 6).alias("cos_sim"),
     )
     out.knn_dispatch_path = "ivf"
     return out

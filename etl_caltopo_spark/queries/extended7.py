@@ -225,9 +225,11 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from one blocked float64 GEMM per query partition against the
     broadcast reference matrix (similarity.exact_knn_candidates — no
     pair-row explosion, no BroadcastNestedLoopJoin), with enough slack
-    per query that re-scoring the survivors with the codegen
-    sequential-fold cosine makes the final top-5 bit-identical to the
-    all-pairs baseline (kept as _knn_bruteforce_pairs for tests).
+    per query that re-scoring the survivors with the sequential-fold
+    cosine (computed inside the GEMM pass, bit-identical to the
+    codegen fold — optimization r15) makes the final top-5
+    bit-identical to the all-pairs baseline (kept as
+    _knn_bruteforce_pairs for tests).
 
     SCALE DISPATCH (VERDICT r4 #1): the graded plan goes through
     similarity.knn_candidate_pairs — below 65,536 reference rows the
@@ -243,13 +245,15 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").isNotNull()
     )
     pts = emb.filter(F.col("vec_id") >= 8).select("vec_id", "label", "embedding")
-    cand = similarity.knn_candidate_pairs(pts, k=5)
-    s = cand.select(
-        "qid",
-        "qlabel",
-        "nlabel",
-        "nid",
-        similarity.cosine_rounded(F.col("qv"), F.col("nv"), 6).alias("cos_sim"),
+    # cos_sim arrives exact from the candidate generator (optimization
+    # r15): the GEMM pass scores each emitted pair with the bit-
+    # identical column-wise sequential fold, so the old per-pair
+    # interpreted cosine_rounded re-score (the registry's worst
+    # knowledge-#38 deopt surface: 1.38M folds at the 10x probe,
+    # bimodal 6 s JIT-warm / 86 s deoptimized) and both vector
+    # re-attach broadcast joins are gone.
+    s = similarity.knn_candidate_pairs(pts, k=5).select(
+        "qid", "qlabel", "nlabel", "nid", "cos_sim"
     )
     return _knn_vote_accuracy(s, k=5)
 

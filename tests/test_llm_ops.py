@@ -657,12 +657,23 @@ def test_exact_knn_matches_bruteforce_baseline(spark, sf_dir):
     from etl_caltopo_spark.functions.numeric import fround
 
     cand = similarity.exact_knn_candidates(pts, k=5)
-    gemm_scored = cand.select(
-        "qid",
-        "nid",
-        fround(similarity.cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+    assert top5(cand) == top5(_knn_bruteforce_pairs(pts))
+    # r15: the generator now scores each emitted pair itself (column-
+    # wise sequential fold).  The emitted cos_sim must BE the codegen
+    # fold's value — re-attach vectors and compare EXACTLY (NULL-safe).
+    qv = pts.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    nv = pts.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"))
+    mism = (
+        cand.join(qv, "qid")
+        .join(nv, "nid")
+        .select(
+            "cos_sim",
+            fround(similarity.cosine(F.col("qv"), F.col("nv")), 6).alias("ref"),
+        )
+        .filter(~F.col("cos_sim").eqNullSafe(F.col("ref")))
+        .count()
     )
-    assert top5(gemm_scored) == top5(_knn_bruteforce_pairs(pts))
+    assert mism == 0
 
 
 def test_banded_jaccard_matches_bruteforce(spark, sf_dir):
@@ -741,12 +752,11 @@ def test_knn_dispatch_routes_by_size(spark, sf_dir):
 
     big = similarity.knn_candidate_pairs(pts, k=5, max_ref_rows=10)
     assert big.knn_dispatch_path == "ivf"
-    # both paths expose the identical candidate schema, so downstream
-    # re-scoring + voting is path-agnostic
-    assert small.columns == big.columns == [
-        "qid", "qlabel", "nid", "nlabel", "qv", "nv",
-    ] or set(small.columns) == set(big.columns) == {
-        "qid", "qlabel", "nid", "nlabel", "qv", "nv",
+    # both paths expose the identical candidate schema (r15: cos_sim
+    # is scored by the generator), so downstream voting is
+    # path-agnostic
+    assert set(small.columns) == set(big.columns) == {
+        "qid", "qlabel", "nid", "nlabel", "cos_sim",
     }
     # the IVF path yields usable candidates (every query point appears)
     n_queries = big.select("qid").distinct().count()

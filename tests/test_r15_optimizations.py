@@ -238,3 +238,66 @@ def test_columnwise_seq_norm_bit_identical():
             np.asarray(ref, dtype=np.float64).view(np.int64),
             got.astype(np.float64).view(np.int64),
         )
+
+
+# ---------------------------------------------------------------------------
+# 6. exact_knn_candidates r15 rework: cos_sim scored inside the GEMM
+#    pass (column-wise sequential fold == the codegen cosine_rounded),
+#    transient-byte-bounded blocks.  Pins: (a) block size cannot change
+#    any output value; (b) the numpy fround mirror is bit-equal to the
+#    fround expression on every input class.
+# ---------------------------------------------------------------------------
+
+
+def test_exact_knn_block_size_output_invariant(spark):
+    from etl_caltopo_spark.io import load_table
+    from etl_caltopo_spark.llm import similarity
+    from pyspark.sql import functions as F
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"{sf_dir} absent")
+    pts = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") >= 8)
+        .select("vec_id", "label", "embedding")
+        .limit(300)
+    )
+    rows_small = sorted(
+        map(tuple, similarity.exact_knn_candidates(pts, k=5, block_rows=17).collect())
+    )
+    rows_big = sorted(
+        map(tuple, similarity.exact_knn_candidates(pts, k=5, block_rows=512).collect())
+    )
+    assert rows_small == rows_big and rows_small
+
+
+def test_numpy_fround_mirror_bit_equal(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from etl_caltopo_spark.functions.numeric import fround
+
+    # the numpy mirror used inside exact_knn_candidates.gen
+    def _fround6(x):
+        scaled = x * 1e6
+        big = np.abs(scaled) >= 9.223372036854776e18
+        fl = np.floor(scaled) + 0.0  # NaN stays NaN; -0.0 -> +0.0
+        return np.where(big, scaled, fl) / 1e6
+
+    vals = [
+        0.0, -0.0, 1.0, -1.0, 0.9999995, -0.9999995, 0.1234564999,
+        1e-7, -1e-7, 0.3, -0.3, 1.0000001, float("inf"), float("-inf"),
+        float("nan"), 9.3e12, -9.3e12, 2.0**63, 5e-324,
+    ]
+    got = _fround6(np.array(vals, dtype=np.float64))
+    ref_rows = (
+        spark.createDataFrame([(v,) for v in vals], "x double")
+        .select(fround(F.col("x"), 6).alias("r"))
+        .collect()
+    )
+    ref = np.array([r["r"] for r in ref_rows], dtype=np.float64)
+    assert np.array_equal(got.view(np.int64), ref.view(np.int64)), (
+        list(got),
+        list(ref),
+    )
